@@ -1,0 +1,37 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named family of driver-checked queries: Spark plan + DuckDB oracle.
+  *
+  * Cross-engine determinism contract (see SparkEntry scaladoc):
+  * every query ends in ORDER BY over its full output key; aggregates of
+  * double columns go through integer-cent arithmetic ([[QueryFamily.cents]])
+  * so the result is exact and identical regardless of either engine's
+  * summation order or decimal-conversion rules.
+  */
+trait QueryFamily {
+  def queries: ListMap[String, (SparkSession, String) => DataFrame]
+  def oracles: ListMap[String, String]
+}
+
+object QueryFamily {
+
+  /** Money-typed double → exact integer cents. Safe across engines: the
+    * source values are decimally 2dp, so x*100 is always within ~1e-9 of an
+    * integer — both engines' ROUND land on the same one. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer cents → double for presentation; integer→double
+    * conversion is exact below 2^53 in both engines. */
+  def dollars(c: Column): Column = c.cast("double") / 100
+
+  /** SQL mirror of [[cents]]. */
+  def centsSql(col: String): String = s"CAST(ROUND($col * 100) AS BIGINT)"
+
+  /** SQL mirror of [[dollars]]. */
+  def dollarsSql(expr: String): String = s"CAST($expr AS DOUBLE) / 100"
+}

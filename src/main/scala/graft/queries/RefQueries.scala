@@ -1,0 +1,78 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Behavior
+
+/** Reference-parity family (SURVEY §2.2-§2.7) over `events`: the
+  * {service}_{dim} topic-grammar analytics the reference computes every
+  * 60 s (`Raport.py:76-201`). */
+object RefQueries extends QueryFamily {
+
+  private def msgs(s: SparkSession, d: String): DataFrame =
+    Behavior.fanoutMessages(Tables.events(s, d))
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "ref_value_counts" -> ((s, d) =>
+      Behavior.valueCounts(msgs(s, d)).orderBy(col("topic"), col("value"))),
+    "ref_topic_totals" -> ((s, d) =>
+      Behavior.topicTotals(msgs(s, d)).orderBy(col("topic"))),
+    "ref_clicks_by_service" -> ((s, d) =>
+      Behavior.clicksByService(msgs(s, d)).orderBy(col("service"))),
+    "ref_distinct_services" -> ((s, d) =>
+      Behavior.distinctServices(msgs(s, d)).orderBy(col("service"))),
+    "ref_dim_breakdown" -> ((s, d) =>
+      Behavior.dimBreakdown(msgs(s, d))
+        .orderBy(col("service"), col("dim"), col("value"))),
+    "ref_pct_share" -> ((s, d) =>
+      Behavior.pctShare(msgs(s, d)).orderBy(col("service"))),
+    "ref_top_services" -> ((s, d) =>
+      Behavior.topServices(msgs(s, d), 5)),
+    "ref_clicks_by_segment" -> ((s, d) =>
+      Behavior.clicksBySegment(Tables.events(s, d), Tables.customer(s, d))
+        .orderBy(col("service"), col("segment"))),
+    "ref_observed_topics" -> ((s, d) =>
+      Behavior.observedTopics(msgs(s, d)).orderBy(col("topic"))),
+  )
+
+  /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
+    * 3 value-only topic messages, `home` dropped producer-side (P2). */
+  private val msgsCte =
+    """WITH msgs AS (
+      |  SELECT event_type || '_k' AS topic, json_extract_string(props, '$.k') AS value FROM events WHERE event_type <> 'home'
+      |  UNION ALL
+      |  SELECT event_type || '_user' AS topic, CAST(user_id AS VARCHAR) AS value FROM events WHERE event_type <> 'home'
+      |  UNION ALL
+      |  SELECT event_type || '_clicks' AS topic, '1' AS value FROM events WHERE event_type <> 'home'
+      |)""".stripMargin
+
+  private val svcExpr =
+    "regexp_replace(topic, '_(k|user|segment|nation|clicks)$', '')"
+  private val dimExpr =
+    "regexp_extract(topic, '_(k|user|segment|nation|clicks)$', 1)"
+
+  val oracles: ListMap[String, String] = ListMap(
+    "ref_value_counts" ->
+      s"""$msgsCte SELECT topic, value, COUNT(*) AS cnt FROM msgs GROUP BY topic, value ORDER BY topic, value""",
+    "ref_topic_totals" ->
+      s"""$msgsCte SELECT topic, COUNT(*) AS total FROM msgs GROUP BY topic ORDER BY topic""",
+    "ref_clicks_by_service" ->
+      s"""$msgsCte SELECT $svcExpr AS service, COUNT(*) AS clicks FROM msgs WHERE ends_with(topic, '_clicks') GROUP BY 1 ORDER BY 1""",
+    "ref_distinct_services" ->
+      s"""$msgsCte SELECT DISTINCT $svcExpr AS service FROM msgs ORDER BY service""",
+    "ref_dim_breakdown" ->
+      s"""$msgsCte SELECT service, dim, value, COUNT(*) AS cnt FROM (SELECT $svcExpr AS service, $dimExpr AS dim, value FROM msgs) t WHERE service <> 'home' AND dim <> 'clicks' GROUP BY service, dim, value ORDER BY service, dim, value""",
+    "ref_pct_share" ->
+      s"""$msgsCte SELECT service, clicks, CAST(100 * clicks AS DOUBLE) / CAST(SUM(clicks) OVER () AS DOUBLE) AS pct FROM (SELECT $svcExpr AS service, COUNT(*) AS clicks FROM msgs WHERE ends_with(topic, '_clicks') GROUP BY 1) t ORDER BY service""",
+    "ref_top_services" ->
+      s"""$msgsCte SELECT $svcExpr AS service, COUNT(*) AS clicks FROM msgs WHERE ends_with(topic, '_clicks') GROUP BY 1 ORDER BY clicks DESC, service LIMIT 5""",
+    "ref_clicks_by_segment" ->
+      """SELECT event_type AS service, c_mktsegment AS segment, COUNT(*) AS cnt FROM events JOIN customer ON user_id = c_custkey WHERE event_type = 'click' GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ref_observed_topics" ->
+      s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
+  )
+}

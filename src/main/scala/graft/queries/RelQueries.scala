@@ -1,0 +1,213 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryFamily._
+
+/** Relational capability family over the star schema (SURVEY §2.5-§2.7):
+  * the join / set-op / window / rollup capability classes the reference's
+  * data model implies but its imperative code never exercises. All plans
+  * are Spark built-ins — Catalyst supplies pushdown, partial aggregation,
+  * broadcast-join selection and AQE (SURVEY §4).
+  *
+  * Scale notes:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast-joined — the 100 TB fact side never shuffles for them;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key, which AQE
+  *    re-plans at runtime (skew split + partition coalescing);
+  *  - money columns aggregate as integer cents (exact, order-independent);
+  *  - every top-k is a partial TakeOrdered, not a global sort.
+  */
+object RelQueries extends QueryFamily {
+
+  /** Revenue in basis units: cents(extendedprice) × (100 − discount%), an
+    * exact long. Σ over 100 TB stays < 2^63; presentation divides by 1e4. */
+  private def revenueUnits = {
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+  }
+  private val revenueUnitsSql =
+    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // -- aggregation --------------------------------------------------
+    "rel_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+          dollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+          (sum(revenueUnits).cast("double") / 10000).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "rel_revenue_by_nation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg((sum(revenueUnits).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    "rel_top_orders" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg((sum(revenueUnits).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "rel_distinct_parts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    "rel_orders_having" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dollars(sum(cents(col("o_totalprice")))).as("total_spent"))
+        .filter(col("n_orders") >= 12)
+        .orderBy(col("o_custkey"))),
+
+    // -- joins --------------------------------------------------------
+    "rel_orders_per_customer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))),
+
+    "rel_big_spenders_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "rel_inactive_customers_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "rel_point_lookup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") === 42)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .limit(1)),
+
+    // -- grouping sets ------------------------------------------------
+    "rel_rollup_flags" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "rel_cube_flags" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // -- windows ------------------------------------------------------
+    "rel_rank_lines" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    "rel_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_cents", sum(cents(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          dollars(col("running_cents")).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // -- set operations ----------------------------------------------
+    "rel_nations_both" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "rel_nations_cust_only" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "rel_nations_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))),
+
+    // -- events: JSON + event-time (ns) -------------------------------
+    // day kept as 'yyyy-MM-dd' string: DATE columns round-trip through
+    // parquet/pandas with engine-specific physical types and break the
+    // value-hash compare even when equal.
+    "rel_daily_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
+        .orderBy(col("day"), col("event_type"))),
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, ${dollarsSql(s"SUM(${centsSql("l_quantity")})")} AS sum_qty, ${dollarsSql(s"SUM(${centsSql("l_extendedprice")})")} AS sum_base_price, CAST(SUM($revenueUnitsSql) AS DOUBLE) / 10000 AS sum_disc_price, COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_revenue_by_nation" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revenueUnitsSql) AS DOUBLE) / 10000 AS revenue, COUNT(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_top_orders" ->
+      s"""SELECT o_orderkey, CAST(SUM($revenueUnitsSql) AS DOUBLE) / 10000 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "rel_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts, COUNT(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "rel_orders_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total_spent FROM orders GROUP BY 1 HAVING COUNT(*) >= 12 ORDER BY 1""",
+    "rel_orders_per_customer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1""",
+    "rel_big_spenders_semi" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) ORDER BY 1""",
+    "rel_inactive_customers_anti" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""",
+    "rel_point_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42 LIMIT 1""",
+    "rel_rollup_flags" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("l_quantity")})")} AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "rel_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "rel_rank_lines" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_quantity FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "rel_running_total" ->
+      s"""SELECT o_custkey, o_orderkey, ${dollarsSql(s"SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total FROM orders ORDER BY o_custkey, o_orderkey""",
+    "rel_nations_both" ->
+      """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
+    "rel_nations_cust_only" ->
+      """SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
+    "rel_nations_union" ->
+      """SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey""",
+    "rel_daily_events" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}
