@@ -1,0 +1,86 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** Text-analysis family over `documents` (LLM-data-pipeline surface):
+  * token stats, term frequencies, language-ID, quality scoring, content
+  * fingerprinting. */
+object TextQueries extends QueryFamily {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "txt_token_stats" -> ((s, d) => {
+      val n = size(TextOps.tokens(col("text")))
+      docs(s, d).select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        ((length(col("text")) - (n - 1)).cast("double") / n.cast("double")).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "txt_term_freq" -> ((s, d) =>
+      TextOps.termFrequencies(docs(s, d))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)),
+
+    "txt_term_freq_by_lang" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+      docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    "txt_langid" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        TextOps.markerCount(col("text")).as("en_markers"),
+        TextOps.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))),
+
+    "txt_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(docs(s, d)).orderBy(col("doc_id"))),
+
+    "txt_fingerprints" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("distinct_fp"),
+          countDistinct(TextOps.normalizedFingerprint(col("text"))).as("distinct_norm_fp"))
+        .orderBy(col("source"))),
+  )
+
+  private val nToks = "len(string_split(text, ' '))"
+  private val markers = "['the','a','of','and','is','to','in']"
+  private val markerCnt =
+    s"len(list_filter(string_split(text, ' '), t -> list_contains($markers, t)))"
+
+  val oracles: ListMap[String, String] = ListMap(
+    "txt_token_stats" ->
+      s"""SELECT doc_id, $nToks AS n_tokens, length(text) AS len_chars, CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks AS mean_token_len FROM documents ORDER BY doc_id""",
+    "txt_term_freq" ->
+      """SELECT term, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t GROUP BY term ORDER BY cnt DESC, term LIMIT 100""",
+    "txt_term_freq_by_lang" ->
+      """SELECT lang, term, cnt, rn FROM (SELECT lang, term, cnt, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn FROM (SELECT lang, term, COUNT(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) u GROUP BY lang, term) g) w WHERE rn <= 5 ORDER BY lang, rn""",
+    "txt_langid" ->
+      s"""SELECT doc_id, lang, $markerCnt AS en_markers, CASE WHEN $nToks = 0 THEN 'und' WHEN CAST($markerCnt AS DOUBLE) / $nToks >= 0.02 THEN 'en' ELSE 'und' END AS predicted FROM documents ORDER BY doc_id""",
+    "txt_quality" ->
+      s"""SELECT doc_id, $nToks AS n_tokens, CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks AS mean_token_len, CAST($markerCnt AS DOUBLE) / $nToks AS stopword_ratio, CAST($nToks BETWEEN 20 AND 100000 AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0 AS INT) AS is_quality FROM documents ORDER BY doc_id""",
+    "txt_fingerprints" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS distinct_fp, COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS distinct_norm_fp FROM documents GROUP BY source ORDER BY source""",
+  )
+}
