@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Behavior
-import graft.queries.{QueryFamily, RefQueries, RelQueries, TextQueries}
+import graft.queries.{DedupQueries, QueryFamily, RefQueries, RelQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ import graft.queries.{QueryFamily, RefQueries, RelQueries, TextQueries}
   */
 object SparkEntry {
 
-  private val families: Seq[QueryFamily] = Seq(RefQueries, RelQueries, TextQueries)
+  private val families: Seq[QueryFamily] =
+    Seq(RefQueries, RelQueries, TextQueries, DedupQueries, SimQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire critical path (SURVEY §3 E2): scan → fan-out →

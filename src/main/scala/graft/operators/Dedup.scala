@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines over
+  * `documents` — the core data-quality pass of any 100 TB corpus build.
+  *
+  * Five families, in increasing scalability:
+  *   - exact: hash-groupBy on content ([[exactStats]], [[dropExact]]);
+  *   - n-gram Jaccard with shared-shingle blocking ([[jaccardPairsExact]]):
+  *     exact but blocking degenerates when shingles are near-universal;
+  *   - MinHash + banded LSH ([[minhashPairs]]): candidate generation cost
+  *     proportional to true near-duplicate density, the 100 TB path;
+  *   - SimHash ([[simhashPairs]]): 64-bit signatures, hamming-ball lookup
+  *     via chunk pigeonhole blocking;
+  *   - embedding cosine ([[Similarity.cosineSeq]]-based semantic dedup in
+  *     DedupQueries).
+  *
+  * MinHash/SimHash candidate pairs are always re-verified with the EXACT
+  * n-gram Jaccard before reporting, so the sketches only affect recall
+  * (bounded below by the banding guarantee), never precision.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Affine minhash permutation constants — fixed seed, reproducible runs. */
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+  /** Modulus prime just above 2^32; a*x+b stays well below 2^63. */
+  private val Prime = 4294967311L
+
+  /** (doc_id, sh: distinct trigram shingles) projection. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleSize).as("sh"))
+
+  /** Exact Jaccard over two distinct-element arrays. Integer sizes and one
+    * double division — bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Exact duplicate statistics per source (hash-groupBy dedup). */
+  def exactStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
+
+  /** Exact dedup keeping the lowest doc_id per content group. At scale this
+    * is one shuffle keyed by content hash (not the full text). */
+  def dropExact(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
+
+  /** Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking:
+    * any pair with jaccard > 0 shares a shingle, so the inverted-index
+    * self-join finds every qualifying pair (exact recall). Blocking cost is
+    * Σ_shingle df(shingle)^2 — fine for distinctive shingles, degenerate
+    * for near-universal ones; [[minhashPairs]] is the scale path. */
+  def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSets(docs).cache()
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** 128 minhashes as one array<long> column over the shingle-set
+    * projection. Narrow per-row work (no shuffle), one pass over the
+    * shingles via the native [[graft.functions.MinHashKernel]]. */
+  def minhashSignature(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.MinHashKernel.minhashSignature(col("sh"), hashA, hashB, Prime).as("sig"))
+
+  /** Banded LSH candidate pairs: 32 bands × 4 rows. Shuffle keys on
+    * (band, band-signature); bucket sizes track true duplicate-cluster
+    * sizes, so the self-join stays near-linear at 100 TB (AQE splits any
+    * skewed bucket). P(candidate | j) = 1-(1-j^4)^32 — ≥ 1-2e-14 at j≥0.89. */
+  def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bsig"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: sketch recall, exact
+    * precision. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSets(docs).cache()
+    verifyPairs(minhashCandidates(minhashSignature(sh)), sh, threshold)
+  }
+
+  /** Join candidate pairs back to shingle sets and keep exact jaccard ≥ t. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** 64-bit SimHash signature over shingle hashes: bit j is the sign of
+    * Σ_shingles ±1 weighted by bit j of the shingle hash. */
+  def simhashSignature(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("hx", transform(col("sh"), s => xxhash64(s)))
+    val sig = (0 until 64).map { j =>
+      val weight = aggregate(col("hx"), lit(0L),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(weight > 0, lit(1L).cast("long") * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    hashed.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
+    * pigeonhole blocking on 4 × 16-bit chunks — any pair within hamming 3
+    * shares at least one exact chunk, so blocking recall is exact for the
+    * hamming ball. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
+    val sig = simhashSignature(shingleSets(docs)).cache()
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
+    }
+    val chunks = sig.select(col("doc_id"), explode(array(chunkCols: _*)).as("cc"))
+      .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`, 64-dim in the fixture).
+  *
+  * Float determinism: all dot products and norms are computed as
+  * SEQUENTIAL left folds over double-cast elements
+  * (`aggregate(zip_with(...))`), which evaluates in element order — the
+  * same IEEE operation sequence DuckDB's `list_reduce` performs, so
+  * similarity values are bit-identical across engines and runs (a plain
+  * `sum` aggregate would not be: shuffle order changes the fold order).
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product. */
+  def dotSeq(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold L2 norm. */
+  def normSeq(a: Column): Column =
+    sqrt(aggregate(transform(toDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity via the declarative higher-order-function fold —
+    * kept as the reference implementation; interpreted, ~20 µs/row. */
+  def cosineSeqHof(a: Column, b: Column): Column =
+    dotSeq(a, b) / (normSeq(a) * normSeq(b))
+
+  /** Cosine similarity, bit-deterministic (see object doc). Native
+    * codegen'd kernel with the identical fold order as [[cosineSeqHof]]
+    * (asserted equal in tests), ~100× faster. */
+  def cosineSeq(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosine(a, b)
+
+  /** Exact top-k neighbors for each query vector by brute force:
+    * queries × corpus cross join (the corpus side streams; the query side
+    * should be the small one — broadcast). The baseline every ANN variant
+    * is measured against. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Fixed random hyperplanes for sign-LSH (deterministic seed). */
+  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: nBits hyperplane sign bits packed into a long.
+    * Vectors with high cosine land in the same bucket with probability
+    * (1 - θ/π)^nBits. */
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column = {
+    val planes = hyperplanes(nBits, dim)
+    val dv = toDouble(v)
+    (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(dv, array(planes(b).map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine ranking within the bucket. The 100 TB scale path:
+    * the cross join becomes an equi-join on bucket id (shuffle hash join),
+    * cost proportional to Σ bucket². Recall is tunable via nBits (and, in
+    * a production variant, multi-probe over neighboring buckets). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val pairs = qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold. */
+  def embeddingDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      .crossJoin(corpus.select(col("vec_id").as("vec_b"), col("embedding").as("vb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosineSeq(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Deduplication family over `documents` / `embeddings`.
+  *
+  * dd_ngram_jaccard and dd_minhash share one oracle: the brute-force
+  * O(n²) exact-jaccard SQL. The LSH variant matches it because candidates
+  * are exact-verified and the banding miss probability at the fixture's
+  * plant similarity (j ≥ 0.89) is ~2e-14. dd_simhash has no SQL oracle
+  * (signature depends on xxhash64) — driver records rows-only.
+  */
+object DedupQueries extends QueryFamily {
+
+  private val Threshold = 0.8
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "dd_exact_stats" -> ((s, d) =>
+      Dedup.exactStats(Tables.documents(s, d)).orderBy(col("source"))),
+
+    "dd_exact_groups" -> ((s, d) =>
+      Dedup.dropExact(Tables.documents(s, d)).orderBy(col("fp"))),
+
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairsExact(Tables.documents(s, d), Threshold)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dd_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), Threshold)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dd_embedding" -> ((s, d) =>
+      Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.95)
+        .orderBy(col("vec_a"), col("vec_b"))),
+  )
+
+  /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
+    * 1-based duckdb list indexing). */
+  private val shCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE CAST([] AS VARCHAR[]) END AS sh FROM t)""".stripMargin
+
+  private val bruteForceJaccard =
+    s"""$shCte
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+       |WHERE jaccard >= $Threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: ListMap[String, String] = ListMap(
+    "dd_exact_stats" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, COUNT(*) - COUNT(DISTINCT text) AS n_dups FROM documents GROUP BY source ORDER BY source""",
+    "dd_exact_groups" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1""",
+    "dd_ngram_jaccard" -> bruteForceJaccard,
+    "dd_minhash" -> bruteForceJaccard,
+    // dd_simhash: intentionally no oracle (hash-dependent signatures)
+    "dd_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Dedup operators on a micro-corpus with planted exact and near
+  * duplicates; MinHash/SimHash sketch paths must agree with the exact
+  * jaccard baseline. */
+class DedupSpec extends GraftSparkSpec {
+
+  private def doc(words: String*): String = words.mkString(" ")
+  private val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+    "pi", "rho", "sigma", "tau", "upsilon")
+
+  private lazy val docs = {
+    val texts = Seq(
+      0L -> doc(base: _*),
+      1L -> doc(base: _*), // exact dup of 0
+      2L -> doc((base.init :+ "CHANGED"): _*), // near dup of 0 (1 token)
+      3L -> doc(base.reverse: _*), // same tokens, different order
+      4L -> doc("completely", "different", "content", "entirely", "unrelated",
+        "tokens", "nothing", "shared", "here", "at", "all", "really"),
+      5L -> doc("short", "doc"), // < 3 tokens -> empty shingles
+    )
+    spark.createDataFrame(texts.map { case (id, t) => (id, t, "src0") })
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("exact stats and groups find the planted exact duplicate") {
+    val stats = Dedup.exactStats(docs).head()
+    assert(stats.getLong(1) === 6) // n_docs
+    assert(stats.getLong(2) === 5) // n_distinct
+    assert(stats.getLong(3) === 1) // n_dups
+    val groups = Dedup.dropExact(docs).filter(col("group_size") > 1).head()
+    assert(groups.getLong(1) === 0L) // keep lowest doc_id
+    assert(groups.getLong(2) === 2L)
+  }
+
+  test("exact jaccard pairs: exact dup = 1.0, near dup high, reorder ≠ shingle match") {
+    val pairs = Dedup.jaccardPairsExact(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    // reversed doc shares tokens but (almost) no trigram shingles
+    assert(!pairs.contains((0L, 3L)))
+    assert(pairs.size === 3)
+  }
+
+  test("minhash LSH pairs == exact blocking pairs on the micro-corpus") {
+    val exact = Dedup.jaccardPairsExact(docs, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val lsh = Dedup.minhashPairs(docs, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(lsh === exact)
+  }
+
+  test("minhash signature is 128 longs, deterministic, null for empty shingles") {
+    val sig = Dedup.minhashSignature(Dedup.shingleSets(docs))
+    val rows = sig.orderBy("doc_id").collect()
+    val s0 = rows(0).getSeq[Long](1)
+    assert(s0.length === 128)
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1)) // identical docs
+    assert(rows(5).isNullAt(1)) // "short doc" has no trigrams
+    // re-evaluation is stable
+    val again = Dedup.minhashSignature(Dedup.shingleSets(docs))
+      .orderBy("doc_id").collect()(0).getSeq[Long](1)
+    assert(again === s0)
+  }
+
+  test("simhash: identical docs hamming 0, near dup small, unrelated large") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs.get((0L, 4L)).isEmpty)
+    val sigs = Dedup.simhashSignature(Dedup.shingleSets(docs))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(4L)) > 10)
+  }
+
+  test("jaccard helper matches definition on known sets") {
+    val df = spark.createDataFrame(Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Similarity operators: the native cosine kernel must be bit-identical to
+  * the declarative sequential fold (the determinism contract the DuckDB
+  * oracle relies on), and top-k must rank correctly on known vectors. */
+class SimilaritySpec extends GraftSparkSpec {
+
+  private lazy val vectors = {
+    val rnd = new scala.util.Random(123)
+    val rows = (0L until 50L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), (i % 5).toInt)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+  }
+
+  test("native cosine kernel is BIT-identical to the HOF sequential fold") {
+    val pairs = vectors.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(vectors.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+    val diff = pairs.select(
+      Similarity.cosineSeq(col("va"), col("vb")).as("native"),
+      Similarity.cosineSeqHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact equality, not tolerance
+    assert(diff.count() === 0)
+  }
+
+  test("cosine of identical and opposite vectors") {
+    val df = spark.createDataFrame(Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f)))).toDF("a", "b")
+    val out = df.select(Similarity.cosineSeq(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val planted = spark.createDataFrame(Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (101L, Array(1.0f, 0.001f, 0.0f, 0.0f), 0), // near-identical to 100
+      (102L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (103L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2))).toDF("vec_id", "embedding", "label")
+    val topk = Similarity.bruteForceTopK(planted,
+      planted.filter(col("vec_id") === 100L), 2).collect()
+    assert(topk(0).getLong(2) === 101L) // rank-1 neighbor
+    assert(topk(0).getDouble(3) > 0.999)
+  }
+
+  test("LSH top-k results are a subset of brute-force rankings' candidates" +
+    " and identical vectors always collide") {
+    val dup = spark.createDataFrame(Seq(
+      (200L, Array.fill(16)(0.5f), 0),
+      (201L, Array.fill(16)(0.5f), 0))).toDF("vec_id", "embedding", "label")
+    val all = vectors.union(dup)
+    val out = Similarity.lshTopK(all, all.filter(col("vec_id") === 200L), 1,
+      nBits = 8, dim = 16).collect()
+    assert(out.length === 1 && out(0).getLong(2) === 201L)
+  }
+
+  test("embeddingDupPairs finds only the planted duplicate pair") {
+    val dup = spark.createDataFrame(Seq(
+      (200L, Array.fill(16)(0.5f), 0),
+      (201L, Array.fill(16)(0.5f), 0))).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingDupPairs(vectors.union(dup), 0.99).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (200L, 201L))
+  }
+}
