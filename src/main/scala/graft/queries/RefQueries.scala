@@ -37,6 +37,27 @@ object RefQueries extends QueryFamily {
         .orderBy(col("service"), col("segment"))),
     "ref_observed_topics" -> ((s, d) =>
       Behavior.observedTopics(msgs(s, d)).orderBy(col("topic"))),
+
+    // T4-extension (batch form): sessionization by 30-min inactivity gap.
+    // Exact integer ns arithmetic on the raw long timestamp — engine-order
+    // independent. The streaming form is BehaviorStream.sessionCounts.
+    "ref_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 30L * 60 * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -74,5 +95,13 @@ object RefQueries extends QueryFamily {
       """SELECT event_type AS service, c_mktsegment AS segment, COUNT(*) AS cnt FROM events JOIN customer ON user_id = c_custkey WHERE event_type = 'click' GROUP BY 1, 2 ORDER BY 1, 2""",
     "ref_observed_topics" ->
       s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
+    "ref_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |m AS (SELECT user_id, event_id, tns,
+        |        CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+        |g AS (SELECT user_id, session_id, COUNT(*) AS n_ev FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events, MAX(n_ev) AS max_session_events FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.operators.Behavior
+
+/** Structured Streaming surface of the engine (SURVEY §2.8).
+  *
+  * The reference's runtime loop (`Raport.py:216-227` + `app.py:33-47`) is a
+  * 60 s cadence that re-reads the ENTIRE Kafka log from earliest each tick
+  * and recomputes all aggregates — a cumulative, all-history snapshot
+  * (T2). Incremental equivalent here: the same logical aggregation run as
+  * a streaming query with `OutputMode.Complete` and
+  * `Trigger.ProcessingTime(60s)` — Spark's state store carries the running
+  * aggregate, so each tick costs O(new data), not O(history), and the
+  * 10-s-poll truncation hazard (T5, `Raport.py:48-51`) cannot occur:
+  * offsets + checkpoint make every record count exactly once.
+  *
+  * All transforms are source-agnostic DataFrame functions: production
+  * wires [[kafkaSource]] (subscribePattern ≈ the reference's
+  * list-all-topics discovery, S2), tests wire MemoryStream. The driver's
+  * correctness gate runs on parquet, so nothing here appears in
+  * SparkEntry.queries; StreamingSpec asserts stream==batch equivalence.
+  */
+object BehaviorStream {
+
+  /** S1/S2 — Kafka subscribe-all source. `subscribePattern` re-resolves
+    * topic metadata each batch, subsuming the reference's
+    * `KafkaAdminClient.list_topics()` loop (`Raport.py:19-28`); earliest
+    * offsets + checkpointing reproduce "read full history" without the
+    * re-read. Returns the raw (topic, value, ts) shape of FIXTURES §A1. */
+  def kafkaSource(spark: SparkSession, brokers: String,
+      pattern: String = ".*"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribePattern", pattern)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("topic"), col("value").cast("string").as("value"),
+        col("timestamp").as("ts"))
+
+  /** S3 — producer fan-out sink: one wide click event → 4 per-dimension
+    * topic rows; the Kafka sink routes per-row on the `topic` column, so
+    * the reference's 4 independent sends (`serwer.js:100-118`, torn-event
+    * hazard T6) become one atomic batched write. */
+  def kafkaFanoutWriter(wideEvents: DataFrame, brokers: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    Behavior.fanoutMessages(wideEvents)
+      .selectExpr("topic", "value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("checkpointLocation", checkpoint)
+
+  /** T1/T2 — the reference's report loop: cumulative value-counts snapshot
+    * refreshed every `cadence`. Complete mode = full snapshot per tick,
+    * exactly the semantics of re-reading from earliest. State is bounded by
+    * (topic × value-domain) cardinality — fine at reference shape; for
+    * unbounded domains use [[windowedValueCounts]] (documented deviation). */
+  def cumulativeValueCounts(msgs: DataFrame, queryName: String,
+      cadence: String = "60 seconds"): DataStreamWriter[org.apache.spark.sql.Row] =
+    Behavior.valueCounts(msgs)
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .trigger(Trigger.ProcessingTime(cadence))
+
+  /** T2/T3 extension — watermarked tumbling-window value counts. The
+    * reference throws broker timestamps away (`Raport.py:62`); Spark's
+    * source exposes them, enabling bounded state + late-data handling. */
+  def windowedValueCounts(msgs: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    msgs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("topic"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T4 extension — sessionization with a dynamic gap: `session_window`
+    * merges events within `gap` into one session per user. Works in both
+    * batch and streaming (state: one open session per user). */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+}

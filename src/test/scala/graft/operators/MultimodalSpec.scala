@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+class MultimodalSpec extends GraftSparkSpec {
+
+  private lazy val media = {
+    val s = spark
+    import s.implicits._
+    Multimodal.syntheticMedia(
+      Seq((0L, "abcd"), (1L, "zzzzzzzz"), (2L, "a")).toDF("doc_id", "text"))
+  }
+
+  test("synthetic media: binary payload bytes and rotating mime") {
+    val rows = media.orderBy("doc_id").collect()
+    assert(rows(0).getAs[Array[Byte]]("bytes").toSeq === "abcd".getBytes("UTF-8").toSeq)
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("image/png", "audio/wav", "video/mp4"))
+  }
+
+  test("stub decode: deterministic byte stats through mapPartitions") {
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).n_bytes === 4)
+    assert(f(0).mean_byte === ('a' + 'b' + 'c' + 'd').toDouble / 4)
+    assert(f(0).entropy === 2.0) // 4 distinct bytes, uniform
+    assert(f(1).entropy === 0.0) // single repeated byte
+    assert(f(1).mean_byte === 'z'.toDouble)
+    // repeatable
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(again.toSeq === f.toSeq)
+  }
+
+  test("frame offsets: evenly spaced, capped, degenerate-safe") {
+    assert(Multimodal.frameOffsets(640, 64, 100) === (0 until 10).map(_ * 64))
+    assert(Multimodal.frameOffsets(640, 64, 4).length === 4)
+    assert(Multimodal.frameOffsets(10, 64, 4) === Seq(0))
+    assert(Multimodal.frameOffsets(0, 64, 4) === Seq.empty)
+  }
+}

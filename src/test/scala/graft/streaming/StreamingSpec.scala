@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+import graft.operators.Behavior
+
+/** Streaming semantics (SURVEY §2.8): the Complete-mode snapshot must equal
+  * the batch aggregate over the same prefix (T2 cumulative-snapshot law),
+  * and stay equal as more data arrives. */
+class StreamingSpec extends GraftSparkSpec {
+
+  private def wideEvent(id: Long, user: Long, tpe: String, k: Int) =
+    (id, user, tpe, s"""{"k": $k}""")
+
+  test("Complete-mode value counts == batch A1 over the same prefix, " +
+    "and update cumulatively (T2)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[(Long, Long, String, Int)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "k")
+      .withColumn("props", format_string("""{"k": %d}""", col("k")))
+    val q = BehaviorStream.cumulativeValueCounts(
+      Behavior.fanoutMessages(events), "vc_test", "0 seconds").start()
+    try {
+      val batch1 = Seq((0L, 1L, "click", 7), (1L, 1L, "view", 7), (2L, 2L, "click", 9))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val snap1 = s.sql("SELECT * FROM vc_test")
+      val batchEquiv1 = Behavior.valueCounts(Behavior.fanoutMessages(
+        batch1.toDF("event_id", "user_id", "event_type", "k")
+          .withColumn("props", format_string("""{"k": %d}""", col("k")))))
+      assert(snap1.exceptAll(batchEquiv1).count() === 0)
+      assert(batchEquiv1.exceptAll(snap1).count() === 0)
+
+      // second micro-batch: snapshot must now reflect FULL history
+      val batch2 = Seq((3L, 3L, "click", 7), (4L, 1L, "home", 1))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val snap2 = s.sql("SELECT * FROM vc_test")
+      val all = (batch1 ++ batch2).toDF("event_id", "user_id", "event_type", "k")
+        .withColumn("props", format_string("""{"k": %d}""", col("k")))
+      val batchEquiv2 = Behavior.valueCounts(Behavior.fanoutMessages(all))
+      assert(snap2.exceptAll(batchEquiv2).count() === 0)
+      assert(batchEquiv2.exceptAll(snap2).count() === 0)
+      // home never produced a topic (P2)
+      assert(snap2.filter(col("topic").startsWith("home")).count() === 0)
+    } finally q.stop()
+  }
+
+  test("windowed value counts with watermark bound state and match batch windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val msgs = input.toDF().toDF("topic", "value", "ts")
+    val q = BehaviorStream.windowedValueCounts(msgs, "10 minutes", "5 minutes")
+      .writeStream.queryName("wvc_test").outputMode("complete").format("memory").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(("click_k", "7", ts(1)), ("click_k", "7", ts(4)),
+        ("click_k", "7", ts(12)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT window.start, cnt FROM wvc_test ORDER BY 1").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getLong(1) === 2) // 10:00 window
+      assert(rows(1).getLong(1) === 1) // 10:10 window
+    } finally q.stop()
+  }
+
+  test("session_window sessionization merges events within the gap (batch mode)") {
+    val s = spark
+    import s.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // user 1: 2 sessions (gap 30m)
+      (2L, ts(0))) // user 2: 1 session
+      .toDF("user_id", "event_ts")
+    val sessions = BehaviorStream.sessionCounts(events, "30 minutes")
+      .select(col("user_id"), col("n_events")).orderBy("user_id", "n_events").collect()
+    assert(sessions.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("kafka fan-out writer shape: (topic, value) string columns (S3 contract)") {
+    val s = spark
+    import s.implicits._
+    val wide = Seq((0L, 1L, "click", """{"k": 3}""")).toDF("event_id", "user_id", "event_type", "props")
+    val out = Behavior.fanoutMessages(wide)
+    assert(out.schema.fieldNames.toSeq === Seq("topic", "value"))
+    assert(out.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+}
