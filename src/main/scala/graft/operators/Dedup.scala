@@ -42,9 +42,13 @@ object Dedup {
     docs.select(col("doc_id"), TextOps.shingles(col("text"), ShingleSize).as("sh"))
 
   /** Exact Jaccard over two distinct-element arrays. Integer sizes and one
-    * double division — bit-identical across engines. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+    * double division — bit-identical across engines. Total: two empty sets
+    * similarity is 0 (ANSI mode would otherwise throw on 0/0). */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
 
   /** Exact duplicate statistics per source (hash-groupBy dedup). */
   def exactStats(docs: DataFrame): DataFrame =

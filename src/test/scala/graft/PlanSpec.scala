@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+/** Physical-plan quality gates: these assert the *shape* of the plans the
+  * engine produces — pushdown, pruning, broadcast, partial aggregation,
+  * whole-stage codegen — because at 100 TB the plan shape IS the
+  * performance model. A regression that silently turns a broadcast join
+  * into a shuffle join or loses a parquet filter fails here, not in prod.
+  */
+class PlanSpec extends GraftSparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val df = Tables.customer(spark, sf).filter(col("c_custkey") === 42)
+      .select(col("c_custkey"), col("c_name"))
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val plan = physical(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$plan")
+  }
+
+  test("dimension enrichment is a broadcast hash join, not a shuffle join") {
+    val df = Behavior.enrichedClicks(Tables.events(spark, sf), Tables.customer(spark, sf))
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle:\n$plan")
+  }
+
+  test("A1 value counts use partial (map-side) + final hash aggregation") {
+    val df = Behavior.valueCounts(Behavior.fanoutMessages(Tables.events(spark, sf)))
+    val plan = physical(df)
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
+
+  test("behavior pipeline stays inside whole-stage codegen (no fallback ops)") {
+    val df = Behavior.clicksByService(Behavior.fanoutMessages(Tables.events(spark, sf)))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert(plan.contains("*(1)"), s"no codegen spans:\n$plan")
+    // the custom JsonGetScalar must not force a codegen fallback
+    assert(!plan.contains("CodegenFallback"), s"codegen fallback present:\n$plan")
+  }
+
+  test("semi join plans as a real left-semi, anti as left-anti") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    assert(physical(semi).contains("LeftSemi"))
+    assert(physical(anti).contains("LeftAnti"))
+  }
+
+  test("top-k order-by-limit compiles to TakeOrderedAndProject, not a global sort") {
+    val df = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-k:\n$plan")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Behavior, Dedup, TextOps}
+
+/** Property-based invariants (SURVEY §5.3) over ScalaCheck-generated
+  * micro-corpora (fixed seeds — deterministic CI). */
+class PropertySpec extends GraftSparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val eventGen = for {
+    user <- Gen.choose(0L, 5L)
+    tpe <- Gen.oneOf("click", "view", "purchase", "home")
+    k <- Gen.choose(0, 9)
+  } yield (user, tpe, k)
+
+  private val eventsGen = Gen.listOfN(40, eventGen)
+
+  private def toDf(rows: List[(Long, String, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, k), i) => (i.toLong, u, t, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "event_type", "props")
+  }
+
+  test("fan-out law: 3 messages per non-home event; clicks sum == count (A3 law)") {
+    samples(eventsGen, 8).foreach { rows =>
+      val msgs = Behavior.fanoutMessages(toDf(rows))
+      val nonHome = rows.count(_._2 != "home")
+      assert(msgs.count() === 3L * nonHome)
+      // '_clicks' values are the constant '1' => sum == count (serwer.js:117)
+      val clicks = msgs.filter(col("topic").endsWith("_clicks"))
+      assert(clicks.agg(sum(col("value").cast("long"))).head().getLong(0)
+        === clicks.count())
+    }
+  }
+
+  test("rollup law: A1 counts summed per topic == A2 totals == raw message count") {
+    samples(eventsGen, 4).foreach { rows =>
+      val msgs = Behavior.fanoutMessages(toDf(rows))
+      val a1Total = Behavior.valueCounts(msgs).agg(sum("cnt")).head().getLong(0)
+      val a2Total = Behavior.topicTotals(msgs).agg(sum("total")).head().getLong(0)
+      assert(a1Total === msgs.count())
+      assert(a2Total === msgs.count())
+    }
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    words <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+  } yield words.mkString(" ")
+
+  test("jaccard bounds and identity on shingle sets") {
+    val s = spark
+    import s.implicits._
+    samples(Gen.zip(textGen, textGen), 10).foreach { case (ta, tb) =>
+      val df = Seq((ta, tb)).toDF("a", "b")
+        .select(TextOps.shingles(col("a"), 3).as("sa"), TextOps.shingles(col("b"), 3).as("sb"))
+      val r = df.select(
+        Dedup.jaccard(col("sa"), col("sb")).as("j"),
+        Dedup.jaccard(col("sa"), col("sa")).as("self"),
+        size(col("sa")).as("na")).head()
+      val j = r.getDouble(0)
+      if (!j.isNaN) assert(j >= 0.0 && j <= 1.0)
+      if (r.getInt(2) > 0) assert(r.getDouble(1) === 1.0) // self-similarity
+    }
+  }
+}
