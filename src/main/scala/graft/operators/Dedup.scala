@@ -65,16 +65,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
 
-  /** Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking:
-    * any pair with jaccard > 0 shares a shingle, so the inverted-index
-    * self-join finds every qualifying pair (exact recall). Blocking cost is
-    * Σ_shingle df(shingle)^2 — fine for distinctive shingles, degenerate
-    * for near-universal ones; [[minhashPairs]] is the scale path. */
+  /** Exact n-gram-Jaccard near-dup pairs via the classic count-sharing
+    * set-similarity join: any pair with jaccard > 0 shares a shingle, so
+    * the inverted-index self-join finds every qualifying pair (exact
+    * recall); counting shared shingles per pair IS |A∩B| (shingle sets are
+    * distinct), so jaccard = shared / (|A|+|B|−shared) needs no per-pair
+    * array intersection and the heavy `distinct` disappears into the
+    * grouped count. Blocking cost remains Σ_shingle df(shingle)² — fine
+    * for distinctive shingles; [[minhashPairs]] is the 100 TB path. */
   def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
+    // Prefix-filtered exact set-similarity join (SSJoin/PPJoin family):
+    // order each doc's shingles by global document frequency (rarest
+    // first); a pair with jaccard ≥ t MUST share a shingle within the
+    // first n − ⌈t·n⌉ + 1 of each side (since |A∩B| ≥ ⌈t·max(na,nb)⌉),
+    // so indexing only prefixes is EXACT while shrinking the inverted
+    // index — and Σdf² of the candidate join — by ~(1−t)² on the rare
+    // (discriminative) end of the frequency spectrum.
     val sh = shingleSets(docs).cache()
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = occ.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("doc_id"),
+        slice(transform(col("os"), x => x.getField("s")), lit(1),
+          (size(col("os")) - ceil(lit(threshold) * size(col("os"))) + 1).cast("int"))
+          .as("prefix"))
+    val pinv = prefix.select(col("doc_id"), explode(col("prefix")).as("s"))
+    val cand = pinv.as("a")
+      .join(pinv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)

@@ -58,6 +58,27 @@ object RefQueries extends QueryFamily {
           max(col("n_ev")).as("max_session_events"))
         .orderBy(col("user_id"))
     }),
+
+    // Behavior funnel: view → later click → later purchase, per user,
+    // exact ns-timestamp ordering (a capability the reference's
+    // Counter-per-topic model cannot express).
+    "ref_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tc = e.filter(col("event_type") === "click")
+        .join(tv, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tc, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      // one declarative plan (1-row aggregates cross-joined), no
+      // driver-side counting
+      e.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(tv.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(tc.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_full_funnel")))
+    }),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -103,5 +124,11 @@ object RefQueries extends QueryFamily {
         |s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
         |g AS (SELECT user_id, session_id, COUNT(*) AS n_ev FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events, MAX(n_ev) AS max_session_events FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ref_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |tv AS (SELECT user_id, MIN(tns) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT e.user_id, MIN(tns) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tns > t_view GROUP BY 1),
+        |tp AS (SELECT e.user_id, MIN(tns) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tns > t_click GROUP BY 1)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users, (SELECT COUNT(*) FROM tv) AS n_viewed, (SELECT COUNT(*) FROM tc) AS n_view_click, (SELECT COUNT(*) FROM tp) AS n_full_funnel""".stripMargin,
   )
 }

@@ -162,6 +162,13 @@ object RelQueries extends QueryFamily {
         .distinct()
         .orderBy(col("nationkey"))),
 
+    // approximate distinct (HLL) next to its exact counterpart —
+    // rows-only driver check (sketch estimates are engine-specific)
+    "rel_approx_users" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
+
     // -- events: JSON + event-time (ns) -------------------------------
     // day kept as 'yyyy-MM-dd' string: DATE columns round-trip through
     // parquet/pandas with engine-specific physical types and break the
