@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for the 100 TB shapes Catalyst doesn't fully automate.
+  *
+  * - AQE already handles moderate skew (`skewJoin`) and broadcast
+  *   selection; these utilities cover the two remaining production levers:
+  *   pre-bucketed co-located joins (no shuffle at read time) and explicit
+  *   salting for pathological hot keys that exceed AQE's split factor.
+  */
+object Joins {
+
+  /** Write a table bucketed+sorted by the join key. Subsequent joins
+    * between tables bucketed the same way plan WITHOUT an Exchange on
+    * either side — the shuffle is paid once at layout time, amortized over
+    * every later join/aggregation on that key (the 100 TB fact-table
+    * pattern). Requires `saveAsTable` (bucket metadata lives in the
+    * catalog). */
+  def bucketWriter(df: DataFrame, key: String, buckets: Int): DataFrameWriter[Row] =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+
+  /** Salted equi-join for a skewed build side: explode the small side into
+    * `salt` replicas, scatter the big side's hot keys uniformly with a
+    * random-free deterministic salt (hash of a high-cardinality column),
+    * join on (key, salt). Exact same rows as the plain join; the hot key's
+    * work spreads over `salt` reducers instead of one straggler.
+    *
+    * big is salted with pmod(hash(saltBy), salt); small is replicated
+    * `salt` times. Use when one key holds >> 1/partitions of the data and
+    * AQE's skew split (which only splits the PROBE side reading) is not
+    * enough.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      saltBy: Column): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -62,6 +62,26 @@ object TextQueries extends QueryFamily {
           countDistinct(TextOps.fingerprint(col("text"))).as("distinct_fp"),
           countDistinct(TextOps.normalizedFingerprint(col("text"))).as("distinct_norm_fp"))
         .orderBy(col("source"))),
+
+    // The composed LLM-corpus-cleaning pass: exact-dedup (keep lowest
+    // doc_id per fingerprint) → quality gate → per-(source, declared lang)
+    // survivor stats. One declarative plan: fingerprint window-dedup,
+    // narrow quality features, grouped rollup.
+    "txt_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(TextOps.fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+      val n = size(TextOps.tokens(col("text")))
+      val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
+      docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // exact dedup, keep first
+        .filter(n.between(20, 100000) && meanLen.between(2.0, 12.0)) // quality gate
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(n.cast("long")).as("total_tokens"))
+        .orderBy(col("source"), col("lang"))
+    }),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -82,5 +102,11 @@ object TextQueries extends QueryFamily {
       s"""SELECT doc_id, $nToks AS n_tokens, CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks AS mean_token_len, CAST($markerCnt AS DOUBLE) / $nToks AS stopword_ratio, CAST($nToks BETWEEN 20 AND 100000 AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0 AS INT) AS is_quality FROM documents ORDER BY doc_id""",
     "txt_fingerprints" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS distinct_fp, COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS distinct_norm_fp FROM documents GROUP BY source ORDER BY source""",
+    "txt_corpus_pipeline" ->
+      s"""SELECT source, lang, COUNT(*) AS n_kept, CAST(SUM($nToks) AS BIGINT) AS total_tokens FROM (
+         |  SELECT source, lang, text, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t
+         |WHERE rn = 1 AND $nToks BETWEEN 20 AND 100000
+         |  AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
   )
 }
