@@ -140,28 +140,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** 64-bit SimHash signature over shingle hashes: bit j is the sign of
-    * Σ_shingles ±1 weighted by bit j of the shingle hash. */
-  def simhashSignature(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("hx", transform(col("sh"), s => xxhash64(s)))
-    val sig = (0 until 64).map { j =>
-      val weight = aggregate(col("hx"), lit(0L),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(weight > 0, lit(1L).cast("long") * (1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    hashed.select(col("doc_id"), sig.as("sig"))
-  }
+  /** SimHash signature over shingle hashes: bit j is the sign of
+    * Σ_shingles ±1 weighted by bit j of the shingle hash. Native one-pass
+    * kernel; `portable = true` uses the md5-based hash that DuckDB can
+    * reproduce exactly (see [[graft.functions.SimHashKernel]]), with 60
+    * signature bits. */
+  def simhashSignature(sh: DataFrame, portable: Boolean = false): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.SimHashKernel.simhashSignature(col("sh"),
+        if (portable) 60 else 64, portable).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
-    * pigeonhole blocking on 4 × 16-bit chunks — any pair within hamming 3
-    * shares at least one exact chunk, so blocking recall is exact for the
-    * hamming ball. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * pigeonhole blocking on 4 equal-width signature chunks — any pair
+    * within hamming 3 shares at least one exact chunk, so blocking recall
+    * is exact for the hamming ball. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
-    val sig = simhashSignature(shingleSets(docs)).cache()
+    val chunkBits = if (portable) 15 else 16
+    val chunkMask = (1L << chunkBits) - 1
+    val sig = simhashSignature(shingleSets(docs), portable).cache()
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))
     }
     val chunks = sig.select(col("doc_id"), explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
@@ -175,7 +176,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -35,8 +35,10 @@ object DedupQueries extends QueryFamily {
       Dedup.minhashPairs(Tables.documents(s, d), Threshold)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // portable md5-based 60-bit variant so the ENTIRE simhash pipeline —
+    // signature bits, chunk blocking, hamming filter — is oracle-checked
     "dd_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), 3)
+      Dedup.simhashPairs(Tables.documents(s, d), 3, portable = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dd_embedding" -> ((s, d) =>
@@ -58,6 +60,23 @@ object DedupQueries extends QueryFamily {
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
        |WHERE jaccard >= $Threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Programmatically-generated SQL mirror of the portable 60-bit SimHash:
+    * per-bit sign-of-weight from the md5-based hash DuckDB reproduces
+    * exactly, 4 × 15-bit chunk blocking, hamming ≤ 3. */
+  private val simhashOracle: String = {
+    val sigTerms = (0 until 60).map { j =>
+      s"(CASE WHEN list_reduce(list_transform(hl, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END), (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""$shCte,
+       |h AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hl FROM s WHERE len(sh) > 0),
+       |sg AS (SELECT doc_id, $sigTerms AS sig FROM h),
+       |cv AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS cval FROM sg, (SELECT unnest([0, 1, 2, 3]) AS c) chunks)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM cv a JOIN cv b ON a.c = b.c AND a.cval = b.cval AND a.doc_id < b.doc_id) p
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: ListMap[String, String] = ListMap(
     "dd_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, COUNT(*) - COUNT(DISTINCT text) AS n_dups FROM documents GROUP BY source ORDER BY source""",
@@ -65,7 +84,7 @@ object DedupQueries extends QueryFamily {
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1""",
     "dd_ngram_jaccard" -> bruteForceJaccard,
     "dd_minhash" -> bruteForceJaccard,
-    // dd_simhash: intentionally no oracle (hash-dependent signatures)
+    "dd_simhash" -> simhashOracle,
     "dd_embedding" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT vec_a, vec_b, cosine FROM (

@@ -75,7 +75,10 @@ class DedupSpec extends GraftSparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((0L, 1L)) === 0)
     assert(pairs.get((0L, 4L)).isEmpty)
-    val sigs = Dedup.simhashSignature(Dedup.shingleSets(docs))
+    val sigDf = Dedup.simhashSignature(Dedup.shingleSets(docs))
+    // shingle-less docs get a NULL signature (never bucket together)
+    assert(sigDf.filter(col("doc_id") === 5L).head().isNullAt(1))
+    val sigs = sigDf.filter(col("sig").isNotNull)
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(4L)) > 10)
   }
