@@ -95,6 +95,74 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the classic centroid-partitioned scale
+    * path: k-means-lite centroids over a sample, every corpus vector
+    * assigned to its nearest centroid (one narrow pass, centroids
+    * broadcast), queries probe only the `nProbe` nearest cells. At 100 TB
+    * the corpus assignment is the layout (partition/bucket by cell id);
+    * a query touches nProbe/k of the data instead of all of it.
+    * Deterministic: sample-based init + fixed Lloyd iterations, all in
+    * DataFrame ops. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int, lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // deterministic init: evenly-strided sample by vec_id rank
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCells)
+    var centroids = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+      .withColumn("cell", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cell"))) - 1))
+
+    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+      points.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosineSeq(col("embedding"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+
+    // Lloyd refinement: mean of member vectors per cell, per dimension
+    (1 to lloydIters).foreach { _ =>
+      centroids = assign(corpus, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+    }
+    val assigned = assign(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("cell"))
+
+    // queries probe their nProbe nearest cells
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosineSeq(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val pairs = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold. */
   def embeddingDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
     corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))

@@ -28,6 +28,11 @@ object SimQueries extends QueryFamily {
       Similarity.lshTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
         .orderBy(col("query_id"), col("rank"))),
 
+    "sim_topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
+        nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
     "sim_label_centroid_norm" -> ((s, d) =>
       // per-label mean-vector norm: exercises vector aggregation
       // (zip_with-free: posexplode + groupBy position)
@@ -58,7 +63,8 @@ object SimQueries extends QueryFamily {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    // sim_topk_lsh: approximate by contract — no oracle (rows-only)
+    // sim_topk_lsh / sim_topk_ivf: approximate by contract — no oracle
+    // (rows-only); recall asserted in SimilaritySpec
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (
         |  SELECT label, pos, CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros

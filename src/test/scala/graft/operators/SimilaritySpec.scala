@@ -60,6 +60,25 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(out.length === 1 && out(0).getLong(2) === 201L)
   }
 
+  test("IVF top-k achieves full recall@1 on well-separated clusters") {
+    val rnd = new scala.util.Random(99)
+    // 4 well-separated cluster directions in 16-d, 20 members each
+    val dirs = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0L until 80L).map { i =>
+      val d = dirs((i % 4).toInt)
+      val v = d.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i, v, (i % 4).toInt)
+    }
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, 1, nCells = 4, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every query's true nearest neighbor is found by the probed cells
+    assert(ivf === brute)
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
