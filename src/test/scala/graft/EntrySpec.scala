@@ -1,0 +1,25 @@
+package graft
+
+/** Driver-contract smoke (t1): entry() must return rows > 0 on sf0.001,
+  * under a session the engine did not configure (the driver's own). */
+class EntrySpec extends GraftSparkSpec {
+
+  test("SparkEntry.entry returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq === Seq("service", "clicks"))
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all 49 queries are registered with stable names") {
+    assert(SparkEntry.queries.size === 49)
+    // rows-only by design (documented): no oracle for these three
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("sim_topk_lsh", "sim_topk_ivf", "mm_features_stub",
+      "rel_approx_users"))
+  }
+}
