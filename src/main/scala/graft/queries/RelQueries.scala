@@ -123,14 +123,19 @@ object RelQueries extends QueryFamily {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     // -- windows ------------------------------------------------------
+    // top-3 per group via the bounded-heap TopKByQty Aggregator: partial
+    // aggregation reduces each map split to <= 3 entries per group BEFORE
+    // the shuffle (a window row_number would shuffle every row). Output is
+    // identical to the window formulation the oracle expresses.
     "rel_rank_lines" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      val topk = udaf(new graft.functions.TopKByQty(3))
       Tables.lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"))
+        .groupBy(col("l_returnflag"))
+        .agg(topk(col("l_quantity"), col("l_orderkey"), col("l_linenumber")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rn"),
+          col("e.orderkey").as("l_orderkey"), col("e.linenumber").as("l_linenumber"),
+          col("e.qty").as("l_quantity"))
         .orderBy(col("l_returnflag"), col("rn"))
     }),
 

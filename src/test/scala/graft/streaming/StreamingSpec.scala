@@ -86,6 +86,35 @@ class StreamingSpec extends GraftSparkSpec {
       Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("checkpoint restart: state survives a query stop/start (T5 exactly-once)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-").toString
+
+    val input = MemoryStream[(String, String)]
+    def start() = Behavior.valueCounts(input.toDF().toDF("topic", "value"))
+      .writeStream.queryName("restart_test").outputMode("complete")
+      .option("checkpointLocation", ckpt).format("memory").start()
+
+    val q1 = start()
+    input.addData(("click_k", "7"), ("click_k", "7"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint; prior counts must be retained and
+    // new data must ADD to them, not replace them
+    val q2 = start()
+    try {
+      input.addData(("click_k", "7"), ("view_k", "9"))
+      q2.processAllAvailable()
+      val counts = s.sql("SELECT * FROM restart_test").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts(("click_k", "7")) === 3) // 2 before restart + 1 after
+      assert(counts(("view_k", "9")) === 1)
+    } finally q2.stop()
+  }
+
   test("kafka fan-out writer shape: (topic, value) string columns (S3 contract)") {
     val s = spark
     import s.implicits._
