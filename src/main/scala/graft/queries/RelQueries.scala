@@ -150,6 +150,53 @@ object RelQueries extends QueryFamily {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // lag/lead analytics: ns-exact gap between consecutive orders
+    "rel_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ntile quartiles over a deterministic total order. Scale note: an
+    // unpartitioned window forces a single-reducer sort — the exact-rank
+    // capability demo; at 100 TB use approxQuantile / percentile_approx
+    // cut points plus a narrow bucketing pass instead.
+    "rel_price_quartiles" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          dollars(sum(cents(col("o_totalprice")))).as("total"))
+        .orderBy(col("quartile"))
+    }),
+
+    // scalar string-function battery (F-series capability breadth)
+    "rel_string_funcs" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).as("len"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("seg"))
+        .orderBy(col("c_custkey"))),
+
+    // date-part extraction battery
+    "rel_orders_by_month" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          dollars(sum(cents(col("o_totalprice")))).as("total"))
+        .orderBy(col("yr"), col("mo"))),
+
     // -- set operations ----------------------------------------------
     "rel_nations_both" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -213,6 +260,18 @@ object RelQueries extends QueryFamily {
       """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_quantity FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3 ORDER BY l_returnflag, rn""",
     "rel_running_total" ->
       s"""SELECT o_custkey, o_orderkey, ${dollarsSql(s"SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total FROM orders ORDER BY o_custkey, o_orderkey""",
+    "rel_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS gap_days FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date FROM orders) t
+        |WHERE prev_date IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_price_quartiles" ->
+      s"""SELECT quartile, COUNT(*) AS n, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total FROM (
+         |  SELECT o_totalprice, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile FROM orders) t
+         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "rel_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo, substring(c_name, 1, 8) AS sub, CAST(length(c_name) AS INT) AS len, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked, coalesce(c_mktsegment, 'NONE') AS seg FROM customer ORDER BY c_custkey""",
+    "rel_orders_by_month" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo, COUNT(*) AS n_orders, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     "rel_nations_both" ->
       """SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
     "rel_nations_cust_only" ->
