@@ -31,7 +31,9 @@ object JsonFast {
     if (json == null) return null
     val s = json
     val n = s.numBytes()
-    // search for  "key"  (quoted)
+    // search for  "key"  (quoted) FOLLOWED BY ':' — a string VALUE that
+    // happens to equal the key (e.g. {"a": "k", "k": 5}) fails the colon
+    // check and the scan resumes
     val k = key
     val kn = k.numBytes()
     var i = 0
@@ -39,15 +41,14 @@ object JsonFast {
     while (i < n && found < 0) {
       if (s.getByte(i) == '"' && i + kn + 1 < n && s.getByte(i + kn + 1) == '"'
         && matchesAt(s, i + 1, k, kn)) {
-        found = i + kn + 2
-      } else i += 1
+        var j = i + kn + 2
+        while (j < n && isWs(s.getByte(j))) j += 1
+        if (j < n && s.getByte(j) == ':') found = j + 1
+      }
+      if (found < 0) i += 1
     }
     if (found < 0) return null
     i = found
-    // skip whitespace, expect ':', skip whitespace
-    while (i < n && isWs(s.getByte(i))) i += 1
-    if (i >= n || s.getByte(i) != ':') return null
-    i += 1
     while (i < n && isWs(s.getByte(i))) i += 1
     if (i >= n) return null
     val c = s.getByte(i)
@@ -56,16 +57,25 @@ object JsonFast {
       var j = start
       while (j < n && s.getByte(j) != '"') j += 1
       if (j >= n) return null
-      s.substring(start, j)
+      byteSlice(s, start, j)
     } else if (c == '{' || c == '[') {
       null // non-scalar
     } else { // number / literal
       val start = i
       var j = i
       while (j < n && !isEnd(s.getByte(j))) j += 1
-      val tok = s.substring(start, j)
+      val tok = byteSlice(s, start, j)
       if (tok.toString == "null") null else tok
     }
+  }
+
+  /** Byte-offset slice. UTF8String.substring indexes CODE POINTS — byte
+    * positions from the scanner would overshoot on multibyte text. */
+  private def byteSlice(s: UTF8String, from: Int, until: Int): UTF8String = {
+    val out = new Array[Byte](until - from)
+    var i = 0
+    while (i < out.length) { out(i) = s.getByte(from + i); i += 1 }
+    UTF8String.fromBytes(out)
   }
 
   private def matchesAt(s: UTF8String, off: Int, k: UTF8String, kn: Int): Boolean = {

@@ -109,6 +109,32 @@ object RelQueries extends QueryFamily {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .limit(1)),
 
+    // dense_rank over tied aggregate values (ties make rank values
+    // deterministic even though row order within a tie is not — output
+    // keys on custkey)
+    "rel_dense_rank" -> ((s, d) => {
+      val w = Window.orderBy(col("n_orders").desc)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("rnk", dense_rank().over(w))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // explicit GROUPING SETS through the SQL front-end (spark.sql),
+    // with grouping() disambiguating NULL-as-total from NULL data
+    "rel_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |       COUNT(*) AS cnt
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
     // -- grouping sets ------------------------------------------------
     "rel_rollup_flags" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -252,6 +278,10 @@ object RelQueries extends QueryFamily {
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""",
     "rel_point_lookup" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42 LIMIT 1""",
+    "rel_dense_rank" ->
+      """SELECT o_custkey, n_orders, CAST(DENSE_RANK() OVER (ORDER BY n_orders DESC) AS INT) AS rnk FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) t ORDER BY o_custkey""",
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "rel_rollup_flags" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("l_quantity")})")} AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "rel_cube_flags" ->

@@ -63,6 +63,26 @@ object TextQueries extends QueryFamily {
           countDistinct(TextOps.normalizedFingerprint(col("text"))).as("distinct_norm_fp"))
         .orderBy(col("source"))),
 
+    // tf-idf-shaped term ranking with an integer sort key (tf desc, df
+    // asc, term) — floating idf products rank-flip across engines on
+    // ties, integer keys cannot
+    "txt_top_terms_per_doc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, d)
+        .filter(col("doc_id") < 100) // bounded output; full corpus at scale
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df_, Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // The composed LLM-corpus-cleaning pass: exact-dedup (keep lowest
     // doc_id per fingerprint) → quality gate → per-(source, declared lang)
     // survivor stats. One declarative plan: fingerprint window-dedup,
@@ -102,6 +122,14 @@ object TextQueries extends QueryFamily {
       s"""SELECT doc_id, $nToks AS n_tokens, CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks AS mean_token_len, CAST($markerCnt AS DOUBLE) / $nToks AS stopword_ratio, CAST($nToks BETWEEN 20 AND 100000 AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0 AS INT) AS is_quality FROM documents ORDER BY doc_id""",
     "txt_fingerprints" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS distinct_fp, COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS distinct_norm_fp FROM documents GROUP BY source ORDER BY source""",
+    "txt_top_terms_per_doc" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id < 100) u GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (term)) r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "txt_corpus_pipeline" ->
       s"""SELECT source, lang, COUNT(*) AS n_kept, CAST(SUM($nToks) AS BIGINT) AS total_tokens FROM (
          |  SELECT source, lang, text, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t

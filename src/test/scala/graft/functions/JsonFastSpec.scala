@@ -31,6 +31,15 @@ class JsonFastSpec extends GraftSparkSpec {
     assert(run("""{"k": [1,2]}""", "k") === null)
   }
 
+  test("adversarial inputs: key-as-substring, empty, unicode, malformed") {
+    // "k" must match the quoted key only, not a substring of another key
+    assert(run("""{"kk": 1, "k": 2}""", "k") === "2")
+    assert(run("", "k") === null)
+    assert(run("not json at all", "k") === null)
+    assert(run("""{"k": "zażółć"}""", "k") === "zażółć")
+    assert(run("""{"a": "k", "k": 5}""", "k") === "5")
+  }
+
   test("null input -> null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
