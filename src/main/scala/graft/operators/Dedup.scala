@@ -110,13 +110,20 @@ object Dedup {
     * (band, band-signature); bucket sizes track true duplicate-cluster
     * sizes, so the self-join stays near-linear at 100 TB (AQE splits any
     * skewed bucket). P(candidate | j) = 1-(1-j^4)^32 — ≥ 1-2e-14 at j≥0.89. */
-  def minhashCandidates(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bsig) LSH band table from a signature frame — the
+    * shuffle/bucket key of every minhash join, and the unit a historical
+    * corpus index persists (see streaming.StreamingDedup). */
+  def bandTable(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bsig"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandTable(sig)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&

@@ -109,6 +109,27 @@ object RelQueries extends QueryFamily {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .limit(1)),
 
+    // correlated scalar subquery through the SQL front-end; the predicate
+    // compares exact integer cents (cents*count > sum_cents ⇔ bal > avg)
+    // so no engine's float-avg summation order can flip a boundary row
+    "rel_above_nation_avg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_sq c
+          |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+          |      (SELECT COUNT(*) FROM customer_sq c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer_sq c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // approximate quantiles — the documented scale path for
+    // rel_price_quartiles (sketch values are engine-specific: rows-only)
+    "rel_approx_quantiles" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("quartile_cuts"),
+        count(lit(1)).as("n"))),
+
     // dense_rank over tied aggregate values (ties make rank values
     // deterministic even though row order within a tie is not — output
     // keys on custkey)
@@ -278,6 +299,13 @@ object RelQueries extends QueryFamily {
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""",
     "rel_point_lookup" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42 LIMIT 1""",
+    "rel_above_nation_avg" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    // rel_approx_quantiles: rows-only (sketch)
     "rel_dense_rank" ->
       """SELECT o_custkey, n_orders, CAST(DENSE_RANK() OVER (ORDER BY n_orders DESC) AS INT) AS rnk FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) t ORDER BY o_custkey""",
     "rel_grouping_sets" ->

@@ -15,11 +15,11 @@ class EntrySpec extends GraftSparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("all 56 queries are registered with stable names") {
-    assert(SparkEntry.queries.size === 56)
+  test("all 58 queries are registered with stable names") {
+    assert(SparkEntry.queries.size === 58)
     // rows-only by design (documented): no oracle for these three
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("sim_topk_lsh", "sim_topk_ivf", "mm_features_stub",
-      "rel_approx_users"))
+      "rel_approx_users", "rel_approx_quantiles"))
   }
 }
