@@ -109,6 +109,42 @@ object RelQueries extends QueryFamily {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .limit(1)),
 
+    // as-of join composed from built-ins (SURVEY §7.4 preference (a)):
+    // for each click event, the user's most recent order at event time —
+    // equi-join on the key, temporal filter, row_number latest-first.
+    // At scale the window runs per (event) group after a key-partitioned
+    // join; a dedicated SparkPlan would only remove the row_number pass.
+    "rel_asof_last_order" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(ords, col("user_id") === col("o_custkey"))
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast
+        // is the identity epoch mapping (matches DuckDB epoch_ns)
+        .filter(unix_micros(col("o_orderdate").cast("timestamp")) * 1000 <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range (band) join: price histogram over explicit [lo, hi) bands
+    "rel_price_bands" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0),
+        (3, 1500.0, 100000.0))).toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          dollars(sum(cents(col("p_retailprice")))).as("total_price"))
+        .orderBy(col("band"))
+    }),
+
     // correlated scalar subquery through the SQL front-end; the predicate
     // compares exact integer cents (cents*count > sum_cents ⇔ bal > avg)
     // so no engine's float-avg summation order can flip a boundary row
@@ -299,6 +335,19 @@ object RelQueries extends QueryFamily {
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1""",
     "rel_point_lookup" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42 LIMIT 1""",
+    "rel_asof_last_order" ->
+      """SELECT event_id, user_id, last_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'purchase') e
+        |  JOIN orders o ON e.user_id = o.o_custkey
+        |  WHERE epoch_ns(o.o_orderdate) <= e.tns) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "rel_price_bands" ->
+      s"""SELECT band, COUNT(*) AS n_parts, ${dollarsSql(s"SUM(${centsSql("p_retailprice")})")} AS total_price
+         |FROM part JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0), (3, 1500.0, 100000.0)) AS b(band, lo, hi)
+         |  ON p_retailprice >= CAST(lo AS DOUBLE) AND p_retailprice < CAST(hi AS DOUBLE)
+         |GROUP BY band ORDER BY band""".stripMargin,
     "rel_above_nation_avg" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
