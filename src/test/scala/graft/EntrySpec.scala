@@ -17,7 +17,7 @@ class EntrySpec extends GraftSparkSpec {
 
   test("all 60 queries are registered with stable names") {
     assert(SparkEntry.queries.size === 60)
-    // rows-only by design (documented): no oracle for these three
+    // rows-only by design (documented): no oracle for these five
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("sim_topk_lsh", "sim_topk_ivf", "mm_features_stub",
       "rel_approx_users", "rel_approx_quantiles"))
