@@ -32,7 +32,9 @@ object Engine {
     Tables.all.filter { t =>
       new java.io.File(s"$dir/$t.parquet").exists()
     }.map { t =>
-      Tables(spark, dir, t).createOrReplaceTempView(t)
+      // events must go through Tables.events (TIMESTAMP(NANOS) handling)
+      val df = if (t == "events") Tables.events(spark, dir) else Tables(spark, dir, t)
+      df.createOrReplaceTempView(t)
       t
     }
   }

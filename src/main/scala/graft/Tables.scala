@@ -23,10 +23,15 @@ object Tables {
     apply(spark, dir, "events")
   }
 
-  /** ns-since-epoch long → TimestampType (µs precision). */
-  def eventTime(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** ns-since-epoch long → TimestampType (µs precision). Integral
+    * division: Column `/` divides in DOUBLE, whose 2^53 mantissa cannot
+    * represent ~1.7e18 ns exactly (±1 µs error on a few percent of rows). */
+  def eventTime(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
     org.apache.spark.sql.functions.timestamp_micros(
-      (ns / 1000L).cast("long"))
+      Bridge.column(IntegralDivide(Bridge.expression(ns), Literal(1000L))))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

@@ -9,19 +9,29 @@ import org.apache.spark.sql.graftbridge.Bridge
 object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "json_get", {
-      case Seq(json, key) =>
-        val k = key match {
-          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-            l.value.toString
-          case other =>
-            throw new IllegalArgumentException(
-              s"json_get key must be a string literal, got $other")
-        }
-        JsonGetScalar(json, k)
+    Bridge.registerFunction(spark, "json_get", { args =>
+      args match {
+        case Seq(json, key) =>
+          key match {
+            case l: org.apache.spark.sql.catalyst.expressions.Literal
+                if l.value != null =>
+              JsonGetScalar(json, l.value.toString)
+            case other =>
+              throw new IllegalArgumentException(
+                s"json_get key must be a non-null string literal, got $other")
+          }
+        case _ =>
+          throw new IllegalArgumentException(
+            s"json_get expects (json, key), got ${args.length} argument(s)")
+      }
     })
-    Bridge.registerFunction(spark, "cosine", {
-      case Seq(a, b) => CosineSimilarity(a, b)
+    Bridge.registerFunction(spark, "cosine", { args =>
+      args match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"cosine expects (array, array), got ${args.length} argument(s)")
+      }
     })
   }
 }

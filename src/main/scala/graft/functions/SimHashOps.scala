@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 object SimHashKernel {
 
-  /** 60-bit portable hash: big-endian u64 of md5 bytes 0..7, >>> 4. */
-  def md5Hash60(bytes: Array[Byte]): Long = {
-    val md = MessageDigest.getInstance("MD5")
+  /** 60-bit portable hash: big-endian u64 of md5 bytes 0..7, >>> 4.
+    * `digest()` resets the instance, so one MessageDigest serves a whole
+    * signature (not one allocation per shingle). */
+  def md5Hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
     val d = md.digest(bytes)
     var v = 0L
     var j = 0
@@ -33,12 +34,13 @@ object SimHashKernel {
   def signature(sh: ArrayData, bits: Int, useMd5: Boolean): Any = {
     val n = sh.numElements()
     if (n == 0) return null
+    val md = if (useMd5) MessageDigest.getInstance("MD5") else null
     val w = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val s = sh.getUTF8String(i)
       val h =
-        if (useMd5) md5Hash60(s.getBytes)
+        if (useMd5) md5Hash60(md, s.getBytes)
         else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
       while (j < bits) {

@@ -49,18 +49,28 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Sequential-fold dot product against a constant plane (LSH). */
-  def dotPlaneFloat(a: ArrayData, plane: Array[Double]): Double = {
-    val av = a.toFloatArray()
-    val n = math.min(av.length, plane.length)
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += av(i).toDouble * plane(i); i += 1 }
-    dot
+  /** Sign-LSH bucket bits in one pass: bit b set iff v · plane_b > 0. */
+  def lshBits(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val av = v.toFloatArray()
+    var bits = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(av.length, p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += av(i).toDouble * p(i); i += 1 }
+      if (dot > 0) bits |= 1L << b
+      b += 1
+    }
+    bits
   }
 
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def lsh_bucket(v: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(LshBucketBits(Bridge.expression(v), planes))
 }
 
 /** `cosine(array<float|double>, array<float|double>) -> double`, full
@@ -104,4 +114,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket(array<float>) -> long`: all hyperplane sign bits in one
+  * codegen'd pass (the declarative form pays nBits interpreted
+  * higher-order-function folds per row). */
+case class LshBucketBits(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBits(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.lshBits($c, $planesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -81,7 +81,7 @@ object Dedup {
     // so indexing only prefixes is EXACT while shrinking the inverted
     // index — and Σdf² of the candidate join — by ~(1−t)² on the rare
     // (discriminative) end of the frequency spectrum.
-    val sh = shingleSets(docs).cache()
+    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = occ.join(freq, Seq("s"))
@@ -135,7 +135,7 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, exact-verified: sketch recall, exact
     * precision. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs).cache()
+    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
     verifyPairs(minhashCandidates(minhashSignature(sh)), sh, threshold)
   }
 
@@ -166,7 +166,7 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
     val chunkBits = if (portable) 15 else 16
     val chunkMask = (1L << chunkBits) - 1
-    val sig = simhashSignature(shingleSets(docs), portable).cache()
+    val sig = simhashSignature(shingleSets(docs), portable).cache() // 3 consumers (chunks + 2 verify joins)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))

@@ -60,19 +60,12 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: nBits hyperplane sign bits packed into a long.
+  /** Sign-LSH bucket id: nBits hyperplane sign bits packed into a long
+    * via the one-pass native kernel ([[graft.functions.LshBucketBits]]).
     * Vectors with high cosine land in the same bucket with probability
     * (1 - θ/π)^nBits. */
-  def lshBucket(v: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
-    val dv = toDouble(v)
-    (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(dv, array(planes(b).map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L) * (1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column =
+    graft.functions.VectorKernels.lsh_bucket(v, hyperplanes(nBits, dim))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine ranking within the bucket. The 100 TB scale path:

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
@@ -8,42 +9,63 @@ import graft.operators.Behavior
 
 /** The engine's replacement for the reference's report sink (S8,
   * `Raport.py:101-213`): instead of matplotlib pies + a PDF guarded by a
-  * psutil file-open scan (S9), each report tick materializes the
-  * aggregated tables atomically as parquet under `outDir/batch=<id>/`.
-  * Parquet directory writes are atomic-rename; re-run batches overwrite
+  * psutil file-open scan (S9), each report tick materializes the report
+  * tables atomically as parquet under `outDir/batch=<id>/`. Parquet
+  * directory writes are atomic-rename; re-run batches overwrite
   * idempotently — the S9 concurrency guard is unnecessary by construction.
   *
-  * The per-batch work derives every report table (A1 value counts,
-  * A3 clicks-per-service + F6 shares, A5 breakdown) from ONE cached
-  * snapshot of the micro-batch — mirroring `save_plots_to_pdf`'s
-  * derivations without re-reading history (T2 incremental). */
+  * Reference parity (T2): the stream is the A1 aggregation run in
+  * COMPLETE mode, so foreachBatch receives the full CUMULATIVE
+  * (topic, value, cnt) snapshot every tick — exactly what the reference
+  * recomputes by re-reading Kafka from earliest — and every other report
+  * table (clicks-per-service + shares, dim breakdown) derives from that
+  * snapshot by re-grouping its already-tiny rows (`Raport.py:144-201`
+  * does the same from its Counter dict). */
 object ReportSink {
 
-  /** Tables derived per report tick. */
-  def reportTables(msgs: DataFrame): Map[String, DataFrame] = Map(
-    "value_counts" -> Behavior.valueCounts(msgs),
-    "clicks_by_service" -> Behavior.pctShare(msgs),
-    "dim_breakdown" -> Behavior.dimBreakdown(msgs))
+  /** Report tables derived from a cumulative A1 snapshot
+    * (topic, value, cnt). */
+  def reportTables(valueCounts: DataFrame): Map[String, DataFrame] = {
+    val clicks = valueCounts
+      .filter(col("topic").endsWith("_clicks"))
+      .groupBy(Behavior.serviceOf(col("topic")).as("service"))
+      .agg(sum(col("cnt")).as("clicks"))
+      .withColumn("pct",
+        (lit(100) * col("clicks")).cast("double") /
+          sum(col("clicks")).over(Window.partitionBy()).cast("double"))
+    val breakdown = valueCounts
+      .select(Behavior.serviceOf(col("topic")).as("service"),
+        Behavior.dimOf(col("topic")).as("dim"), col("value"), col("cnt"))
+      .filter(col("service") =!= "home" && col("dim") =!= "clicks")
+      .groupBy(col("service"), col("dim"), col("value"))
+      .agg(sum(col("cnt")).as("cnt"))
+    Map(
+      "value_counts" -> valueCounts,
+      "clicks_by_service" -> clicks,
+      "dim_breakdown" -> breakdown)
+  }
 
-  /** Wire a streaming message frame to a 60 s cadence report writer. */
+  /** Wire a streaming message frame to a 60 s cadence report writer:
+    * Complete-mode A1 aggregation → per-tick cumulative report dump. */
   def writer(msgs: DataFrame, outDir: String, checkpoint: String,
       cadence: String = "60 seconds"): DataStreamWriter[Row] =
-    msgs.writeStream
-      .outputMode(OutputMode.Append())
+    Behavior.valueCounts(msgs).writeStream
+      .outputMode(OutputMode.Complete())
       .trigger(Trigger.ProcessingTime(cadence))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeReport(batch, outDir, batchId)
+      .foreachBatch { (snapshot: DataFrame, batchId: Long) =>
+        writeReport(snapshot, outDir, batchId)
       }
 
-  /** One report tick: derive and write all tables for this batch. */
-  def writeReport(msgs: DataFrame, outDir: String, batchId: Long): Unit = {
-    msgs.persist()
+  /** One report tick: derive and write all tables from the cumulative
+    * snapshot. */
+  def writeReport(valueCounts: DataFrame, outDir: String, batchId: Long): Unit = {
+    valueCounts.persist()
     try {
-      reportTables(msgs).foreach { case (name, df) =>
+      reportTables(valueCounts).foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId/$name")
       }
-    } finally msgs.unpersist()
+    } finally valueCounts.unpersist()
   }
 }

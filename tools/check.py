@@ -25,8 +25,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell(v):
-    if isinstance(v, float):
-        return repr(v)
     return repr(v)
 
 
