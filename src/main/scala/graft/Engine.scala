@@ -19,6 +19,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 10 MB default is tuned for small heaps; with 100+ GiB executors a
+      // 64 MB build side is still a cheap broadcast and keeps dimension /
+      // shingle-set sides off the shuffle (AQE demotes anything bigger).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

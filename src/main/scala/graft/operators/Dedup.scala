@@ -70,30 +70,82 @@ object Dedup {
     * the inverted-index self-join finds every qualifying pair (exact
     * recall); counting shared shingles per pair IS |A∩B| (shingle sets are
     * distinct), so jaccard = shared / (|A|+|B|−shared) needs no per-pair
-    * array intersection and the heavy `distinct` disappears into the
-    * grouped count. Blocking cost remains Σ_shingle df(shingle)² — fine
-    * for distinctive shingles; [[minhashPairs]] is the 100 TB path. */
+    * array intersection at all — the whole operator is two hash
+    * aggregations and one equi-join on scalar columns, fully inside
+    * whole-stage codegen. A size-compatibility filter (jaccard ≥ t ⇒
+    * t·|A| ≤ |B| ≤ |A|/t) prunes co-occurrence rows before the grouped
+    * count.
+    *
+    * Cost is Σ_shingle df(shingle)² — exact and near-linear while document
+    * frequencies are bounded (distinctive shingles), quadratic on
+    * heavy-tail corpora with near-universal shingles: there use
+    * [[ppjoinPairs]] (prefix+position filtered, still exact) or
+    * [[minhashPairs]] (the 100 TB sketch path). */
   def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
-    // Prefix-filtered exact set-similarity join (SSJoin/PPJoin family):
-    // order each doc's shingles by global document frequency (rarest
-    // first); a pair with jaccard ≥ t MUST share a shingle within the
-    // first n − ⌈t·n⌉ + 1 of each side (since |A∩B| ≥ ⌈t·max(na,nb)⌉),
-    // so indexing only prefixes is EXACT while shrinking the inverted
-    // index — and Σdf² of the candidate join — by ~(1−t)² on the rare
-    // (discriminative) end of the frequency spectrum.
-    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
+    require(threshold > 0, "count-sharing join requires a positive threshold")
+    val sh = shingleSets(docs)
+    // cache() is LOAD-BEARING: the self-join scans occ twice, and without
+    // it Catalyst pushes inferred not-null join-key filters below the
+    // Generate, re-evaluating the full shingle transform ~3x per row per
+    // side (measured ~8x slower end-to-end).
+    val occ = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .cache()
+    // 1e-9 slack keeps the double-arithmetic bound conservative (never
+    // drops a boundary pair; at worst admits one extra candidate row).
+    occ.as("a")
+      .join(occ.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram-Jaccard pairs via a PPJoin-style prefix-filtered
+    * set-similarity self-join — the exact path for heavy-tail corpora
+    * where [[jaccardPairsExact]]'s Σdf² blows up on near-universal
+    * shingles.
+    *
+    * Each doc's shingles are ordered rarest-first by global document
+    * frequency; a pair with jaccard ≥ t MUST share a shingle within the
+    * first n − ⌈t·n⌉ + 1 of each side (prefix filter, since |A∩B| ≥
+    * ⌈t·max(na,nb)⌉), so only prefixes are indexed — Σdf² shrinks by
+    * ~(1−t)² and, crucially, on the RARE end of the frequency spectrum.
+    * Candidates are further pruned by the length filter (t·na ≤ nb ≤ na/t)
+    * and the PPJoin position filter: at the first shared prefix position
+    * (pa, pb; 0-based in the df-ordered arrays) no earlier element is
+    * shared, so |A∩B| ≤ min(na−pa, nb−pb); qualifying pairs need
+    * |A∩B| ≥ ⌈t/(1+t)·(na+nb)⌉. Keeping a pair when ANY shared occurrence
+    * passes is a superset of first-match-passes, so recall stays exact.
+    * Survivors are verified with the exact array jaccard (the shingle-set
+    * side stays broadcast-eligible; at corpus scale AQE demotes it to a
+    * shuffle join keyed on doc_id). */
+  def ppjoinPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, "prefix filter needs 0 < t < 1")
+    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling per consumer measured 3-8x slower
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = occ.join(freq, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("os")).as("n"),
         slice(transform(col("os"), x => x.getField("s")), lit(1),
           (size(col("os")) - ceil(lit(threshold) * size(col("os"))) + 1).cast("int"))
           .as("prefix"))
-    val pinv = prefix.select(col("doc_id"), explode(col("prefix")).as("s"))
+    val pinv = prefix.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "s")))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = pinv.as("a")
-      .join(pinv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(pinv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)

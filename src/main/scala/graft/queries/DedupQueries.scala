@@ -10,11 +10,12 @@ import graft.operators.{Dedup, Similarity}
 
 /** Deduplication family over `documents` / `embeddings`.
   *
-  * dd_ngram_jaccard and dd_minhash share one oracle: the brute-force
-  * O(n²) exact-jaccard SQL. The LSH variant matches it because candidates
-  * are exact-verified and the banding miss probability at the fixture's
-  * plant similarity (j ≥ 0.89) is ~2e-14. dd_simhash has no SQL oracle
-  * (signature depends on xxhash64) — driver records rows-only.
+  * dd_ngram_jaccard (count-sharing join), dd_ppjoin (prefix+position
+  * filtered) and dd_minhash share one oracle: the brute-force O(n²)
+  * exact-jaccard SQL. The first two are exact by construction; the LSH
+  * variant matches because candidates are exact-verified and the banding
+  * miss probability at the fixture's plant similarity (j ≥ 0.89) is
+  * ~2e-14.
   */
 object DedupQueries extends QueryFamily {
 
@@ -29,6 +30,10 @@ object DedupQueries extends QueryFamily {
 
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairsExact(Tables.documents(s, d), Threshold)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dd_ppjoin" -> ((s, d) =>
+      Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dd_minhash" -> ((s, d) =>
@@ -83,6 +88,7 @@ object DedupQueries extends QueryFamily {
     "dd_exact_groups" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1""",
     "dd_ngram_jaccard" -> bruteForceJaccard,
+    "dd_ppjoin" -> bruteForceJaccard,
     "dd_minhash" -> bruteForceJaccard,
     "dd_simhash" -> simhashOracle,
     "dd_embedding" ->

@@ -160,11 +160,17 @@ object RelQueries extends QueryFamily {
 
     // approximate quantiles — the documented scale path for
     // rel_price_quartiles (sketch values are engine-specific: rows-only)
+    // Scalar-only output shape (one row per quartile cut): downstream
+    // tooling (and the driver's pandas compare) can sort/hash it, which an
+    // array<double> cell cannot.
     "rel_approx_quantiles" -> ((s, d) =>
       Tables.orders(s, d).agg(
         percentile_approx(col("o_totalprice"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("quartile_cuts"),
-        count(lit(1)).as("n"))),
+        count(lit(1)).as("n"))
+        .select(posexplode(col("quartile_cuts")).as(Seq("q_idx", "cut")), col("n"))
+        .select((col("q_idx") + 1).cast("int").as("quartile"), col("cut"), col("n"))
+        .orderBy(col("quartile"))),
 
     // dense_rank over tied aggregate values (ties make rank values
     // deterministic even though row order within a tie is not — output

@@ -49,6 +49,16 @@ class DedupSpec extends GraftSparkSpec {
     assert(pairs.size === 3)
   }
 
+  test("ppjoin pairs == count-sharing exact pairs across thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val exact = Dedup.jaccardPairsExact(docs, t)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val pp = Dedup.ppjoinPairs(docs, t)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(pp === exact, s"threshold $t")
+    }
+  }
+
   test("minhash LSH pairs == exact blocking pairs on the micro-corpus") {
     val exact = Dedup.jaccardPairsExact(docs, 0.5)
       .orderBy("doc_a", "doc_b").collect().toSeq
