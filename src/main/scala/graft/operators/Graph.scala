@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup pipelines.
+  *
+  * Near-duplicate detection ([[Dedup]]) emits PAIRS; a corpus clean pass
+  * needs CLUSTERS — "keep one document per group of transitively-connected
+  * near-dups". That transitive closure is connected components over the
+  * dup-pair edge list, the standard final stage of every large-scale
+  * dedup pipeline (the reference has no analog; this is north-star
+  * surface).
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * `edges` is an undirected edge list with two long columns (src, dst by
+    * position). Returns (id, cc) with cc = the minimum vertex id reachable
+    * from id — a canonical, deterministic cluster label (so downstream
+    * "keep doc_id == cc" is the keep-lowest rule).
+    *
+    * Each round every vertex takes the min label over itself and its
+    * neighbors; rounds needed = graph diameter, and near-dup clusters are
+    * low-diameter by construction (they are dense similarity
+    * neighborhoods), so 3-5 rounds converge in practice. Per round: one
+    * shuffle join edges⋈labels (keyed on vertex id) + one aggregation —
+    * both scale-out friendly; `localCheckpoint` truncates the iterative
+    * lineage so plans don't grow with rounds. For adversarial
+    * high-diameter graphs the alternating large-star/small-star algorithm
+    * (Kiveris et al., MapReduce CC) gets O(log n) rounds with the same
+    * per-round shuffle shape; dup graphs never need it.
+    *
+    * Termination: converged when no label changed (distributed count,
+    * checked per round), capped at `maxIter`. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, "edge list needs (src, dst) columns")
+    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    // symmetrize once; both directions make "min over in-neighbors" equal
+    // to "min over all neighbors"
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cc"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cc")).as("nbr_cc"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("cc").as("cc_new"))
+        .join(labels, Seq("id"))
+        .filter(col("cc_new") =!= col("cc"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dup-pair clustering: near-dup pairs → (doc_id, cc) cluster labels
+    * with cluster sizes. Docs not in any pair are not listed (they are
+    * their own singleton cluster by definition). */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cc")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cc"))
+      .select(col("id").as("doc_id"), col("cc"), col("cluster_size"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for dataset curation.
+  *
+  * `df.sample()` / `sampleBy()` draw from a seeded RNG whose stream
+  * depends on partitioning — results change under repartition/AQE and
+  * can't be reproduced by another engine. Curation pipelines want
+  * CONTENT-KEYED sampling instead: a row's membership is a pure function
+  * of its key, so samples are stable across runs, engines, cluster sizes,
+  * and incremental re-ingests (a re-processed shard selects the same
+  * rows). The price is that correlated keys sample together — the hash
+  * decorrelates them.
+  *
+  * Membership hash: top-60-bits-of-md5 of the key string — the same
+  * portable construction as [[graft.functions.SimHashKernel]]'s portable
+  * mode (`('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB). Uniform over
+  * [0, 2^60); per-mille buckets via mod 1000.
+  */
+object Sampling {
+
+  /** Portable 60-bit md5 hash of a key column (non-negative). */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+  /** SQL mirror of [[hash60]] for DuckDB. */
+  def hash60Sql(expr: String): String =
+    s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** Keep ~`permille`/1000 of rows, keyed by `key`. */
+  def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.filter(hash60(key) % 1000 < permille)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates in permille.
+    * Strata not in `rates` are dropped (mirrors `sampleBy`). The rate
+    * lookup compiles to a when-chain — no join, no shuffle; the filter
+    * sits directly on the scan. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Int]): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    val rate = rates.foldLeft(lit(-1)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hash60(key) % 1000 < rate)
+  }
+
+  /** Deterministic k-sample: the k rows with the smallest key hash — a
+    * reproducible "random" subset with an exact size. Executes as a
+    * TakeOrdered (per-partition top-k + driver merge), never a full
+    * sort. */
+  def hashTopK(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.withColumn("sample_h", hash60(key)).orderBy(col("sample_h")).limit(k)
+}

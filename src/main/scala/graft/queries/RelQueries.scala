@@ -320,6 +320,27 @@ object RelQueries extends QueryFamily {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
+
+    // -- deterministic sampling ---------------------------------------
+    // content-keyed stratified sample (portable md5 hash; rates per
+    // order-status stratum), verified by per-stratum aggregates
+    "rel_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(Tables.orders(s, d),
+        col("o_orderstatus"), col("o_orderkey"),
+        Map("O" -> 50, "F" -> 100, "P" -> 200))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dollars(sum(cents(col("o_totalprice")))).as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))),
+
+    // exact-size deterministic k-sample: 20 smallest key hashes
+    "rel_hash_sample" -> ((s, d) =>
+      graft.operators.Sampling.hashTopK(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey"), 20)
+        .orderBy(col("sample_h"), col("o_orderkey"))),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -393,5 +414,16 @@ object RelQueries extends QueryFamily {
       """SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey""",
     "rel_daily_events" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_stratified_sample" -> {
+      val h = graft.operators.Sampling.hash60Sql("o_orderkey")
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE $h % 1000 < CASE o_orderstatus WHEN 'O' THEN 50 WHEN 'F' THEN 100 WHEN 'P' THEN 200 ELSE -1 END
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+    "rel_hash_sample" -> {
+      val h = graft.operators.Sampling.hash60Sql("o_orderkey")
+      s"""SELECT o_orderkey, o_custkey, $h AS sample_h FROM orders ORDER BY sample_h, o_orderkey LIMIT 20"""
+    },
   )
 }

@@ -102,6 +102,44 @@ object TextQueries extends QueryFamily {
           sum(n.cast("long")).as("total_tokens"))
         .orderBy(col("source"), col("lang"))
     }),
+
+    // true TF-IDF top-3 per doc; cross-engine determinism via the exact
+    // integer rational-idf score (ln is not bit-portable — see
+    // TextOps.tfIdf scaladoc); df/n_docs computed on the FULL corpus,
+    // output bounded to doc_id < 100
+    "txt_tfidf" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_scaled").desc, col("term"))
+      TextOps.tfIdf(docs(s, d))
+        .filter(col("doc_id") < 100)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          col("n_docs"), col("tfidf_scaled"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // RAG/pretraining document splitter: 32-token windows, 8-token overlap
+    "txt_chunks" -> ((s, d) =>
+      TextOps.chunkTokens(docs(s, d).filter(col("doc_id") < 50), 32, 8)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // PII scrub proof: plant synthetic email/URL/long-number tokens per
+    // doc (same construction both engines), scrub, verify the redacted
+    // text round-trips identically
+    "txt_scrub" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://ex.com/d/"), col("doc_id"),
+            lit(" ref 99900"), col("doc_id") + 10000).as("dirty"))
+        .select(col("doc_id"), md5(col("dirty")).as("dirty_fp"),
+          md5(TextOps.scrubPii(col("dirty"))).as("clean_fp"),
+          (length(col("dirty")) - length(TextOps.scrubPii(col("dirty"))))
+            .as("removed_chars"))
+        .orderBy(col("doc_id"))),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -136,5 +174,25 @@ object TextQueries extends QueryFamily {
          |WHERE rn = 1 AND $nToks BETWEEN 20 AND 100000
          |  AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0
          |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "txt_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |j AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, n.n_docs, tf.tf * ((n.n_docs * 1000000) // dfq.df) AS tfidf_scaled
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n WHERE tf.doc_id < 100),
+        |r AS (SELECT j.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_scaled DESC, term) AS INT) AS rnk FROM j)
+        |SELECT doc_id, rnk, term, tf, df, n_docs, tfidf_scaled FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "txt_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS i FROM t),
+        |d AS (SELECT doc_id, CAST(i // 24 AS INT) AS chunk_id, CAST(i AS INT) AS start_tok, toks[(i + 1):(i + 32)] AS chunk FROM c)
+        |SELECT doc_id, chunk_id, start_tok, CAST(len(chunk) AS INT) AS n_tokens, md5(array_to_string(chunk, ' ')) AS chunk_fp FROM d ORDER BY doc_id, chunk_id""".stripMargin,
+    "txt_scrub" ->
+      """WITH d AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or https://ex.com/d/' || doc_id || ' ref 99900' || (doc_id + 10000) AS dirty FROM documents),
+        |s AS (SELECT doc_id, dirty, regexp_replace(regexp_replace(regexp_replace(dirty,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ ]+', '<URL>', 'g'),
+        |        '[0-9]{7,}', '<NUM>', 'g') AS clean FROM d)
+        |SELECT doc_id, md5(dirty) AS dirty_fp, md5(clean) AS clean_fp, CAST(length(dirty) - length(clean) AS INT) AS removed_chars FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -50,4 +50,46 @@ class TextOpsSpec extends GraftSparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tf === Map("a" -> 2, "b" -> 2, "c" -> 1))
   }
+
+  test("tf-idf: counts, rational-scaled score, and ln score agree with hand math") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a a b"), (1L, "a c"), (2L, "c c c"))).toDF("doc_id", "text")
+    val rows = TextOps.tfIdf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // term a: df=2; doc 0 tf=2
+    assert(rows((0L, "a"))._1 === 2L && rows((0L, "a"))._2 === 2L)
+    assert(rows((0L, "a"))._4 === 2L * (3L * 1000000L / 2L))
+    // ln score within ulp noise (Spark's codegen log vs math.log can
+    // differ in the last bit — the reason tfidf_scaled exists)
+    assert(math.abs(rows((0L, "a"))._5 - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
+    // term b: df=1; idf_scaled = 3e6
+    assert(rows((0L, "b"))._3 === 3L && rows((0L, "b"))._4 === 3000000L)
+    assert(math.abs(rows((0L, "b"))._5 - math.log(3.0)) < 1e-12)
+    // term c in both docs 1 and 2
+    assert(rows((2L, "c"))._1 === 3L && rows((2L, "c"))._2 === 2L)
+  }
+
+  test("chunking: window starts, overlap, short tail, sub-chunk doc") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "x y"))).toDF("doc_id", "text")
+    val ch = TextOps.chunkTokens(docs, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3), r.getString(4)))
+      .toMap
+    // step 3: starts 0,3,6,9
+    assert(ch((0L, 0)) === ((0, 4, "t1 t2 t3 t4")))
+    assert(ch((0L, 1)) === ((3, 4, "t4 t5 t6 t7")))
+    assert(ch((0L, 2)) === ((6, 4, "t7 t8 t9 t10")))
+    assert(ch((0L, 3)) === ((9, 1, "t10"))) // short tail
+    assert(ch((1L, 0)) === ((0, 2, "x y"))) // doc shorter than one chunk
+    assert(ch.size === 5)
+  }
+
+  test("pii scrub replaces emails, urls, long numbers; keeps short numbers") {
+    val dirty = "write bob.smith+x@corp.example.org or see " +
+      "https://ex.com/a?b=1 code 12345678 but room 421 stays"
+    val got = one(dirty).select(TextOps.scrubPii(col("text"))).head().getString(0)
+    assert(got === "write <EMAIL> or see <URL> code <NUM> but room 421 stays")
+  }
 }
