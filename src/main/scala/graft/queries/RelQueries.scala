@@ -341,6 +341,30 @@ object RelQueries extends QueryFamily {
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("o_orderkey"), 20)
         .orderBy(col("sample_h"), col("o_orderkey"))),
+
+    // -- reshaping ----------------------------------------------------
+    // pivot with an explicit value list (auto-discovery would add a
+    // distinct-scan job and non-deterministic column order)
+    "rel_pivot_status" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(dollars(sum(cents(col("l_quantity")))))
+        .orderBy(col("l_returnflag"))),
+
+    // unpivot/melt: wide metric columns → (metric, value) rows, exact
+    // integer cents; narrow generate, no shuffle
+    "rel_unpivot_metrics" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_quantity")).as("quantity"),
+          cents(col("l_extendedprice")).as("extendedprice"),
+          cents(col("l_discount")).as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "cents_value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -425,5 +449,19 @@ object RelQueries extends QueryFamily {
       val h = graft.operators.Sampling.hash60Sql("o_orderkey")
       s"""SELECT o_orderkey, o_custkey, $h AS sample_h FROM orders ORDER BY sample_h, o_orderkey LIMIT 20"""
     },
+    "rel_pivot_status" ->
+      s"""SELECT l_returnflag,
+         |  ${dollarsSql(s"SUM(CASE WHEN l_linestatus = 'F' THEN ${centsSql("l_quantity")} END)")} AS F,
+         |  ${dollarsSql(s"SUM(CASE WHEN l_linestatus = 'O' THEN ${centsSql("l_quantity")} END)")} AS O,
+         |  ${dollarsSql(s"SUM(CASE WHEN l_linestatus = 'P' THEN ${centsSql("l_quantity")} END)")} AS P
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_unpivot_metrics" ->
+      s"""SELECT l_orderkey, l_linenumber, metric, cents_value FROM (
+         |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, ${centsSql("l_quantity")} AS cents_value FROM lineitem WHERE l_orderkey < 100
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'extendedprice', ${centsSql("l_extendedprice")} FROM lineitem WHERE l_orderkey < 100
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'discount', ${centsSql("l_discount")} FROM lineitem WHERE l_orderkey < 100) u
+         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
   )
 }

@@ -87,4 +87,35 @@ object BehaviorStream {
       .withWatermark("event_ts", "10 minutes")
       .groupBy(col("user_id"), session_window(col("event_ts"), gap))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Extension — stream–stream interval join: attribute each purchase to
+    * every click by the same user at most `maxDelay` before it (the
+    * streaming form of the ref_funnel batch query). Watermarks on BOTH
+    * sides + the time-bound join condition let Spark evict buffered rows
+    * once they can no longer match, so state stays proportional to
+    * `maxDelay` of traffic, not to history — the property that makes a
+    * stream-stream join viable at 100 TB/day. Emits in Append mode.
+    *
+    * `clicks`: (user_id, click_id, click_ts); `purchases`: (p_user_id,
+    * purchase_id, purchase_ts). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      maxDelay: String = "30 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", maxDelay)
+      .join(purchases.withWatermark("purchase_ts", maxDelay),
+        expr(s"""user_id = p_user_id AND
+                 purchase_ts >= click_ts AND
+                 purchase_ts <= click_ts + interval $maxDelay"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+
+  /** Extension — streaming exact dedup of redelivered events: drops rows
+    * whose `event_id` was already seen within the watermark horizon
+    * (at-least-once transports like the reference's fire-and-forget
+    * producer, T6, redeliver; this makes the downstream exactly-once).
+    * State per key is evicted at the watermark — bounded, unlike a plain
+    * `dropDuplicates` whose state grows forever. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

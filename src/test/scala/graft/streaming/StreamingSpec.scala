@@ -115,6 +115,58 @@ class StreamingSpec extends GraftSparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = BehaviorStream.clickAttribution(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user_id", "purchase_id", "purchase_ts"),
+      "30 minutes")
+    val q = joined.writeStream.queryName("attr_test")
+      .outputMode("append").format("memory").start()
+    try {
+      clicks.addData((1L, 100L, ts(0)), (2L, 101L, ts(0)))
+      purchases.addData(
+        (1L, 900L, ts(10)), // in window -> attributed to click 100
+        (3L, 901L, ts(10)), // no click by user 3
+        (2L, 902L, ts(50))) // 50 min after click 101 -> outside window
+      q.processAllAvailable()
+      val got = s.sql("SELECT user_id, click_id, purchase_id FROM attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq((1L, 100L, 900L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redelivered event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = BehaviorStream.dedupEvents(
+      input.toDF().toDF("event_id", "event_type", "ts"), "10 minutes")
+    val q = deduped.writeStream.queryName("dedup_test")
+      .outputMode("append").format("memory").start()
+    try {
+      input.addData(
+        (1L, "click", ts(0)),
+        (1L, "click", ts(1)), // redelivery of event 1 -> dropped
+        (2L, "view", ts(2)))
+      q.processAllAvailable()
+      input.addData((1L, "click", ts(3))) // still within watermark -> dropped
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id FROM dedup_test ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("kafka fan-out writer shape: (topic, value) string columns (S3 contract)") {
     val s = spark
     import s.implicits._
