@@ -105,6 +105,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact containment near-dup pairs: containment(A→B) = |A∩B| / |A|
+    * — the asymmetric metric that catches a document EMBEDDED in a larger
+    * one, which symmetric jaccard dilutes (j = |A∩B|/|A∪B| → 0 as B
+    * grows). Reported per unordered pair as max-containment
+    * = c / min(na, nb) with jaccard alongside. Same count-sharing
+    * inverted-index join as [[jaccardPairsExact]] (one Σdf² self-join, no
+    * array ops); no size filter applies (a tiny doc can be contained in a
+    * huge one). */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, "count-sharing join requires a positive threshold")
+    val sh = shingleSets(docs)
+    // cache: self-join scans occ twice (see jaccardPairsExact)
+    val occ = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .cache()
+    occ.as("a")
+      .join(occ.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+          .as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram-Jaccard pairs via a PPJoin-style prefix-filtered
     * set-similarity self-join — the exact path for heavy-tail corpora
     * where [[jaccardPairsExact]]'s Σdf² blows up on near-universal

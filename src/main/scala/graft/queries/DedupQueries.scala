@@ -36,6 +36,11 @@ object DedupQueries extends QueryFamily {
       Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // asymmetric subset-dup metric (doc embedded in a larger doc)
+    "dd_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), Threshold)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "dd_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), Threshold)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -113,6 +118,15 @@ object DedupQueries extends QueryFamily {
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1""",
     "dd_ngram_jaccard" -> bruteForceJaccard,
     "dd_ppjoin" -> bruteForceJaccard,
+    "dd_containment" ->
+      s"""$shCte
+         |SELECT doc_a, doc_b, containment, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / LEAST(len(a.sh), len(b.sh)) AS containment,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0) p
+         |WHERE containment >= $Threshold ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash" -> bruteForceJaccard,
     "dd_simhash" -> simhashOracle,
     "dd_dup_clusters" -> dupClustersOracle,

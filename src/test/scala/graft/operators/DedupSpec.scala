@@ -49,6 +49,21 @@ class DedupSpec extends GraftSparkSpec {
     assert(pairs.size === 3)
   }
 
+  test("containment flags an embedded doc that jaccard misses") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, doc(base.take(8): _*), "src0"), // 8 tokens, 6 shingles
+      (1L, doc((base.take(8) ++ Seq("plus", "much", "more", "trailing",
+        "content", "added", "here", "beyond", "the", "original")): _*), "src0"),
+      (2L, doc("unrelated", "words", "only", "in", "this", "one"), "src0")))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(pairs.keySet === Set((0L, 1L)))
+    val (containment, jaccard) = pairs((0L, 1L))
+    assert(containment === 1.0) // every shingle of 0 appears in 1
+    assert(jaccard < 0.5) // symmetric metric dilutes the embedding
+  }
+
   test("ppjoin pairs == count-sharing exact pairs across thresholds") {
     for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
       val exact = Dedup.jaccardPairsExact(docs, t)
