@@ -11,9 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
-  /** Recommended session for this engine (mirrors Bench/Verify config). */
-  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+  /** Recommended session for this engine (mirrors Bench/Verify config).
+    *
+    * `rocksdbState = true` swaps streaming state to the RocksDB provider:
+    * state lives off-heap/on-disk per executor instead of in the JVM
+    * heap, which is what keeps long-horizon stateful queries (cumulative
+    * Complete-mode aggregates, wide dedup watermarks) viable when state
+    * outgrows executor memory — the 100 TB setting. Default stays on the
+    * in-memory HDFS-backed provider: at reference-shape state (≤48 topics
+    * × small value domains) it is strictly faster. */
+  def session(appName: String = "graft", cores: Int = 32,
+      rocksdbState: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -24,7 +33,9 @@ object Engine {
       // shingle-set sides off the shuffle (AQE demotes anything bigger).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocksdbState) b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

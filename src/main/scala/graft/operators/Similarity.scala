@@ -73,11 +73,24 @@ object Similarity {
     * cost proportional to Σ bucket². Recall is tunable via nBits (and, in
     * a production variant, multi-probe over neighboring buckets). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming <= 1, "probe sequence implemented up to hamming 1")
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
       lshBucket(col("embedding"), nBits, dim).as("bucket"))
-    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    // multi-probe: a near neighbor that lands across ONE hyperplane from
+    // the query is in a bucket at hamming distance 1 — probing those
+    // nBits extra buckets trades nBits× more (cheap, pre-filtered) probe
+    // rows for the recall a single bucket loses, WITHOUT duplicating the
+    // corpus side (the classic multi-probe LSH trade). Corpus buckets are
+    // exact and probe buckets distinct, so no pair dedup is needed.
+    val qb0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket0"))
+    val qb =
+      if (probeHamming == 0) qb0.withColumnRenamed("bucket0", "bucket")
+      else qb0.select(col("query_id"), col("qv"),
+        explode(array(col("bucket0") +:
+          (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
     val pairs = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -25,7 +25,8 @@ object SimQueries extends QueryFamily {
         .orderBy(col("query_id"), col("rank"))),
 
     "sim_topk_lsh" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+      Similarity.lshTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
+        probeHamming = 1)
         .orderBy(col("query_id"), col("rank"))),
 
     "sim_topk_ivf" -> ((s, d) =>

@@ -60,6 +60,30 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(out.length === 1 && out(0).getLong(2) === 201L)
   }
 
+  test("multi-probe LSH recall@1 >= single-probe and matches brute force " +
+    "on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val dirs = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0L until 80L).map { i =>
+      val d = dirs((i % 4).toInt)
+      (i, d.map(x => (x + rnd.nextGaussian() * 0.05).toFloat), (i % 4).toInt)
+    }
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceTopK(corpus, queries, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def recall(probe: Int): Double = {
+      val got = Similarity.lshTopK(corpus, queries, 1, nBits = 8, dim = 16,
+        probeHamming = probe).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      got.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe $r1 < single $r0")
+    assert(r1 >= 0.9, s"multi-probe recall@1 $r1")
+  }
+
   test("IVF top-k achieves full recall@1 on well-separated clusters") {
     val rnd = new scala.util.Random(99)
     // 4 well-separated cluster directions in 16-d, 20 members each

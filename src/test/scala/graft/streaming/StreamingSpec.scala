@@ -167,6 +167,34 @@ class StreamingSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store provider runs the cumulative aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, String)]
+    val q = Behavior.valueCounts(input.toDF().toDF("topic", "value"))
+      .writeStream.queryName("rocks_test").outputMode("complete")
+      .format("memory").start()
+    try {
+      input.addData(("click_k", "7"), ("click_k", "7"), ("view_k", "9"))
+      q.processAllAvailable()
+      input.addData(("click_k", "7"))
+      q.processAllAvailable()
+      val counts = s.sql("SELECT * FROM rocks_test").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts(("click_k", "7")) === 3)
+      // the query really ran on RocksDB, not the default provider
+      assert(q.lastProgress.json.contains("rocksdb"), q.lastProgress.json.take(500))
+    } finally {
+      q.stop()
+      prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+  }
+
   test("kafka fan-out writer shape: (topic, value) string columns (S3 contract)") {
     val s = spark
     import s.implicits._
