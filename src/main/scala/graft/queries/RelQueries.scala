@@ -342,6 +342,44 @@ object RelQueries extends QueryFamily {
         col("o_orderkey"), 20)
         .orderBy(col("sample_h"), col("o_orderkey"))),
 
+    // -- scalar-function breadth --------------------------------------
+    // date/time functions; all date outputs as yyyy-MM-dd strings (DATE
+    // physical types diverge through parquet/pandas)
+    "rel_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(add_months(to_date(col("o_orderdate")), 3), "yyyy-MM-dd").as("plus3m"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("2020-01-01"))).as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
+    // ordered string aggregation per group
+    "rel_string_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy(col("l_returnflag"))),
+
+    // null semantics: NULLIF-manufactured nulls, null-safe equality,
+    // COALESCE, and nulls' exclusion from COUNT(col) vs COUNT(*)
+    "rel_null_semantics" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("NULLIF(c_mktsegment, 'BUILDING')").as("seg_nb"))
+        .groupBy(coalesce(col("seg_nb"), lit("(null)")).as("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("seg_nb")).as("n_nonnull"),
+          sum(expr("CAST(seg_nb <=> 'MACHINERY' AS INT)")).as("n_machinery_nullsafe"))
+        .orderBy(col("seg"))),
+
     // -- reshaping ----------------------------------------------------
     // pivot with an explicit value list (auto-discovery would add a
     // distinct-scan job and non-deterministic column order)
@@ -449,6 +487,21 @@ object RelQueries extends QueryFamily {
       val h = graft.operators.Sampling.hash60Sql("o_orderkey")
       s"""SELECT o_orderkey, o_custkey, $h AS sample_h FROM orders ORDER BY sample_h, o_orderkey LIMIT 20"""
     },
+    "rel_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "rel_string_agg" ->
+      """SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses, COUNT(DISTINCT l_linestatus) AS n_statuses FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_null_semantics" ->
+      """SELECT COALESCE(seg_nb, '(null)') AS seg, COUNT(*) AS n_rows, COUNT(seg_nb) AS n_nonnull, CAST(SUM(CAST(seg_nb IS NOT DISTINCT FROM 'MACHINERY' AS INT)) AS BIGINT) AS n_machinery_nullsafe FROM (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg_nb FROM customer) t GROUP BY 1 ORDER BY 1""",
     "rel_pivot_status" ->
       s"""SELECT l_returnflag,
          |  ${dollarsSql(s"SUM(CASE WHEN l_linestatus = 'F' THEN ${centsSql("l_quantity")} END)")} AS F,

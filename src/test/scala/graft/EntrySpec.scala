@@ -15,8 +15,8 @@ class EntrySpec extends GraftSparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("all 70 queries are registered with stable names") {
-    assert(SparkEntry.queries.size === 70)
+  test("all 73 queries are registered with stable names") {
+    assert(SparkEntry.queries.size === 73)
     // rows-only by design (documented): no oracle for these five
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("sim_topk_lsh", "sim_topk_ivf", "mm_features_stub",
