@@ -22,7 +22,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated name prefixes for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
         val times = (1 to 2).map { _ =>
@@ -32,6 +38,7 @@ object Bench {
         }
         name -> times.min // best-of-2: the host has intermittent multi-second stalls
       } catch { case _: Throwable => name -> -1.0 }
+      finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

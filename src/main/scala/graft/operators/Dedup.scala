@@ -109,26 +109,55 @@ object Dedup {
     * — the asymmetric metric that catches a document EMBEDDED in a larger
     * one, which symmetric jaccard dilutes (j = |A∩B|/|A∪B| → 0 as B
     * grows). Reported per unordered pair as max-containment
-    * = c / min(na, nb) with jaccard alongside. Same count-sharing
-    * inverted-index join as [[jaccardPairsExact]] (one Σdf² self-join, no
-    * array ops); no size filter applies (a tiny doc can be contained in a
-    * huge one). */
+    * = c / min(na, nb) with jaccard alongside.
+    *
+    * Candidate generation uses the ASYMMETRIC prefix filter: each doc's
+    * shingles are ordered rarest-first by global df; for a qualifying
+    * pair with na = min(na, nb), |A∩B| ≥ ⌈t·na⌉, so A's first
+    * na − ⌈t·na⌉ + 1 df-ordered shingles must hit SOMEWHERE in B
+    * (pigeonhole). Only prefixes are indexed; the probe side is every
+    * doc's full shingle list restricted to n ≥ prefix-doc's n — cost
+    * Σ_s df_prefix(s)·df(s) instead of the unfiltered Σdf², and
+    * df_prefix is concentrated on the RARE end of the frequency spectrum
+    * (a near-universal shingle almost never lands in a rarest-first
+    * prefix). The jaccard length filter cannot apply here — a tiny doc
+    * can be contained in a huge one — which is exactly why the
+    * unfiltered count-sharing join degenerates and the prefix filter is
+    * load-bearing. Survivors are exact-verified per pair on the shingle
+    * arrays (candidates ≪ corpus, so the verify join is cheap). */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0, "count-sharing join requires a positive threshold")
-    val sh = shingleSets(docs)
-    // cache: self-join scans occ twice (see jaccardPairsExact)
-    val occ = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .cache()
-    occ.as("a")
-      .join(occ.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
+    val sh = shingleSets(docs).cache() // 3 consumers: occ + 2 verify joins (see jaccardPairsExact)
+    val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = occ.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("doc_id"), size(col("os")).as("n"),
+        transform(col("os"), x => x.getField("s")).as("oss"))
+    // prefix length n − ⌈t·n − 1e-9⌉ + 1: the 1e-9 slack keeps ceil
+    // conservative under double rounding (too-long prefix = extra
+    // candidates, never a missed pair)
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("oss"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")))
+        .as("s"))
+    val full = ordered.select(col("doc_id"), col("n"), explode(col("oss")).as("s"))
+    val cand = prefix.as("a")
+      .join(full.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.n") <= col("b.n"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val c = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / least(col("na"), col("nb")).cast("double"))
+        (c / least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
           .as("containment"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-          .as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("containment") >= threshold)
   }
 
@@ -160,8 +189,11 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
       .select(col("doc_id"), size(col("os")).as("n"),
+        // 1e-9 slack keeps ceil conservative when t*n rounds to just above
+        // an exact integer (same slack as every other bound in this file):
+        // a too-long prefix only admits extra candidates, never drops one.
         slice(transform(col("os"), x => x.getField("s")), lit(1),
-          (size(col("os")) - ceil(lit(threshold) * size(col("os"))) + 1).cast("int"))
+          (size(col("os")) - ceil(lit(threshold) * size(col("os")) - lit(1e-9)) + 1).cast("int"))
           .as("prefix"))
     val pinv = prefix.select(col("doc_id"), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "s")))

@@ -22,18 +22,19 @@ object Graph {
     * "keep doc_id == cc" is the keep-lowest rule).
     *
     * Each round every vertex takes the min label over itself and its
-    * neighbors; rounds needed = graph diameter, and near-dup clusters are
-    * low-diameter by construction (they are dense similarity
-    * neighborhoods), so 3-5 rounds converge in practice. Per round: one
-    * shuffle join edges⋈labels (keyed on vertex id) + one aggregation —
-    * both scale-out friendly; `localCheckpoint` truncates the iterative
-    * lineage so plans don't grow with rounds. For adversarial
-    * high-diameter graphs the alternating large-star/small-star algorithm
-    * (Kiveris et al., MapReduce CC) gets O(log n) rounds with the same
-    * per-round shuffle shape; dup graphs never need it.
+    * neighbors, then labels are pointer-jumped (label := label-of-label),
+    * which shortcuts chains so rounds needed = O(log diameter) instead of
+    * O(diameter) — `maxIter = 20` covers diameter ~2^20, far beyond any
+    * real dup graph (near-dup clusters are dense, low-diameter
+    * neighborhoods converging in 2-3 rounds). Per round: two shuffle
+    * joins (edges⋈labels keyed on vertex id, labels⋈labels keyed on
+    * label) + one aggregation — all scale-out friendly; `localCheckpoint`
+    * truncates the iterative lineage so plans don't grow with rounds.
     *
     * Termination: converged when no label changed (distributed count,
-    * checked per round), capped at `maxIter`. */
+    * checked per round), capped at `maxIter`; hitting the cap without
+    * convergence logs a warning (labels would be partially propagated —
+    * observable instead of silently wrong). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val cols = edges.columns
     require(cols.length >= 2, "edge list needs (src, dst) columns")
@@ -52,10 +53,17 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("cc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cc")).as("nbr_cc"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"))
+      // pointer jumping: follow cc -> cc's own label (always <= cc since a
+      // label's own label is a running min); halves remaining chain length
+      // every round, giving O(log diameter) total rounds
+      val next = stepped
+        .join(stepped.select(col("id").as("cc"), col("cc").as("cc2")),
+          Seq("cc"), "left")
+        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"))
         .localCheckpoint()
       val changed = next.select(col("id"), col("cc").as("cc_new"))
         .join(labels, Seq("id"))
@@ -65,6 +73,10 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter without converging; " +
+          "cluster labels may be partially propagated")
     labels
   }
 

@@ -74,7 +74,8 @@ object Similarity {
     * a production variant, multi-probe over neighboring buckets). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
       dim: Int = 64, probeHamming: Int = 0): DataFrame = {
-    require(probeHamming <= 1, "probe sequence implemented up to hamming 1")
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probe sequence implemented for hamming 0 or 1")
     val cb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
       lshBucket(col("embedding"), nBits, dim).as("bucket"))
     // multi-probe: a near neighbor that lands across ONE hyperplane from
