@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bounded lifetime for the intermediate caches the dedup operators create.
+  *
+  * The pair operators ([[Dedup.jaccardPairsExact]], [[Dedup.ppjoinPairs]],
+  * [[Dedup.containmentPairs]], [[Dedup.minhashPairs]],
+  * [[Dedup.simhashPairs]]) cache a multi-consumer intermediate (the shingle
+  * sets / signatures) — load-bearing for performance (3-8× measured), but by
+  * default those blocks live until someone calls
+  * `spark.catalog.clearCache()`. A long-lived library caller that invokes
+  * operators repeatedly would accumulate cached blocks for the session
+  * lifetime (they are LRU-evicted under memory pressure, so this is a
+  * hygiene concern, not a correctness one).
+  *
+  * Passing an explicit scope bounds that lifetime with the loan pattern:
+  *
+  * {{{
+  * val n = CacheScope.using(s => Dedup.ppjoinPairs(docs, 0.8, s)) { pairs =>
+  *   pairs.count() // caches live exactly for the duration of this block
+  * }
+  * }}}
+  *
+  * After `using` returns, every cache the operator created has been
+  * unpersisted — nothing outlives the invocation.
+  */
+final class CacheScope private[operators] (managed: Boolean) {
+
+  def this() = this(managed = true)
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Cache `df` and, if this scope is managed, remember it for release. */
+  private[operators] def track(df: DataFrame): DataFrame = {
+    df.cache()
+    if (managed) synchronized { tracked += df }
+    df
+  }
+
+  /** Unpersist every tracked cache (non-blocking) and forget it. */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}
+
+object CacheScope {
+
+  /** The default scope: caches are created but never released by the
+    * operator — session-lifetime semantics, identical to a plain
+    * `.cache()` (the driver's Verify/Bench loops clear between queries). */
+  val unmanaged: CacheScope = new CacheScope(managed = false)
+
+  /** Loan pattern: build an operator plan that caches through a fresh
+    * scope, hand it to `use`, and release all operator-created caches when
+    * `use` finishes — whether it returns or throws. The DataFrame must not
+    * escape `use` (its caches are gone afterwards; the plan would silently
+    * recompute uncached). */
+  def using[A](build: CacheScope => DataFrame)(use: DataFrame => A): A = {
+    val scope = new CacheScope
+    try use(build(scope)) finally scope.release()
+  }
+}

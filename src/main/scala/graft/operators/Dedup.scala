@@ -81,15 +81,16 @@ object Dedup {
     * heavy-tail corpora with near-universal shingles: there use
     * [[ppjoinPairs]] (prefix+position filtered, still exact) or
     * [[minhashPairs]] (the 100 TB sketch path). */
-  def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsExact(docs: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0, "count-sharing join requires a positive threshold")
     val sh = shingleSets(docs)
     // cache() is LOAD-BEARING: the self-join scans occ twice, and without
     // it Catalyst pushes inferred not-null join-key filters below the
     // Generate, re-evaluating the full shingle transform ~3x per row per
     // side (measured ~8x slower end-to-end).
-    val occ = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .cache()
+    val occ = scope.track(
+      sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s")))
     // 1e-9 slack keeps the double-arithmetic bound conservative (never
     // drops a boundary pair; at worst admits one extra candidate row).
     occ.as("a")
@@ -125,27 +126,33 @@ object Dedup {
     * unfiltered count-sharing join degenerates and the prefix filter is
     * load-bearing. Survivors are exact-verified per pair on the shingle
     * arrays (candidates ≪ corpus, so the verify join is cheap). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
-    val sh = shingleSets(docs).cache() // 3 consumers: occ + 2 verify joins (see jaccardPairsExact)
+    val sh = scope.track(shingleSets(docs)) // 4 downstream scans: occ (feeding freq + the ordered join) and the 2 verify joins
+    // dictionary-encoded occurrence table (see ppjoinPairs: same id scheme,
+    // same exact-recall argument) — the frequency table, ordered lists and
+    // the prefix×full candidate join all carry fixed-width longs instead of
+    // trigram strings.
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ordered = occ.join(freq, Seq("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = occ.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("os"))
       .select(col("doc_id"), size(col("os")).as("n"),
-        transform(col("os"), x => x.getField("s")).as("oss"))
+        transform(col("os"), x => x.getField("h")).as("oss"))
     // prefix length n − ⌈t·n − 1e-9⌉ + 1: the 1e-9 slack keeps ceil
     // conservative under double rounding (too-long prefix = extra
     // candidates, never a missed pair)
     val prefix = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("oss"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")))
-        .as("s"))
-    val full = ordered.select(col("doc_id"), col("n"), explode(col("oss")).as("s"))
+        .as("h"))
+    val full = ordered.select(col("doc_id"), col("n"), explode(col("oss")).as("h"))
     val cand = prefix.as("a")
       .join(full.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
           col("a.n") <= col("b.n"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
@@ -180,28 +187,39 @@ object Dedup {
     * Survivors are verified with the exact array jaccard (the shingle-set
     * side stays broadcast-eligible; at corpus scale AQE demotes it to a
     * shuffle join keyed on doc_id). */
-  def ppjoinPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def ppjoinPairs(docs: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0 && threshold < 1, "prefix filter needs 0 < t < 1")
-    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling per consumer measured 3-8x slower
+    val sh = scope.track(shingleSets(docs)) // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling per consumer measured 3-8x slower
+    // Dictionary-encode shingles to 64-bit ids BEFORE anything shuffles:
+    // the frequency table, the df-ordered prefix index and the candidate
+    // self-join all carry fixed-width longs instead of trigram strings
+    // (severalfold fewer shuffle bytes at corpus scale). An xxhash64
+    // collision merges two shingles' ids, which can only ADD candidate
+    // pairs — survivors are exact-verified on the real shingle arrays —
+    // while recall stays exact: a truly shared shingle has the same id on
+    // both sides, ids order consistently by (df, id) in every document,
+    // and the prefix pigeonhole argument runs unchanged over id multisets.
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val freq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val prefix = occ.join(freq, Seq("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = occ.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("os"))
       .select(col("doc_id"), size(col("os")).as("n"),
         // 1e-9 slack keeps ceil conservative when t*n rounds to just above
         // an exact integer (same slack as every other bound in this file):
         // a too-long prefix only admits extra candidates, never drops one.
-        slice(transform(col("os"), x => x.getField("s")), lit(1),
+        slice(transform(col("os"), x => x.getField("h")), lit(1),
           (size(col("os")) - ceil(lit(threshold) * size(col("os")) - lit(1e-9)) + 1).cast("int"))
           .as("prefix"))
     val pinv = prefix.select(col("doc_id"), col("n"),
-      posexplode(col("prefix")).as(Seq("pos", "s")))
+      posexplode(col("prefix")).as(Seq("pos", "h")))
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = pinv.as("a")
       .join(pinv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
           col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
@@ -245,8 +263,9 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, exact-verified: sketch recall, exact
     * precision. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs).cache() // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
+  def minhashPairs(docs: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = scope.track(shingleSets(docs)) // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
     verifyPairs(minhashCandidates(minhashSignature(sh)), sh, threshold)
   }
 
@@ -273,11 +292,12 @@ object Dedup {
     * within hamming 3 shares at least one exact chunk, so blocking recall
     * is exact for the hamming ball. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
     val chunkBits = if (portable) 15 else 16
     val chunkMask = (1L << chunkBits) - 1
-    val sig = simhashSignature(shingleSets(docs), portable).cache() // 3 consumers (chunks + 2 verify joins)
+    val sig = scope.track(simhashSignature(shingleSets(docs), portable)) // 3 consumers (chunks + 2 verify joins)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))
