@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** One decoded media record (opaque bytes + typed metadata). */
 case class MediaRow(doc_id: Long, bytes: Array[Byte], mime: String)
 
-/** Features extracted by the (stubbed) decoder. */
+/** Features extracted by the (stubbed) decoder. `byte_sum` /
+  * `n_distinct_bytes` are exact integers and `mean_byte` a fixed IEEE
+  * division, so the oracle can replicate them bit-for-bit; `entropy` goes
+  * through transcendental log whose last-bit rounding is libm-specific,
+  * which is why the oracle-checked query rounds it to 6 decimals. */
 case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
-    mean_byte: Double, entropy: Double, n_frames: Int)
+    byte_sum: Long, n_distinct_bytes: Int, mean_byte: Double,
+    entropy: Double, n_frames: Int)
 
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video as opaque `binary` columns with typed metadata, decoded and
@@ -56,17 +61,19 @@ object Multimodal {
     }
     val n = bytes.length.max(1)
     var entropy = 0.0
+    var nDistinct = 0
     var j = 0
     while (j < 256) {
       if (hist(j) > 0) {
+        nDistinct += 1
         val p = hist(j).toDouble / n
         entropy -= p * math.log(p) / math.log(2)
       }
       j += 1
     }
     // "frame sampling": pretend 1 frame per 64 payload bytes
-    MediaFeatures(m.doc_id, m.mime, bytes.length, sum.toDouble / n, entropy,
-      1 + bytes.length / 64)
+    MediaFeatures(m.doc_id, m.mime, bytes.length, sum, nDistinct,
+      sum.toDouble / n, entropy, 1 + bytes.length / 64)
   }
 
   /** Partition-batched decode + feature extraction. */

@@ -54,8 +54,10 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Fixed random hyperplanes for sign-LSH (deterministic seed). */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+  /** Fixed random hyperplanes for sign-LSH (deterministic seed). Exposed
+    * package-private so the oracle SQL can embed the same constants as
+    * literals and replicate the bucketing bit-for-bit. */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -108,52 +110,65 @@ object Similarity {
     * broadcast), queries probe only the `nProbe` nearest cells. At 100 TB
     * the corpus assignment is the layout (partition/bucket by cell id);
     * a query touches nProbe/k of the data instead of all of it.
-    * Deterministic: sample-based init + fixed Lloyd iterations, all in
-    * DataFrame ops. */
+    *
+    * FULLY deterministic, including across engines: centroid updates use
+    * FIXED-POINT integer-micros arithmetic (long sums are
+    * order-independent, unlike double sums whose value depends on shuffle
+    * order), and every per-row double computation (cosine kernel, the
+    * micros→double division) is a fixed IEEE operation sequence — so the
+    * whole algorithm is bit-for-bit replicable by the DuckDB oracle SQL. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nProbe: Int, lloydIters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    // double-cast view: centroids are double arrays, so assignment runs
+    // the double cosine kernel on both sides
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
 
     // deterministic init: evenly-strided sample by vec_id rank
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
-    var centroids = corpus
+    var centroids = corpusD
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+      .select(col("vec_id"), col("v").as("cv"))
       .withColumn("cell", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cell"))) - 1))
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1))
+      .select(col("cell"), col("cv"))
 
     def assign(points: DataFrame, cents: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
       points.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosineSeq(col("embedding"), col("cv")).as("sim"))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cosineSeq(col("v"), col("cv")).as("sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .select(col("vec_id"), col("v"), col("cell"))
     }
 
-    // Lloyd refinement: mean of member vectors per cell, per dimension
+    // Lloyd refinement: per-cell, per-dimension mean in integer micros —
+    // sum(round(x·1e6)) is an exact long (order-independent), and the
+    // final (sum/count)/1e6 double division is a fixed IEEE sequence
     (1 to lloydIters).foreach { _ =>
-      centroids = assign(corpus, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      centroids = assign(corpusD, centroids)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast("double") / col("c") / lit(1000000.0)).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+          transform(col("pm"), p => p.getField("m")).as("cv"))
     }
-    val assigned = assign(corpus, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-        col("cell"))
+    val assigned = assign(corpusD, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
 
     // queries probe their nProbe nearest cells
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
         cosineSeq(col("qv"), col("cv")).as("sim"))

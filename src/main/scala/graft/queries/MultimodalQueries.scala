@@ -31,6 +31,13 @@ object MultimodalQueries extends QueryFamily {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(Tables.documents(s, d)))
         .toDF()
+        // entropy crosses transcendental log (libm-specific last bit):
+        // round to 6dp for the cross-engine hash; + 0.0 canonicalizes a
+        // -0.0 fold result so both engines print the same zero
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("byte_sum"),
+          col("n_distinct_bytes"), col("mean_byte"),
+          (round(col("entropy"), 6) + lit(0.0)).as("entropy_r6"),
+          col("n_frames"))
         .orderBy(col("doc_id"))),
   )
 
@@ -42,6 +49,35 @@ object MultimodalQueries extends QueryFamily {
       s"""SELECT doc_id, $mimeSql AS mime, octet_length(encode(text)) AS n_bytes FROM documents ORDER BY doc_id""",
     "mm_mime_stats" ->
       s"""SELECT mime, COUNT(*) AS n_docs, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM (SELECT $mimeSql AS mime, text FROM documents) t GROUP BY mime ORDER BY mime""",
-    // mm_features_stub: rows-only — decode stub is engine-side by design
+    // the stub decoder's byte statistics replicated over the UTF-8
+    // payload (documents are ASCII, so unicode(char) IS the byte value);
+    // the sequential `entropy -= term` loop equals -(sequential sum) in
+    // IEEE, folded here in ascending byte order to mirror the histogram
+    // scan, then rounded to 6dp (log's last bit is libm-specific)
+    "mm_features_stub" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS byte
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) u),
+         |hist AS (SELECT doc_id, byte, COUNT(*) AS c FROM ch GROUP BY doc_id, byte),
+         |feat AS (
+         |  SELECT h.doc_id,
+         |    CAST(SUM(h.byte * h.c) AS BIGINT) AS byte_sum,
+         |    CAST(COUNT(*) AS INT) AS n_distinct_bytes,
+         |    -list_reduce(
+         |      list(p * ln(p) / ln(2) ORDER BY h.byte),
+         |      (x, y) -> x + y) AS entropy
+         |  FROM (SELECT doc_id, byte, c,
+         |          CAST(c AS DOUBLE) / GREATEST(length(text), 1) AS p
+         |        FROM hist JOIN documents USING (doc_id)) h
+         |  GROUP BY h.doc_id)
+         |SELECT d.doc_id, $mimeSql AS mime,
+         |  CAST(length(text) AS INT) AS n_bytes,
+         |  COALESCE(f.byte_sum, 0) AS byte_sum,
+         |  COALESCE(f.n_distinct_bytes, 0) AS n_distinct_bytes,
+         |  CAST(COALESCE(f.byte_sum, 0) AS DOUBLE) / GREATEST(length(text), 1) AS mean_byte,
+         |  ROUND(COALESCE(f.entropy, 0.0), 6) + 0.0 AS entropy_r6,
+         |  CAST(1 + length(text) // 64 AS INT) AS n_frames
+         |FROM documents d LEFT JOIN feat f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

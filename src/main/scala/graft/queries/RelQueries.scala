@@ -159,18 +159,42 @@ object RelQueries extends QueryFamily {
     }),
 
     // approximate quantiles — the documented scale path for
-    // rel_price_quartiles (sketch values are engine-specific: rows-only)
-    // Scalar-only output shape (one row per quartile cut): downstream
-    // tooling (and the driver's pandas compare) can sort/hash it, which an
-    // array<double> cell cannot.
-    "rel_approx_quantiles" -> ((s, d) =>
-      Tables.orders(s, d).agg(
-        percentile_approx(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("quartile_cuts"),
-        count(lit(1)).as("n"))
-        .select(posexplode(col("quartile_cuts")).as(Seq("q_idx", "cut")), col("n"))
-        .select((col("q_idx") + 1).cast("int").as("quartile"), col("cut"), col("n"))
-        .orderBy(col("quartile"))),
+    // rel_price_quartiles. The sketch's CUT VALUES are engine- and
+    // merge-order-specific, so the oracle-checked output carries (a) the
+    // EXACT discrete quantile (percentile_disc, cross-checked value for
+    // value against DuckDB) and (b) the sketch's rank-error CONTRACT as a
+    // boolean: |rank(approx_cut) − q·n| ≤ n/accuracy (+1 for the discrete
+    // rank boundary) — deterministic under any sketch merge order because
+    // the GK guarantee holds for all of them. The exact side is a
+    // single-reducer collect by definition (it IS the exact baseline the
+    // sketch replaces at scale).
+    "rel_approx_quantiles" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+      val qs = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75)
+      val agg = o.agg(
+        percentile_approx(col("v"), array(qs.map(q => lit(q._2)): _*),
+          lit(10000)).as("cuts"),
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("e1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("e2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("e3"))
+      val rows = agg.select(
+        explode(array(qs.map { case (i, f) =>
+          struct(lit(i).as("quartile"), lit(f).as("f"),
+            element_at(col("cuts"), i).as("cut"),
+            element_at(array(col("e1"), col("e2"), col("e3")), i).as("exact_cut"))
+        }: _*)).as("r"), col("n"))
+        .select(col("r.quartile"), col("r.f"), col("r.cut"),
+          col("r.exact_cut"), col("n"))
+      // rank of the approx cut: one narrow 3×n pass, no sort
+      o.crossJoin(broadcast(rows))
+        .groupBy(col("quartile"), col("f"), col("cut"), col("exact_cut"), col("n"))
+        .agg(sum(when(col("v") <= col("cut"), 1L).otherwise(0L)).as("rank"))
+        .select(col("quartile"), col("exact_cut"), col("n"),
+          (abs(col("rank") - col("f") * col("n")) <=
+            col("n").cast("double") / 10000.0 + 1.0).as("approx_rank_ok"))
+        .orderBy(col("quartile"))
+    }),
 
     // dense_rank over tied aggregate values (ties make rank values
     // deterministic even though row order within a tie is not — output
@@ -303,12 +327,18 @@ object RelQueries extends QueryFamily {
         .distinct()
         .orderBy(col("nationkey"))),
 
-    // approximate distinct (HLL) next to its exact counterpart —
-    // rows-only driver check (sketch estimates are engine-specific)
+    // approximate distinct (HLL) next to its exact counterpart. The HLL
+    // estimate itself is engine-specific, so the oracle-checked output is
+    // the exact count plus the estimate's error contract as a boolean:
+    // |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 default; 3σ — observed
+    // 6.7% at sf0.1, so the 1σ bound would be dishonest to assert).
     "rel_approx_users" -> ((s, d) =>
       Tables.events(s, d).agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+        countDistinct(col("user_id")).as("exact_users"))
+        .select(col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.15) * col("exact_users")).as("within_3rsd"))),
 
     // -- events: JSON + event-time (ns) -------------------------------
     // day kept as 'yyyy-MM-dd' string: DATE columns round-trip through
@@ -443,7 +473,20 @@ object RelQueries extends QueryFamily {
         |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
-    // rel_approx_quantiles: rows-only (sketch)
+    // sketch cut values are engine-specific; the checked output is the
+    // exact discrete quantile + the sketch's rank-error contract boolean
+    "rel_approx_quantiles" ->
+      """WITH t AS (SELECT o_totalprice AS v FROM orders),
+        |p AS (SELECT COUNT(*) AS n FROM t),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
+        |SELECT q.quartile,
+        |  (SELECT MIN(v) FROM r, p WHERE rn >= CEIL(q.f * n)) AS exact_cut,
+        |  (SELECT n FROM p) AS n,
+        |  TRUE AS approx_rank_ok
+        |FROM (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) q(quartile, f)
+        |ORDER BY quartile""".stripMargin,
+    "rel_approx_users" ->
+      "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_3rsd FROM events",
     "rel_dense_rank" ->
       """SELECT o_custkey, n_orders, CAST(DENSE_RANK() OVER (ORDER BY n_orders DESC) AS INT) AS rnk FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) t ORDER BY o_custkey""",
     "rel_grouping_sets" ->

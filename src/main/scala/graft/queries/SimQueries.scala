@@ -49,6 +49,105 @@ object SimQueries extends QueryFamily {
         .orderBy(col("label"))),
   )
 
+  /** The cosine expression the brute-force oracle already matches
+    * bit-exactly: three independent sequential list folds over double-cast
+    * elements — the same IEEE operation sequence as the native kernel. */
+  private def cosineSql(qv: String, v: String): String =
+    s"""list_reduce(list_transform($qv, (x,i) -> x * $v[i]), (x,y) -> x + y) /
+       |    (sqrt(list_reduce(list_transform($qv, x -> x*x), (x,y) -> x + y)) *
+       |     sqrt(list_reduce(list_transform($v, x -> x*x), (x,y) -> x + y)))""".stripMargin
+
+  /** The sign-LSH hyperplanes as DuckDB literal rows `(b, h)`. The Scala
+    * shortest-round-trip double repr parses back to the identical bits in
+    * DuckDB's correctly-rounded strtod, so both engines bucket with the
+    * exact same constants. */
+  private def planesSql: String =
+    graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex
+      .map { case (p, b) =>
+        p.map(java.lang.Double.toString).mkString(s"($b, [", ", ", "])")
+      }
+      .mkString("(VALUES ", ", ", ") p(b, h)")
+
+  /** Bit-exact DuckDB replica of [[graft.operators.Similarity.lshTopK]]
+    * (nBits=8, probeHamming=1, k=3): every per-row double op is a fixed
+    * IEEE sequence and the bucket id is an integer, so buckets, candidate
+    * sets, cosines and the (cosine DESC, neighbor_id) tie-break all agree
+    * with the engine exactly. */
+  private def lshOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |planes AS (SELECT * FROM $planesSql),
+       |buck AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, p.b,
+       |      list_reduce(list_transform(e.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+       |    FROM e CROSS JOIN planes p) d
+       |  GROUP BY vec_id),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id,
+       |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
+       |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r
+       |  WHERE vec_id % 5 = 0),
+       |pair AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosineSql("eq.v", "en.v")} AS cosine
+       |  FROM qprobe q
+       |  JOIN buck c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+       |  JOIN e eq ON eq.vec_id = q.query_id
+       |  JOIN e en ON en.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pair) r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Bit-exact DuckDB replica of [[graft.operators.Similarity.ivfTopK]]
+    * (nCells=16, nProbe=4, 2 Lloyd iterations, k=3). Centroid updates are
+    * integer-micros fixed point — order-independent long sums — so the
+    * iterative refinement is exactly reproducible; every double op
+    * (cosine, the micros→double division) is a fixed IEEE sequence. */
+  private def ivfOracleSql: String = {
+    def assignSql(cents: String): String =
+      s"""SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN $cents c) s WHERE rn = 1""".stripMargin
+    def meansSql(assigned: String): String =
+      s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
+         |  SELECT cell, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+         |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $assigned) u
+         |  GROUP BY cell, pos) g
+         |GROUP BY cell""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM e),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS cv
+       |  FROM e, params WHERE vec_id % stride = 0
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |af AS (${assignSql("c2")}),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 5 = 0) s
+       |  WHERE rn <= 4),
+       |pair AS (
+       |  SELECT p.query_id, af.vec_id AS neighbor_id,
+       |    ${cosineSql("eq.v", "af.v")} AS cosine
+       |  FROM probes p
+       |  JOIN af ON af.cell = p.cell AND af.vec_id <> p.query_id
+       |  JOIN e eq ON eq.vec_id = p.query_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pair) r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: ListMap[String, String] = ListMap(
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -64,8 +163,12 @@ object SimQueries extends QueryFamily {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    // sim_topk_lsh / sim_topk_ivf: approximate by contract — no oracle
-    // (rows-only); recall asserted in SimilaritySpec
+    // approximate by CONTRACT (recall < 1 vs brute force, asserted in
+    // SimilaritySpec) but deterministic by CONSTRUCTION — the oracle
+    // replicates the full algorithm bit-for-bit instead of settling for a
+    // rows-only check
+    "sim_topk_lsh" -> lshOracleSql,
+    "sim_topk_ivf" -> ivfOracleSql,
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (
         |  SELECT label, pos, CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros

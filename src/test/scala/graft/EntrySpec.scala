@@ -17,9 +17,8 @@ class EntrySpec extends GraftSparkSpec {
 
   test("all 73 queries are registered with stable names") {
     assert(SparkEntry.queries.size === 73)
-    // rows-only by design (documented): no oracle for these five
+    // every registered query is oracle-checked — no rows-only gaps
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("sim_topk_lsh", "sim_topk_ivf", "mm_features_stub",
-      "rel_approx_users", "rel_approx_quantiles"))
+    assert(rowsOnly === Set.empty[String])
   }
 }
