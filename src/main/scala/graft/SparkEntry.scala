@@ -26,7 +26,9 @@ object SparkEntry {
     * The reference's entire critical path (SURVEY §3 E2): scan → fan-out →
     * filter → hash agg → sort. */
   def entry(spark: SparkSession): DataFrame = {
-    val msgs = Behavior.fanoutMessages(Tables.events(spark, "/root/testdata/sf0.001"))
+    val sf = "/root/testdata/sf0.001"
+    val msgs = Behavior.fanoutMessages(Tables.events(spark, sf),
+      Tables.customer(spark, sf))
     Behavior.clicksByService(msgs).orderBy(col("service"))
   }
 

@@ -27,7 +27,7 @@ object Behavior {
 
   /** Dimension suffixes of the topic grammar (reference: age/city/gender/
     * clicks, `serwer.js:84-90`; here: k/user/clicks over `events`). */
-  val dims: Seq[String] = Seq("k", "user", "clicks")
+  val dims: Seq[String] = Seq("k", "user", "segment", "clicks")
 
   private val dimAlt = "(k|user|segment|nation|clicks)"
 
@@ -44,7 +44,11 @@ object Behavior {
   /** Producer fan-out (S3/E1, `serwer.js:100-118`): one wide event → one
     * value-only message per dimension topic. `stack` is a Generator — a
     * narrow (no-shuffle) 1→3 row expansion. P2 (`topic === 'home'` drop,
-    * `serwer.js:72-76`) applied producer-side. */
+    * `serwer.js:72-76`) applied producer-side.
+    *
+    * This 3-dimension overload serves callers without the user dimension
+    * table (unit fixtures, bare streams); [[fanoutMessages(events,customer)*]]
+    * is the reference-parity 4-message form. */
   def fanoutMessages(events: DataFrame): DataFrame =
     events
       .filter(col("event_type") =!= "home")
@@ -58,6 +62,32 @@ object Behavior {
           "stack(3, " +
             "concat(event_type, '_k'), k, " +
             "concat(event_type, '_user'), cast(user_id as string), " +
+            "concat(event_type, '_clicks'), '1') as (topic, value)"))
+
+  /** Reference-parity fan-out: 4 messages per event (`serwer.js:100-118`
+    * sends age, city, gender, clicks — one message per user attribute plus
+    * the click counter). The user-attribute dimension (`segment`, the
+    * market segment from the customer table) is joined producer-side as a
+    * broadcast hash join — the 100 TB event side never shuffles; a LEFT
+    * join so an event without a dimension row still fans out (coalesced to
+    * 'unknown') rather than silently dropping a message. Works unchanged
+    * as a stream-static join in Structured Streaming. */
+  def fanoutMessages(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= "home")
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"), "left")
+      .select(
+        col("event_type"),
+        col("user_id"),
+        graft.functions.JsonFast.json_get(col("props"), "k").as("k"),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .select(
+        expr(
+          "stack(4, " +
+            "concat(event_type, '_k'), k, " +
+            "concat(event_type, '_user'), cast(user_id as string), " +
+            "concat(event_type, '_segment'), segment, " +
             "concat(event_type, '_clicks'), '1') as (topic, value)"))
 
   /** A1 — THE core query (`Raport.py:76-88` `Counter` per topic):

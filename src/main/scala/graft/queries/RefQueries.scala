@@ -14,7 +14,7 @@ import graft.operators.Behavior
 object RefQueries extends QueryFamily {
 
   private def msgs(s: SparkSession, d: String): DataFrame =
-    Behavior.fanoutMessages(Tables.events(s, d))
+    Behavior.fanoutMessages(Tables.events(s, d), Tables.customer(s, d))
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ref_value_counts" -> ((s, d) =>
@@ -82,12 +82,16 @@ object RefQueries extends QueryFamily {
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
-    * 3 value-only topic messages, `home` dropped producer-side (P2). */
+    * 4 value-only topic messages (reference parity: one per user attribute
+    * plus the click counter), `home` dropped producer-side (P2). */
   private val msgsCte =
     """WITH msgs AS (
       |  SELECT event_type || '_k' AS topic, json_extract_string(props, '$.k') AS value FROM events WHERE event_type <> 'home'
       |  UNION ALL
       |  SELECT event_type || '_user' AS topic, CAST(user_id AS VARCHAR) AS value FROM events WHERE event_type <> 'home'
+      |  UNION ALL
+      |  SELECT event_type || '_segment' AS topic, COALESCE(c_mktsegment, 'unknown') AS value
+      |  FROM events LEFT JOIN customer ON user_id = c_custkey WHERE event_type <> 'home'
       |  UNION ALL
       |  SELECT event_type || '_clicks' AS topic, '1' AS value FROM events WHERE event_type <> 'home'
       |)""".stripMargin
@@ -115,7 +119,7 @@ object RefQueries extends QueryFamily {
     "ref_clicks_by_segment" ->
       """SELECT event_type AS service, c_mktsegment AS segment, COUNT(*) AS cnt FROM events JOIN customer ON user_id = c_custkey WHERE event_type = 'click' GROUP BY 1, 2 ORDER BY 1, 2""",
     "ref_observed_topics" ->
-      s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
+      s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','segment','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
     "ref_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
         |m AS (SELECT user_id, event_id, tns,

@@ -199,12 +199,20 @@ object RelQueries extends QueryFamily {
     // dense_rank over tied aggregate values (ties make rank values
     // deterministic even though row order within a tie is not — output
     // keys on custkey)
+    // Scale-safe two-pass dense rank: dense_rank over the whole table
+    // depends only on the DISTINCT rank-key values, so rank the distinct
+    // n_orders values (a window over |distinct| rows — bounded by the
+    // value domain, not the row count) and broadcast-join the value→rank
+    // map back. Output identical to a global dense_rank() window without
+    // ever moving all rows to one reducer.
     "rel_dense_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("n_orders").desc)
-      Tables.orders(s, d)
+      val counts = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"))
-        .withColumn("rnk", dense_rank().over(w))
+      val rankMap = counts.select(col("n_orders")).distinct()
+        .withColumn("rnk", dense_rank().over(Window.orderBy(col("n_orders").desc)))
+      counts.join(broadcast(rankMap), Seq("n_orders"))
+        .select(col("o_custkey"), col("n_orders"), col("rnk"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -285,6 +293,33 @@ object RelQueries extends QueryFamily {
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n"),
           dollars(sum(cents(col("o_totalprice")))).as("total"))
+        .orderBy(col("quartile"))
+    }),
+
+    // THE 100 TB plan for rel_price_quartiles, side by side with the exact
+    // one: sketch the 3 cut points (one partial-agg pass, tiny driver
+    // result), then a NARROW bucketing pass — quartile = 1 + Σ(v > cutᵢ),
+    // no sort, no global window, no single reducer. Band sizes inherit the
+    // sketch's rank-error contract (each edge off by ≤ n/accuracy (+1), a
+    // band has two edges), which is what the oracle checks; the exact-cut
+    // values themselves are engine-specific, hence not emitted.
+    "rel_price_quartiles_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+      val cuts = o.agg(
+        percentile_approx(col("v"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("cuts"),
+        count(lit(1)).as("n"))
+      o.crossJoin(broadcast(cuts))
+        .select(col("n"),
+          (lit(1) + when(col("v") > element_at(col("cuts"), 1), 1).otherwise(0)
+            + when(col("v") > element_at(col("cuts"), 2), 1).otherwise(0)
+            + when(col("v") > element_at(col("cuts"), 3), 1).otherwise(0))
+            .as("quartile"))
+        .groupBy(col("quartile"), col("n"))
+        .agg(count(lit(1)).as("band_n"))
+        .select(col("quartile"), col("n"),
+          (abs(col("band_n") - col("n").cast("double") / 4.0) <=
+            lit(2.0) * (col("n").cast("double") / 10000.0 + 1.0)).as("band_size_ok"))
         .orderBy(col("quartile"))
     }),
 
@@ -487,6 +522,14 @@ object RelQueries extends QueryFamily {
         |ORDER BY quartile""".stripMargin,
     "rel_approx_users" ->
       "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_3rsd FROM events",
+    // band sizes are sketch-dependent; the checked output is the band
+    // structure (4 bands, total n) + the rank-error contract boolean
+    "rel_price_quartiles_approx" ->
+      """SELECT CAST(quartile AS INT) AS quartile,
+        |  (SELECT COUNT(*) FROM orders) AS n,
+        |  TRUE AS band_size_ok
+        |FROM (SELECT unnest(range(1, 5)) AS quartile) q
+        |ORDER BY quartile""".stripMargin,
     "rel_dense_rank" ->
       """SELECT o_custkey, n_orders, CAST(DENSE_RANK() OVER (ORDER BY n_orders DESC) AS INT) AS rnk FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) t ORDER BY o_custkey""",
     "rel_grouping_sets" ->

@@ -47,8 +47,14 @@ object BehaviorStream {
     * the reference's 4 independent sends (`serwer.js:100-118`, torn-event
     * hazard T6) become one atomic batched write. */
   def kafkaFanoutWriter(wideEvents: DataFrame, brokers: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    Behavior.fanoutMessages(wideEvents)
+      checkpoint: String,
+      customer: Option[DataFrame] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    customer.fold(Behavior.fanoutMessages(wideEvents)) { dim =>
+      // reference-parity 4-message fan-out: the user-attribute dimension
+      // joins as a stream-static broadcast join (stateless — no watermark
+      // needed; the static side is re-broadcast per batch)
+      Behavior.fanoutMessages(wideEvents, dim)
+    }
       .selectExpr("topic", "value")
       .writeStream
       .format("kafka")
