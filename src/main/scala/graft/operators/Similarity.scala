@@ -135,15 +135,20 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1))
       .select(col("cell"), col("cv"))
 
-    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+    // argmax-by-(sim desc, cell asc) as a lexicographic struct MIN — a
+    // partial-aggregating hash agg (map-side combine collapses the
+    // nCells-wide candidate rows BEFORE the shuffle) instead of a window
+    // sort that would shuffle all |corpus|·nCells rows. (-sim) ASC ==
+    // sim DESC exactly: IEEE negation is lossless, and the cell id breaks
+    // ties identically to the window's ORDER BY.
+    def assign(points: DataFrame, cents: DataFrame): DataFrame =
       points.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cell"),
-          cosineSeq(col("v"), col("cv")).as("sim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cell"))
-    }
+        .select(col("vec_id"), col("v"),
+          struct((-cosineSeq(col("v"), col("cv"))).as("negsim"),
+            col("cell")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), min(col("sc")).as("best"))
+        .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
 
     // Lloyd refinement: per-cell, per-dimension mean in integer micros —
     // sum(round(x·1e6)) is an exact long (order-independent), and the

@@ -171,28 +171,36 @@ object RelQueries extends QueryFamily {
     "rel_approx_quantiles" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
       val qs = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75)
-      val agg = o.agg(
+      // ONE value-collecting aggregate (sorted array, indexed at rank
+      // ⌈q·n⌉ = percentile_disc for all three cuts at once) instead of
+      // three separate percentile_disc object-aggregates each buffering
+      // the full column
+      val pre = o.agg(
         percentile_approx(col("v"), array(qs.map(q => lit(q._2)): _*),
           lit(10000)).as("cuts"),
         count(lit(1)).as("n"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("e1"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("e2"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("e3"))
-      val rows = agg.select(
+        sort_array(collect_list(col("v"))).as("sv"))
+        .select(col("cuts"), col("n"),
+          array(qs.map { case (_, f) =>
+            element_at(col("sv"), ceil(lit(f) * col("n")).cast("int"))
+          }: _*).as("exact_cuts"))
+      // ranks of all three approx cuts in ONE narrow n-row pass (three
+      // conditional sums), not a 3×n explode
+      val rankCols = qs.map { case (i, _) =>
+        sum(when(col("v") <= element_at(col("cuts"), i), 1L).otherwise(0L))
+          .as(s"r$i")
+      } ++ Seq(first(col("n")).as("n"), first(col("exact_cuts")).as("exact_cuts"))
+      val ranked = o.crossJoin(broadcast(pre))
+        .agg(rankCols.head, rankCols.tail: _*)
+      ranked.select(
         explode(array(qs.map { case (i, f) =>
-          struct(lit(i).as("quartile"), lit(f).as("f"),
-            element_at(col("cuts"), i).as("cut"),
-            element_at(array(col("e1"), col("e2"), col("e3")), i).as("exact_cut"))
-        }: _*)).as("r"), col("n"))
-        .select(col("r.quartile"), col("r.f"), col("r.cut"),
-          col("r.exact_cut"), col("n"))
-      // rank of the approx cut: one narrow 3×n pass, no sort
-      o.crossJoin(broadcast(rows))
-        .groupBy(col("quartile"), col("f"), col("cut"), col("exact_cut"), col("n"))
-        .agg(sum(when(col("v") <= col("cut"), 1L).otherwise(0L)).as("rank"))
-        .select(col("quartile"), col("exact_cut"), col("n"),
-          (abs(col("rank") - col("f") * col("n")) <=
-            col("n").cast("double") / 10000.0 + 1.0).as("approx_rank_ok"))
+          struct(lit(i).as("quartile"),
+            element_at(col("exact_cuts"), i).as("exact_cut"), col("n"),
+            (abs(col(s"r$i") - lit(f) * col("n")) <=
+              col("n").cast("double") / 10000.0 + 1.0).as("approx_rank_ok"))
+        }: _*)).as("r"))
+        .select(col("r.quartile"), col("r.exact_cut"), col("r.n"),
+          col("r.approx_rank_ok"))
         .orderBy(col("quartile"))
     }),
 

@@ -103,6 +103,27 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF is bit-deterministic across runs and repartitionings") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 0)
+    def run(c: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      Similarity.ivfTopK(c, queries, 2, nCells = 4, nProbe = 2)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = run(corpus)
+    // different physical layout → different aggregation/merge order; the
+    // integer-micros centroid arithmetic must make the result identical
+    // anyway (doubles compared bit-exactly, not approximately)
+    val b = run(corpus.repartition(7))
+    val c = run(corpus.repartition(1))
+    assert(a === b)
+    assert(a === c)
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
