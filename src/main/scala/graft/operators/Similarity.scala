@@ -190,11 +190,39 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold. */
+  /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
+    * Exact but O(n²) — the capability baseline;
+    * [[embeddingDupPairsLsh]] is the 100 TB plan. */
   def embeddingDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
     corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
       .crossJoin(corpus.select(col("vec_id").as("vec_b"), col("embedding").as("vb")))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosineSeq(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+
+  /** LSH-bucketed semantic near-dup pairs — the scale path for
+    * [[embeddingDupPairs]]: the all-pairs cross join becomes an equi-join
+    * on sign-LSH bucket id (one side multi-probed to hamming distance 1,
+    * so a pair split by a single hyperplane is still found), candidates
+    * exact-cosine verified. Cost Σ bucket·probe sizes instead of n²;
+    * recall is the sketch contract (a pair crossing ≥ 2 hyperplanes is
+    * missed), precision exact. Each qualifying pair joins exactly once:
+    * probe buckets per vector are distinct and the partner's bucket is
+    * exact, so no pair dedup is needed. */
+  def embeddingDupPairsLsh(corpus: DataFrame, threshold: Double,
+      nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val probe = cb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      explode(array(col("bucket") +:
+        (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+        .as("bucket"))
+    probe.join(
+      cb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSeq(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

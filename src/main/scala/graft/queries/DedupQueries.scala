@@ -55,6 +55,16 @@ object DedupQueries extends QueryFamily {
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.95)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // the 100 TB plan for dd_embedding: equi-join on sign-LSH bucket
+    // (hamming-1 multi-probe) instead of the n² cross join, exact cosine
+    // verify. Lower threshold than dd_embedding so the candidate/verify
+    // machinery is exercised on non-empty output (0.95 matches nothing in
+    // the synthetic corpus). Recall is the sketch contract; the oracle
+    // replicates the bucketing bit-for-bit, so the check is exact anyway.
+    "dd_embedding_lsh" -> ((s, d) =>
+      Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // pairs → transitive clusters: the keep-one-per-group stage of a
     // corpus dedup pass (oracle = recursive-CTE reachability in DuckDB)
     "dd_dup_clusters" -> ((s, d) =>
@@ -139,5 +149,29 @@ object DedupQueries extends QueryFamily {
         |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
         |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    // bit-exact replica of the LSH-bucketed near-dup join (same literal
+    // hyperplanes and IEEE fold sequence as the sim_topk_lsh oracle)
+    "dd_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |planes AS (SELECT * FROM ${SimQueries.planesSql}),
+         |buck AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, p.b,
+         |      list_reduce(list_transform(e.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+         |    FROM e CROSS JOIN planes p) d
+         |  GROUP BY vec_id),
+         |probe AS (
+         |  SELECT vec_id AS vec_a,
+         |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
+         |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT p.vec_a, c.vec_id AS vec_b,
+         |    ${SimQueries.cosineSql("ea.v", "eb.v")} AS cosine
+         |  FROM probe p
+         |  JOIN buck c ON p.bucket = c.bucket AND p.vec_a < c.vec_id
+         |  JOIN e ea ON ea.vec_id = p.vec_a
+         |  JOIN e eb ON eb.vec_id = c.vec_id) t
+         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -52,7 +52,7 @@ object SimQueries extends QueryFamily {
   /** The cosine expression the brute-force oracle already matches
     * bit-exactly: three independent sequential list folds over double-cast
     * elements — the same IEEE operation sequence as the native kernel. */
-  private def cosineSql(qv: String, v: String): String =
+  private[queries] def cosineSql(qv: String, v: String): String =
     s"""list_reduce(list_transform($qv, (x,i) -> x * $v[i]), (x,y) -> x + y) /
        |    (sqrt(list_reduce(list_transform($qv, x -> x*x), (x,y) -> x + y)) *
        |     sqrt(list_reduce(list_transform($v, x -> x*x), (x,y) -> x + y)))""".stripMargin
@@ -61,7 +61,7 @@ object SimQueries extends QueryFamily {
     * shortest-round-trip double repr parses back to the identical bits in
     * DuckDB's correctly-rounded strtod, so both engines bucket with the
     * exact same constants. */
-  private def planesSql: String =
+  private[queries] def planesSql: String =
     graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex
       .map { case (p, b) =>
         p.map(java.lang.Double.toString).mkString(s"($b, [", ", ", "])")

@@ -124,6 +124,25 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(a === c)
   }
 
+  test("LSH near-dup pairs: exact precision (subset of brute force), planted dup found") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)
+    } :+ ((100L, base, 0)) :+
+      ((101L, base.map(x => x + rnd.nextGaussian().toFloat * 0.01f), 0))
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val t = 0.9
+    val lsh = Similarity.embeddingDupPairsLsh(corpus, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.embeddingDupPairs(corpus, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact: every bucketed pair is a true near-dup pair
+    assert(lsh.subsetOf(brute))
+    // the planted near-identical pair shares all 8 sign bits -> found
+    assert(lsh.contains((100L, 101L)))
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
