@@ -146,14 +146,23 @@ object Dedup {
     // conservative under double rounding (too-long prefix = extra
     // candidates, never a missed pair)
     val prefix = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("oss"), lit(1),
+      posexplode(slice(col("oss"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")))
-        .as("h"))
-    val full = ordered.select(col("doc_id"), col("n"), explode(col("oss")).as("h"))
+        .as(Seq("pos", "h")))
+    val full = ordered.select(col("doc_id"), col("n"),
+      posexplode(col("oss")).as(Seq("pos", "h")))
+    // position filter (the PPJoin bound adapted to containment): at the
+    // FIRST shared occurrence no earlier element of either df-ordered list
+    // is shared, so |A∩B| ≤ min(na−pa, nb−pb); qualifying needs ≥ ⌈t·na⌉.
+    // Keeping a pair when ANY occurrence passes is a superset of
+    // first-match-passes — recall stays exact, candidates shrink BEFORE
+    // the distinct shuffle and the verify joins.
     val cand = prefix.as("a")
       .join(full.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("a.n") <= col("b.n"))
+          col("a.n") <= col("b.n") &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil(lit(threshold) * col("a.n") - lit(1e-9)))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()

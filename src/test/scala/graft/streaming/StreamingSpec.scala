@@ -195,6 +195,40 @@ class StreamingSpec extends GraftSparkSpec {
     }
   }
 
+  test("4-way fan-out on a stream (stream-static broadcast dim join) == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[(Long, Long, String, Int)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "k")
+      .withColumn("props", format_string("""{"k": %d}""", col("k")))
+    // stream-static join: stateless, no watermark — runs per microbatch
+    val q = Behavior.fanoutMessages(events, customer)
+      .writeStream.format("memory").queryName("fanout4_test")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((0L, 1L, "click", 7), (1L, 2L, "view", 3),
+        (2L, 9L, "click", 5)) // user 9: no dim row -> segment 'unknown'
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT topic, value FROM fanout4_test")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val want = Behavior.fanoutMessages(
+        rows.toDF("event_id", "user_id", "event_type", "k")
+          .withColumn("props", format_string("""{"k": %d}""", col("k"))),
+        customer)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got === want)
+      // 4 messages per non-home event, reference parity
+      assert(got.size === rows.size * 4)
+      assert(got.contains(("click_segment", "unknown")))
+      assert(got.contains(("click_segment", "BUILDING")))
+    } finally q.stop()
+  }
+
   test("kafka fan-out writer shape: (topic, value) string columns (S3 contract)") {
     val s = spark
     import s.implicits._
