@@ -137,11 +137,13 @@ object Dedup {
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ordered = occ.join(freq, Seq("h"))
+    // cached: BOTH the prefix index and the full-list probe side scan this
+    // (without it the occ+freq join+groupBy pipeline runs twice)
+    val ordered = scope.track(occ.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("os"))
       .select(col("doc_id"), size(col("os")).as("n"),
-        transform(col("os"), x => x.getField("h")).as("oss"))
+        transform(col("os"), x => x.getField("h")).as("oss")))
     // prefix length n − ⌈t·n − 1e-9⌉ + 1: the 1e-9 slack keeps ceil
     // conservative under double rounding (too-long prefix = extra
     // candidates, never a missed pair)
@@ -212,7 +214,9 @@ object Dedup {
     val occ = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefix = occ.join(freq, Seq("h"))
+    // cached: the candidate self-join scans the prefix index twice
+    // (without it the occ+freq join+groupBy+slice pipeline runs twice)
+    val prefix = scope.track(occ.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("os"))
       .select(col("doc_id"), size(col("os")).as("n"),
@@ -221,7 +225,7 @@ object Dedup {
         // a too-long prefix only admits extra candidates, never drops one.
         slice(transform(col("os"), x => x.getField("h")), lit(1),
           (size(col("os")) - ceil(lit(threshold) * size(col("os")) - lit(1e-9)) + 1).cast("int"))
-          .as("prefix"))
+          .as("prefix")))
     val pinv = prefix.select(col("doc_id"), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "h")))
     val alpha = ceil(lit(threshold / (1 + threshold)) *
