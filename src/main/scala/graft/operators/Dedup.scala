@@ -279,7 +279,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val sh = scope.track(shingleSets(docs)) // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
-    verifyPairs(minhashCandidates(minhashSignature(sh)), sh, threshold)
+    // signature cached: the band self-join scans its derivation twice, and
+    // the 128-hash minhash kernel is the expensive half of this operator
+    // (bandTable itself is a cheap 32-slice re-derivation per scan)
+    val sig = scope.track(minhashSignature(sh))
+    verifyPairs(minhashCandidates(sig), sh, threshold)
   }
 
   /** Join candidate pairs back to shingle sets and keep exact jaccard ≥ t. */

