@@ -67,9 +67,13 @@ object DedupQueries extends QueryFamily {
 
     // pairs → transitive clusters: the keep-one-per-group stage of a
     // corpus dedup pass (oracle = recursive-CTE reachability in DuckDB)
+    // pairs from ppjoinPairs: identical exact pair set to
+    // jaccardPairsExact at the same threshold (both exact), but the
+    // prefix-filtered path is ~2x cheaper and is the heavy-tail-safe
+    // choice a production clean pass would feed the cluster stage from
     "dd_dup_clusters" -> ((s, d) =>
       Graph.dupClusters(
-        Dedup.jaccardPairsExact(Tables.documents(s, d), Threshold)
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
   )
