@@ -41,6 +41,30 @@ class PropertySpec extends GraftSparkSpec {
     }
   }
 
+  test("4-way fan-out law: 4 messages per non-home event; segment from dim or 'unknown'") {
+    val s = spark
+    import s.implicits._
+    // dimension covers users 0-3; 4-5 must coalesce to 'unknown', never drop
+    val customer = Seq((0L, "A"), (1L, "B"), (2L, "C"), (3L, "D"))
+      .toDF("c_custkey", "c_mktsegment")
+    samples(eventsGen, 6).foreach { rows =>
+      val msgs = Behavior.fanoutMessages(toDf(rows), customer)
+      val nonHome = rows.count(_._2 != "home")
+      assert(msgs.count() === 4L * nonHome)
+      // every non-home event contributes exactly one segment message
+      val seg = msgs.filter(col("topic").endsWith("_segment"))
+      assert(seg.count() === nonHome.toLong)
+      val unknowns = seg.filter(col("value") === "unknown").count()
+      assert(unknowns === rows.count(r => r._2 != "home" && r._1 > 3L).toLong)
+      // the other three topics agree with the 3-way fan-out exactly
+      val three = Behavior.fanoutMessages(toDf(rows))
+      assert(msgs.filter(!col("topic").endsWith("_segment"))
+        .exceptAll(three).count() === 0L)
+      assert(three.exceptAll(msgs.filter(!col("topic").endsWith("_segment")))
+        .count() === 0L)
+    }
+  }
+
   test("rollup law: A1 counts summed per topic == A2 totals == raw message count") {
     samples(eventsGen, 4).foreach { rows =>
       val msgs = Behavior.fanoutMessages(toDf(rows))
