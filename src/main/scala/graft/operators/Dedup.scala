@@ -138,21 +138,28 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // cached: BOTH the prefix index and the full-list probe side scan this
-    // (without it the occ+freq join+groupBy pipeline runs twice)
+    // (without it the occ+freq join+groupBy pipeline runs twice). Keeps
+    // (df, h) so both exploded sides can drop df=1 ids — an id in exactly
+    // one document has no cross-document join partner, so the filter
+    // shrinks the shuffled explode volume with zero recall loss (n still
+    // counts ALL elements; only the join inputs shrink).
     val ordered = scope.track(occ.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("os"))
-      .select(col("doc_id"), size(col("os")).as("n"),
-        transform(col("os"), x => x.getField("h")).as("oss")))
+      .select(col("doc_id"), size(col("os")).as("n"), col("os")))
     // prefix length n − ⌈t·n − 1e-9⌉ + 1: the 1e-9 slack keeps ceil
     // conservative under double rounding (too-long prefix = extra
     // candidates, never a missed pair)
     val prefix = ordered.select(col("doc_id"), col("n"),
-      posexplode(slice(col("oss"), lit(1),
+      posexplode(slice(col("os"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")))
-        .as(Seq("pos", "h")))
+        .as(Seq("pos", "e")))
+      .filter(col("e.df") >= 2) // positions computed BEFORE the filter stay full-list positions
+      .select(col("doc_id"), col("n"), col("pos"), col("e.h").as("h"))
     val full = ordered.select(col("doc_id"), col("n"),
-      posexplode(col("oss")).as(Seq("pos", "h")))
+      posexplode(col("os")).as(Seq("pos", "e")))
+      .filter(col("e.df") >= 2)
+      .select(col("doc_id"), col("n"), col("pos"), col("e.h").as("h"))
     // position filter (the PPJoin bound adapted to containment): at the
     // FIRST shared occurrence no earlier element of either df-ordered list
     // is shared, so |A∩B| ≤ min(na−pa, nb−pb); qualifying needs ≥ ⌈t·na⌉.
@@ -223,11 +230,16 @@ object Dedup {
         // 1e-9 slack keeps ceil conservative when t*n rounds to just above
         // an exact integer (same slack as every other bound in this file):
         // a too-long prefix only admits extra candidates, never drops one.
-        slice(transform(col("os"), x => x.getField("h")), lit(1),
+        slice(col("os"), lit(1),
           (size(col("os")) - ceil(lit(threshold) * size(col("os")) - lit(1e-9)) + 1).cast("int"))
           .as("prefix")))
     val pinv = prefix.select(col("doc_id"), col("n"),
-      posexplode(col("prefix")).as(Seq("pos", "h")))
+      posexplode(col("prefix")).as(Seq("pos", "e")))
+      // df=1 ids have no cross-document partner: dropping them shrinks the
+      // self-joined inverted index with zero recall loss (positions are
+      // full-prefix positions, computed before the filter)
+      .filter(col("e.df") >= 2)
+      .select(col("doc_id"), col("n"), col("pos"), col("e.h").as("h"))
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = pinv.as("a")
