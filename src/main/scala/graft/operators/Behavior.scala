@@ -128,7 +128,10 @@ object Behavior {
   /** F6/A6 — percentage share of each service's clicks (the matplotlib
     * `autopct` denominator, `Raport.py:155`): sum-over-() analytic window.
     * Plain double division (no rounding) keeps the value bit-deterministic
-    * across engines. */
+    * across engines. Scale note: the unpartitioned window runs over the
+    * service-level AGGREGATE (|services| rows — bounded by the topic
+    * grammar, not the event count), so the single-partition exchange is a
+    * few rows at any corpus size. */
   def pctShare(msgs: DataFrame): DataFrame =
     clicksByService(msgs)
       .withColumn("pct",

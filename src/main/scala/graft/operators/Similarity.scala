@@ -131,6 +131,7 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id"), col("v").as("cv"))
+      // unpartitioned window over the ALREADY-LIMITED ≤ nCells sample rows
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1))
       .select(col("cell"), col("cv"))

@@ -30,6 +30,8 @@ object ReportSink {
       .filter(col("topic").endsWith("_clicks"))
       .groupBy(Behavior.serviceOf(col("topic")).as("service"))
       .agg(sum(col("cnt")).as("clicks"))
+      // unpartitioned window over the |services|-row aggregate (bounded
+      // by the topic grammar) — a few rows at any corpus size
       .withColumn("pct",
         (lit(100) * col("clicks")).cast("double") /
           sum(col("clicks")).over(Window.partitionBy()).cast("double"))
