@@ -72,8 +72,9 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine ranking within the bucket. The 100 TB scale path:
     * the cross join becomes an equi-join on bucket id (shuffle hash join),
-    * cost proportional to Σ bucket². Recall is tunable via nBits (and, in
-    * a production variant, multi-probe over neighboring buckets). */
+    * cost proportional to Σ bucket². Recall is tunable via nBits and
+    * `probeHamming` (hamming-1 multi-probe over neighboring buckets,
+    * implemented below). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8,
       dim: Int = 64, probeHamming: Int = 0): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
