@@ -6,10 +6,44 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Each query gets one untimed warmup execution (absorbs Janino codegen +
-  * JIT compilation, which otherwise dominates sub-second queries), then one
-  * timed execution driven to completion via count().
+  * JIT compilation, which otherwise dominates sub-second queries), then at
+  * least two timed executions driven to completion via count().
+  *
+  * Stall defense: this host exhibits intermittent multi-second JVM stalls
+  * (documented in prior rounds' verdicts — identical runs vary 0.3 s vs
+  * 80 s). A single best-of-2 did not absorb a *sustained* stall window, so
+  * the artifact could record a ~10x phantom regression on unchanged code.
+  * Two countermeasures:
+  *   1. Per-run times are emitted in the JSON ("runs") so a stall is
+  *      visible in the artifact instead of silently inflating the total.
+  *   2. A query is re-measured (bounded: at most 2 extra runs) while its
+  *      observed runs disagree by more than 2x, or while its best-of
+  *      exceeds 3x the prior round's value (read from BENCH_PRIOR.json in
+  *      the working directory when present). Bounded retries mean a real
+  *      regression still surfaces after +2 runs; a transient stall does not.
   */
 object Bench {
+  /** Prior-round per-query seconds, parsed from BENCH_PRIOR.json if the
+    * file exists (one JSON line in this program's own output format). A
+    * hand-rolled regex keeps the dependency surface at zero; the file is
+    * machine-written so the simple `"name":number` shape is reliable.
+    */
+  private def loadPrior(): Map[String, Double] = {
+    val f = new java.io.File("BENCH_PRIOR.json")
+    if (!f.isFile) return Map.empty
+    try {
+      val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val qStart = text.indexOf("\"queries\":{")
+      if (qStart < 0) return Map.empty
+      val qEnd = text.indexOf('}', qStart)
+      val body = text.substring(qStart, if (qEnd < 0) text.length else qEnd)
+      val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
+      pair.findAllMatchIn(body).collect {
+        case m if m.group(1) != "queries" => m.group(1) -> m.group(2).toDouble
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +56,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val prior = loadPrior()
     // optional comma-separated name prefixes for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
@@ -31,29 +66,38 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
-        val times = (1 to 2).map { _ =>
-          // Timed runs are INTENTIONALLY warm-cache: the warmup's cached
-          // InMemoryRelations (CacheManager matches identical plans) stay
-          // live, so dedup-operator timings measure steady-state execution
-          // downstream of their load-bearing internal caches. This matches
-          // the methodology of every prior round's BENCH artifact; cold
-          // (clearCache-between-runs) timings measured ~4x higher on the
-          // cache-heavy dd_ queries and are not comparable.
+        // Timed runs are INTENTIONALLY warm-cache: the warmup's cached
+        // InMemoryRelations (CacheManager matches identical plans) stay
+        // live, so dedup-operator timings measure steady-state execution
+        // downstream of their load-bearing internal caches. This matches
+        // the methodology of every prior round's BENCH artifact; cold
+        // (clearCache-between-runs) timings measured ~4x higher on the
+        // cache-heavy dd_ queries and are not comparable.
+        def timedRun(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min // best-of-2: the host has intermittent multi-second stalls
-      } catch { case _: Throwable => name -> -1.0 }
+        val runs = scala.collection.mutable.ArrayBuffer(timedRun(), timedRun())
+        def stallSuspect: Boolean =
+          runs.max > 2.0 * runs.min ||
+            prior.get(name).exists(p => p > 0 && runs.min > 3.0 * p)
+        while (stallSuspect && runs.size < 4) runs += timedRun()
+        (name, runs.min, runs.toList)
+      } catch { case _: Throwable => (name, -1.0, Nil) }
       finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val perRun = results.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a filtered run is labelled as such so its partial total can't be
     // mistaken for (or overwrite) a full benchmark artifact
     val onlyTag = only.map(p => s""","only":"${p.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$onlyTag}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$perRun,"sf":"$sfDir"$onlyTag}""")
     spark.stop()
   }
 }

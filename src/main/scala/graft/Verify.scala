@@ -44,6 +44,19 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Partial-run marker (mirrors Bench's "only" tag): a filtered run
+    // overwrites oracle_sql.json with a subset, and WITHOUT a marker the
+    // stale full-run parquet dumps sitting next to it would make the
+    // partial artifact look like a complete verification. A sibling file
+    // (not a key inside oracle_sql.json — the driver iterates that file's
+    // keys as query names) records the active filter; a full run deletes
+    // any stale marker so it can't mislabel a complete artifact either.
+    val marker = Paths.get(s"$outDir/_partial_run.json")
+    only match {
+      case Some(p) =>
+        Files.writeString(marker, s"""{"only": ${q(p.mkString(","))}}""")
+      case None => Files.deleteIfExists(marker)
+    }
     spark.stop()
   }
 }

@@ -47,10 +47,24 @@ final class CacheScope private[operators] (managed: Boolean) {
 
 object CacheScope {
 
-  /** The default scope: caches are created but never released by the
-    * operator — session-lifetime semantics, identical to a plain
-    * `.cache()` (the driver's Verify/Bench loops clear between queries). */
+  /** The session-lifetime scope: caches are created but never released by
+    * the operator — identical to a plain `.cache()` (the driver's
+    * Verify/Bench loops clear between queries). This is what [[ambient]]
+    * resolves to outside any [[scoped]] block. */
   val unmanaged: CacheScope = new CacheScope(managed = false)
+
+  private val ambientVar =
+    new scala.util.DynamicVariable[CacheScope](unmanaged)
+
+  /** The scope an operator picks up when its caller passes none — the
+    * innermost enclosing [[scoped]] block's managed scope, or [[unmanaged]]
+    * outside any block. This is how pre-built query closures whose
+    * signature has no scope parameter (the `SparkEntry.queries` registry:
+    * `(SparkSession, dir) => DataFrame`) still get bounded cache lifetimes:
+    * the library caller wraps build-plus-action in `CacheScope.scoped`,
+    * and every operator the registry entry invokes routes its caches
+    * through that scope. */
+  def ambient: CacheScope = ambientVar.value
 
   /** Loan pattern: build an operator plan that caches through a fresh
     * scope, hand it to `use`, and release all operator-created caches when
@@ -60,5 +74,26 @@ object CacheScope {
   def using[A](build: CacheScope => DataFrame)(use: DataFrame => A): A = {
     val scope = new CacheScope
     try use(build(scope)) finally scope.release()
+  }
+
+  /** Ambient loan pattern for plans built by code you don't control the
+    * signature of (e.g. the `SparkEntry.queries` registry). Every operator
+    * invoked while `body` runs — on this thread — defaults to one fresh
+    * managed scope, and every cache those operators created is released
+    * when `body` finishes, whether it returns or throws:
+    *
+    * {{{
+    * CacheScope.scoped {
+    *   SparkEntry.queries("dd_ppjoin")(spark, dir).count()
+    * } // all operator caches released here
+    * }}}
+    *
+    * `body` must CONSUME its DataFrames (run the action inside the
+    * block); a frame escaping the block would silently recompute
+    * uncached. Thread-scoped (DynamicVariable): plans built on other
+    * threads see their own ambient. */
+  def scoped[A](body: => A): A = {
+    val scope = new CacheScope
+    try ambientVar.withValue(scope)(body) finally scope.release()
   }
 }

@@ -82,7 +82,7 @@ object Dedup {
     * [[ppjoinPairs]] (prefix+position filtered, still exact) or
     * [[minhashPairs]] (the 100 TB sketch path). */
   def jaccardPairsExact(docs: DataFrame, threshold: Double,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     require(threshold > 0, "count-sharing join requires a positive threshold")
     val sh = shingleSets(docs)
     // cache() is LOAD-BEARING: the self-join scans occ twice, and without
@@ -127,7 +127,7 @@ object Dedup {
     * load-bearing. Survivors are exact-verified per pair on the shingle
     * arrays (candidates ≪ corpus, so the verify join is cheap). */
   def containmentPairs(docs: DataFrame, threshold: Double,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     require(threshold > 0 && threshold <= 1, "containment threshold in (0, 1]")
     val sh = scope.track(shingleSets(docs)) // 4 downstream scans: occ (feeding freq + the ordered join) and the 2 verify joins
     // dictionary-encoded occurrence table (see ppjoinPairs: same id scheme,
@@ -206,7 +206,7 @@ object Dedup {
     * side stays broadcast-eligible; at corpus scale AQE demotes it to a
     * shuffle join keyed on doc_id). */
   def ppjoinPairs(docs: DataFrame, threshold: Double,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     require(threshold > 0 && threshold < 1, "prefix filter needs 0 < t < 1")
     val sh = scope.track(shingleSets(docs)) // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling per consumer measured 3-8x slower
     // Dictionary-encode shingles to 64-bit ids BEFORE anything shuffles:
@@ -289,7 +289,7 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, exact-verified: sketch recall, exact
     * precision. */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     val sh = scope.track(shingleSets(docs)) // multi-consumer plan: cached blocks are LRU-evicted under pressure, and re-shingling 3x per query measured 3-8x slower
     // signature cached: the band self-join scans its derivation twice, and
     // the 128-hash minhash kernel is the expensive half of this operator
@@ -322,7 +322,7 @@ object Dedup {
     * is exact for the hamming ball. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       portable: Boolean = false,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
     val chunkBits = if (portable) 15 else 16
     val chunkMask = (1L << chunkBits) - 1

@@ -31,10 +31,18 @@ object Graph {
     * label) + one aggregation — all scale-out friendly; `localCheckpoint`
     * truncates the iterative lineage so plans don't grow with rounds.
     *
-    * Termination: converged when no label changed (distributed count,
-    * checked per round), capped at `maxIter`; hitting the cap without
-    * convergence logs a warning (labels would be partially propagated —
-    * observable instead of silently wrong). */
+    * Termination: converged when a round changed no label, capped at
+    * `maxIter`; hitting the cap without convergence logs a warning (labels
+    * would be partially propagated — observable instead of silently
+    * wrong). The check is kept cheap two ways: (a) each round CARRIES its
+    * previous label in a `prev` column, so detecting "this round was a
+    * no-op" is a narrow filter over the round's already-checkpointed
+    * blocks — no extra join, no recompute; (b) the check only runs every
+    * SECOND round (labels are monotone non-increasing, so "round 2k was a
+    * no-op" is exactly convergence; at worst one extra no-op round runs
+    * before detection). Per-round driver actions: the eager
+    * `localCheckpoint` plus, every other round, one block-local isEmpty —
+    * half the actions of the previous check-every-round join+count. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val cols = edges.columns
     require(cols.length >= 2, "edge list needs (src, dst) columns")
@@ -56,22 +64,21 @@ object Graph {
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"))
+          least(col("cc"), coalesce(col("nbr_cc"), col("cc"))).as("cc"),
+          col("cc").as("prev")) // this round's starting label, carried for the convergence check
       // pointer jumping: follow cc -> cc's own label (always <= cc since a
       // label's own label is a running min); halves remaining chain length
       // every round, giving O(log diameter) total rounds
       val next = stepped
         .join(stepped.select(col("id").as("cc"), col("cc").as("cc2")),
           Seq("cc"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"))
+        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"),
+          col("prev"))
         .localCheckpoint()
-      val changed = next.select(col("id"), col("cc").as("cc_new"))
-        .join(labels, Seq("id"))
-        .filter(col("cc_new") =!= col("cc"))
-        .count()
-      labels = next
-      converged = changed == 0
       iter += 1
+      if (iter % 2 == 0 || iter >= maxIter)
+        converged = next.filter(col("cc") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("cc"))
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -143,10 +143,19 @@ object Similarity {
     // sort that would shuffle all |corpus|·nCells rows. (-sim) ASC ==
     // sim DESC exactly: IEEE negation is lossless, and the cell id breaks
     // ties identically to the window's ORDER BY.
+    //
+    // NaN guard: a zero-norm vector (e.g. a centroid whose every
+    // coordinate quantizes to 0 micros) makes cosine 0/0 = NaN, and the
+    // two engines would then DISAGREE on this argmax — Spark's struct MIN
+    // orders NaN largest (never picked), DuckDB's ORDER BY cosine DESC
+    // ranks NaN first (always picked). Coalescing NaN to a -2.0 sentinel
+    // (below any real cosine) on BOTH sides makes them identical: a
+    // NaN-cosine cell loses everywhere, and an all-NaN row falls back to
+    // the lowest cell id. No-op for non-degenerate input.
     def assign(points: DataFrame, cents: DataFrame): DataFrame =
       points.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"),
-          struct((-cosineSeq(col("v"), col("cv"))).as("negsim"),
+          struct((-nanvl(cosineSeq(col("v"), col("cv")), lit(-2.0))).as("negsim"),
             col("cell")).as("sc"))
         .groupBy(col("vec_id"))
         .agg(first(col("v")).as("v"), min(col("sc")).as("best"))

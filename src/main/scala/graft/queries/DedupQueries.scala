@@ -51,16 +51,21 @@ object DedupQueries extends QueryFamily {
       Dedup.simhashPairs(Tables.documents(s, d), 3, portable = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // threshold 0.4 (not a "dup-grade" 0.95): the synthetic corpus has no
+    // cosine above ~0.51, so 0.95 made the check vacuous (0 rows vs
+    // 0 rows). 0.4 emits rows at every SF, making the exact path's output
+    // actually verified; it also matches dd_embedding_lsh, whose result
+    // must be a subset of this one (recall is the only difference).
     "dd_embedding" -> ((s, d) =>
-      Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.95)
+      Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // the 100 TB plan for dd_embedding: equi-join on sign-LSH bucket
     // (hamming-1 multi-probe) instead of the n² cross join, exact cosine
-    // verify. Lower threshold than dd_embedding so the candidate/verify
-    // machinery is exercised on non-empty output (0.95 matches nothing in
-    // the synthetic corpus). Recall is the sketch contract; the oracle
-    // replicates the bucketing bit-for-bit, so the check is exact anyway.
+    // verify. Same threshold as dd_embedding, so its output is a strict
+    // recall-subset of the exact path's. Recall is the sketch contract;
+    // the oracle replicates the bucketing bit-for-bit, so the check is
+    // exact anyway.
     "dd_embedding_lsh" -> ((s, d) =>
       Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -152,7 +157,7 @@ object DedupQueries extends QueryFamily {
         |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
-        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     // bit-exact replica of the LSH-bucketed near-dup join (same literal
     // hyperplanes and IEEE fold sequence as the sim_topk_lsh oracle)
     "dd_embedding_lsh" ->

@@ -158,49 +158,53 @@ object RelQueries extends QueryFamily {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
-    // approximate quantiles — the documented scale path for
-    // rel_price_quartiles. The sketch's CUT VALUES are engine- and
-    // merge-order-specific, so the oracle-checked output carries (a) the
-    // EXACT discrete quantile (percentile_disc, cross-checked value for
-    // value against DuckDB) and (b) the sketch's rank-error CONTRACT as a
-    // boolean: |rank(approx_cut) − q·n| ≤ n/accuracy (+1 for the discrete
-    // rank boundary) — deterministic under any sketch merge order because
-    // the GK guarantee holds for all of them. The exact side is a
-    // single-reducer collect by definition (it IS the exact baseline the
-    // sketch replaces at scale).
+    // approximate quantiles next to their exact counterpart. The sketch's
+    // CUT VALUES are engine- and merge-order-specific, so the
+    // oracle-checked output carries (a) the EXACT discrete quantile
+    // (percentile_disc, cross-checked value for value against DuckDB) and
+    // (b) the sketch's rank-error CONTRACT as a boolean:
+    // |rank(approx_cut) − q·n| ≤ n/accuracy (+1 for the discrete rank
+    // boundary) — deterministic under any sketch merge order because the
+    // GK guarantee holds for all of them. The exact side is DISTRIBUTED
+    // order statistics ([[graft.operators.OrderStats]]): global ranks from
+    // a range partition + per-partition offsets, then pick the rows at
+    // rank ⌈q·n⌉ — no single reducer, no full-column buffer (the previous
+    // sort_array(collect_list) baseline buffered the whole column in one
+    // aggregation buffer).
     "rel_approx_quantiles" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+      val o = Tables.orders(s, d)
+        .select(col("o_totalprice").as("v"), col("o_orderkey").as("k"))
       val qs = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75)
-      // ONE value-collecting aggregate (sorted array, indexed at rank
-      // ⌈q·n⌉ = percentile_disc for all three cuts at once) instead of
-      // three separate percentile_disc object-aggregates each buffering
-      // the full column
+      val ranked = graft.operators.OrderStats.withGlobalRank(
+        o, Seq(col("v"), col("k")))
+      // the ≤ 3 rank-target rows, labelled by a tiny quartile frame (the
+      // non-equi broadcast join is one narrow scan of `ranked`)
+      val qframe = s.createDataFrame(qs).toDF("quartile", "f")
+      val exactCuts = ranked.join(broadcast(qframe),
+          col("rn") === ceil(col("f") * col("n")))
+        .select(col("quartile"), col("v").as("exact_cut"), col("n"))
+      // ranks of all three approx cuts in ONE narrow n-row pass (three
+      // conditional sums), not a 3×n explode
       val pre = o.agg(
         percentile_approx(col("v"), array(qs.map(q => lit(q._2)): _*),
           lit(10000)).as("cuts"),
-        count(lit(1)).as("n"),
-        sort_array(collect_list(col("v"))).as("sv"))
-        .select(col("cuts"), col("n"),
-          array(qs.map { case (_, f) =>
-            element_at(col("sv"), ceil(lit(f) * col("n")).cast("int"))
-          }: _*).as("exact_cuts"))
-      // ranks of all three approx cuts in ONE narrow n-row pass (three
-      // conditional sums), not a 3×n explode
+        count(lit(1)).as("cn"))
       val rankCols = qs.map { case (i, _) =>
         sum(when(col("v") <= element_at(col("cuts"), i), 1L).otherwise(0L))
           .as(s"r$i")
-      } ++ Seq(first(col("n")).as("n"), first(col("exact_cuts")).as("exact_cuts"))
-      val ranked = o.crossJoin(broadcast(pre))
+      } ++ Seq(first(col("cn")).as("cn"))
+      val ranksRow = o.crossJoin(broadcast(pre))
         .agg(rankCols.head, rankCols.tail: _*)
-      ranked.select(
+      val contracts = ranksRow.select(
         explode(array(qs.map { case (i, f) =>
           struct(lit(i).as("quartile"),
-            element_at(col("exact_cuts"), i).as("exact_cut"), col("n"),
-            (abs(col(s"r$i") - lit(f) * col("n")) <=
-              col("n").cast("double") / 10000.0 + 1.0).as("approx_rank_ok"))
-        }: _*)).as("r"))
-        .select(col("r.quartile"), col("r.exact_cut"), col("r.n"),
-          col("r.approx_rank_ok"))
+            (abs(col(s"r$i") - lit(f) * col("cn")) <=
+              col("cn").cast("double") / 10000.0 + 1.0).as("approx_rank_ok"))
+        }: _*)).as("c"))
+        .select(col("c.quartile"), col("c.approx_rank_ok"))
+      exactCuts.join(broadcast(contracts), Seq("quartile"))
+        .select(col("quartile"), col("exact_cut"), col("n"),
+          col("approx_rank_ok"))
         .orderBy(col("quartile"))
     }),
 
@@ -290,15 +294,29 @@ object RelQueries extends QueryFamily {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // ntile quartiles over a deterministic total order. Scale note: an
-    // unpartitioned window forces a single-reducer sort — the exact-rank
-    // capability demo; at 100 TB use approxQuantile / percentile_approx
-    // cut points plus a narrow bucketing pass instead.
+    // exact ntile quartiles over a deterministic total order, computed
+    // scale-safely: distributed global ranks
+    // ([[graft.operators.OrderStats]] — range partition + per-partition
+    // offsets, P parallel sorts) and then the standard NTILE bucket
+    // formula from (rank, n). Output is identical row for row to
+    // `ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)` — which is what
+    // the oracle runs — WITHOUT that window's single-reducer global sort.
     "rel_price_quartiles" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w))
-        .groupBy(col("quartile"))
+      val ranked = graft.operators.OrderStats.withGlobalRank(
+        Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey")),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      // NTILE(k): with n = k·q + r, buckets 1..r hold q+1 rows, the rest
+      // q. Integer ceil-divisions ((a + b − 1) DIV b) keep the bucket
+      // boundaries exact past 2^53 rows, where doubles would round.
+      val bucketed = ranked
+        .withColumn("__q", expr("n DIV 4"))
+        .withColumn("__r", expr("n % 4"))
+        .withColumn("quartile",
+          when(col("rn") <= col("__r") * (col("__q") + 1),
+            expr("(rn + __q) DIV (__q + 1)"))
+            .otherwise(expr("__r + (rn - __r * (__q + 1) + __q - 1) DIV __q"))
+            .cast("int"))
+      bucketed.groupBy(col("quartile"))
         .agg(count(lit(1)).as("n"),
           dollars(sum(cents(col("o_totalprice")))).as("total"))
         .orderBy(col("quartile"))
@@ -317,16 +335,24 @@ object RelQueries extends QueryFamily {
         percentile_approx(col("v"), array(lit(0.25), lit(0.5), lit(0.75)),
           lit(10000)).as("cuts"),
         count(lit(1)).as("n"))
-      o.crossJoin(broadcast(cuts))
-        .select(col("n"),
+      val bands = o.crossJoin(broadcast(cuts))
+        .select(
           (lit(1) + when(col("v") > element_at(col("cuts"), 1), 1).otherwise(0)
             + when(col("v") > element_at(col("cuts"), 2), 1).otherwise(0)
             + when(col("v") > element_at(col("cuts"), 3), 1).otherwise(0))
             .as("quartile"))
-        .groupBy(col("quartile"), col("n"))
+        .groupBy(col("quartile"))
         .agg(count(lit(1)).as("band_n"))
+      // anchor on a literal 1..4 frame: duplicate sketch cuts (possible on
+      // a skewed or duplicate-heavy distribution) can leave a band EMPTY,
+      // and grouping only observed bands would then emit < 4 rows — a
+      // spurious row-count mismatch vs the oracle's unconditional 4. An
+      // empty band surfaces as band_size_ok = false instead (band_n = 0).
+      s.range(1, 5).select(col("id").cast("int").as("quartile"))
+        .join(bands, Seq("quartile"), "left")
+        .crossJoin(broadcast(cuts.select(col("n"))))
         .select(col("quartile"), col("n"),
-          (abs(col("band_n") - col("n").cast("double") / 4.0) <=
+          (abs(coalesce(col("band_n"), lit(0L)) - col("n").cast("double") / 4.0) <=
             lit(2.0) * (col("n").cast("double") / 10000.0 + 1.0)).as("band_size_ok"))
         .orderBy(col("quartile"))
     }),

@@ -107,11 +107,15 @@ object SimQueries extends QueryFamily {
     * iterative refinement is exactly reproducible; every double op
     * (cosine, the micros→double division) is a fixed IEEE sequence. */
   private def ivfOracleSql: String = {
+    // the CASE mirrors the engine's NaN→-2.0 sentinel in ivfTopK's assign
+    // (see Similarity.scala): without it a zero-norm vector's NaN cosine
+    // would rank FIRST here (DuckDB orders NaN above everything) but lose
+    // in Spark's struct-min argmax — a silent desynchronization
     def assignSql(cents: String): String =
       s"""SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
-         |  FROM e CROSS JOIN $cents c) s WHERE rn = 1""".stripMargin
+         |  SELECT vec_id, v, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY (CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END) DESC, cell) AS rn
+         |  FROM (SELECT e.vec_id, e.v, c.cell, ${cosineSql("e.v", "c.cv")} AS cos0 FROM e CROSS JOIN $cents c) x) s WHERE rn = 1""".stripMargin
     def meansSql(assigned: String): String =
       s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
          |  SELECT cell, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
