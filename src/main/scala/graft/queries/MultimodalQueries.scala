@@ -49,15 +49,20 @@ object MultimodalQueries extends QueryFamily {
       s"""SELECT doc_id, $mimeSql AS mime, octet_length(encode(text)) AS n_bytes FROM documents ORDER BY doc_id""",
     "mm_mime_stats" ->
       s"""SELECT mime, COUNT(*) AS n_docs, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM (SELECT $mimeSql AS mime, text FROM documents) t GROUP BY mime ORDER BY mime""",
-    // the stub decoder's byte statistics replicated over the UTF-8
-    // payload (documents are ASCII, so unicode(char) IS the byte value);
-    // the sequential `entropy -= term` loop equals -(sequential sum) in
-    // IEEE, folded here in ascending byte order to mirror the histogram
-    // scan, then rounded to 6dp (log's last bit is libm-specific)
+    // the stub decoder's byte statistics replicated at the BYTE level —
+    // hex(encode(text)) split into hex pairs — so the oracle matches the
+    // engine's UTF-8-byte histogram even if a document carries non-ASCII
+    // text (no unicode(char)==byte assumption); the sequential
+    // `entropy -= term` loop equals -(sequential sum) in IEEE, folded here
+    // in ascending byte order to mirror the histogram scan, then rounded
+    // to 6dp (log's last bit is libm-specific)
     "mm_features_stub" ->
-      s"""WITH ch AS (
-         |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS byte
-         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) u),
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS nb FROM documents),
+         |ch AS (
+         |  SELECT doc_id, ('0x' || substr(h, CAST(2*i - 1 AS INT), 2))::INT AS byte
+         |  FROM (SELECT doc_id, h, unnest(range(1, nb + 1)) AS i FROM b) u),
          |hist AS (SELECT doc_id, byte, COUNT(*) AS c FROM ch GROUP BY doc_id, byte),
          |feat AS (
          |  SELECT h.doc_id,
@@ -66,18 +71,18 @@ object MultimodalQueries extends QueryFamily {
          |    -list_reduce(
          |      list(p * ln(p) / ln(2) ORDER BY h.byte),
          |      (x, y) -> x + y) AS entropy
-         |  FROM (SELECT doc_id, byte, c,
-         |          CAST(c AS DOUBLE) / GREATEST(length(text), 1) AS p
-         |        FROM hist JOIN documents USING (doc_id)) h
+         |  FROM (SELECT hist.doc_id, byte, c,
+         |          CAST(c AS DOUBLE) / GREATEST(nb, 1) AS p
+         |        FROM hist JOIN b USING (doc_id)) h
          |  GROUP BY h.doc_id)
-         |SELECT d.doc_id, $mimeSql AS mime,
-         |  CAST(length(text) AS INT) AS n_bytes,
+         |SELECT b.doc_id, $mimeSql AS mime,
+         |  CAST(nb AS INT) AS n_bytes,
          |  COALESCE(f.byte_sum, 0) AS byte_sum,
          |  COALESCE(f.n_distinct_bytes, 0) AS n_distinct_bytes,
-         |  CAST(COALESCE(f.byte_sum, 0) AS DOUBLE) / GREATEST(length(text), 1) AS mean_byte,
+         |  CAST(COALESCE(f.byte_sum, 0) AS DOUBLE) / GREATEST(nb, 1) AS mean_byte,
          |  ROUND(COALESCE(f.entropy, 0.0), 6) + 0.0 AS entropy_r6,
-         |  CAST(1 + length(text) // 64 AS INT) AS n_frames
-         |FROM documents d LEFT JOIN feat f USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |  CAST(1 + nb // 64 AS INT) AS n_frames
+         |FROM b LEFT JOIN feat f USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
   )
 }

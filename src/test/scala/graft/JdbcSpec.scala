@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 class JdbcSpec extends GraftSparkSpec {
 
+  // VARCHAR not Derby's default CLOB: CLOB cannot take a pushed equality
+  // predicate, and a real users dimension would declare bounded strings
+  private val varcharTypes =
+    "login VARCHAR(64), password VARCHAR(64), segment VARCHAR(32)"
+
   private val url = "jdbc:derby:memory:graftusers;create=true"
   private val props = {
     val p = new Properties()
@@ -33,19 +38,32 @@ class JdbcSpec extends GraftSparkSpec {
       .toDF("user_id", "login", "password", "segment")
   }
 
-  test("S7: append writes rows through a real JDBC sink, twice (idempotent schema)") {
-    // Derby maps Spark StringType to CLOB by default, and CLOB cannot take
-    // a pushed equality predicate — declare VARCHAR like a real dimension
-    users.write.mode("append")
-      .option("createTableColumnTypes",
-        "login VARCHAR(64), password VARCHAR(64), segment VARCHAR(32)")
+  // Each test is self-contained: the shared read-only dimension is
+  // recreated (overwrite) before every run of the suite, and the append
+  // test writes to its own uniquely-named in-memory database — no test
+  // depends on another's writes or on suite-level declaration order.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    users.write.mode("overwrite")
+      .option("createTableColumnTypes", varcharTypes)
       .jdbc(url, "users", props)
+  }
+
+  test("S7: append writes rows through a real JDBC sink, twice (idempotent schema)") {
+    // fresh database per run so "append creates the table, then adds" is
+    // observable regardless of what other tests (or a prior same-JVM run)
+    // did
+    val appendUrl =
+      s"jdbc:derby:memory:graftappend${System.nanoTime()};create=true"
+    users.write.mode("append")
+      .option("createTableColumnTypes", varcharTypes)
+      .jdbc(appendUrl, "users", props)
     // the reference appends one row per signup — a second append must add,
     // not replace
     users.filter(col("user_id") === 1L)
       .withColumn("user_id", lit(4L)).withColumn("login", lit("dee"))
-      .write.mode("append").jdbc(url, "users", props)
-    val n = spark.read.jdbc(url, "users", props).count()
+      .write.mode("append").jdbc(appendUrl, "users", props)
+    val n = spark.read.jdbc(appendUrl, "users", props).count()
     assert(n === 4)
   }
 
