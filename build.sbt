@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The benchmark driver captures the tail of stdout and parses the LAST
+// line as JSON. Two sbt behaviors have broken that in every round so far:
+// the default forked-run output strategy prefixes every line with
+// "[info] " (making graft.Bench's JSON line unparseable), and sbt appends
+// a final "[success] Total time: …" line after it. Emit forked output raw
+// and drop the success footer so the one-line JSON artifact is the last,
+// unprefixed line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * 80 s). A single best-of-2 did not absorb a *sustained* stall window, so
   * the artifact could record a ~10x phantom regression on unchanged code.
   * Two countermeasures:
-  *   1. Per-run times are emitted in the JSON ("runs") so a stall is
-  *      visible in the artifact instead of silently inflating the total.
+  *   1. Per-run times of queries whose runs disagreed are emitted in the
+  *      JSON ("anomalous_runs") so a stall is visible in the artifact
+  *      instead of silently inflating the total.
   *   2. A query is re-measured (bounded: at most 2 extra runs) while its
   *      observed runs disagree by more than 2x, or while its best-of
   *      exceeds 3x the prior round's value (read from BENCH_PRIOR.json in
@@ -90,14 +91,21 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val perRun = results.map { case (k, _, rs) =>
-      "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
+    // Per-run detail only for queries whose runs disagreed (a stall fired
+    // the re-measure, or best-of-2 spread >2x): the consumer of this line
+    // reads a bounded tail of stdout, so the universally-useful scalar
+    // "queries" map and "value" total are placed LAST on the line and the
+    // anomaly detail — usually empty — first. Key order carries no JSON
+    // semantics; it only controls what survives tail truncation.
+    val perRun = results.collect {
+      case (k, _, rs) if rs.size > 2 || (rs.nonEmpty && rs.max > 2.0 * rs.min) =>
+        "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a filtered run is labelled as such so its partial total can't be
     // mistaken for (or overwrite) a full benchmark artifact
-    val onlyTag = only.map(p => s""","only":"${p.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$perRun,"sf":"$sfDir"$onlyTag}""")
+    val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag"anomalous_runs":$perRun,"queries":$qs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -86,6 +86,29 @@ class StreamingSpec extends GraftSparkSpec {
       Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("session_window under skew: a 100k-event hot user merges into the " +
+    "sessions its gaps imply, not one row per event") {
+    val s = spark
+    import s.implicits._
+    // hot user: 100k events 1 s apart, except every 10_000th event jumps
+    // 10 min — with a 30 s gap that is exactly 10 sessions of 10k events;
+    // cold user: one event. session_window must hold per-SESSION state
+    // (11 rows out), never per-event state.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hotEvents = s.range(100000).select(
+      lit(1L).as("user_id"),
+      timestamp_millis(lit(base) + (col("id") % 10000) * 1000L +
+        floor(col("id") / 10000) * 1000000000L).as("event_ts"))
+    val events = hotEvents.unionAll(
+      Seq((2L, new java.sql.Timestamp(base))).toDF("user_id", "event_ts"))
+    val sessions = BehaviorStream.sessionCounts(events, "30 seconds")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sessions(1L) === ((10L, 100000L)))
+    assert(sessions(2L) === ((1L, 1L)))
+  }
+
   test("checkpoint restart: state survives a query stop/start (T5 exactly-once)") {
     val s = spark
     import s.implicits._
