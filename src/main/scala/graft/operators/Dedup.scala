@@ -65,6 +65,36 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
 
+  /** The complete corpus clean pass — what a training-data build actually
+    * runs end-to-end: exact dedup, then transitive near-dup clustering
+    * over the exact survivors, keeping one canonical document per
+    * cluster. Returns the surviving `doc_id`s.
+    *
+    * Stages (each individually scale-safe; see the stage operators):
+    *   1. [[dropExact]] — one shuffle keyed on content hash, keep min id;
+    *   2. [[ppjoinPairs]] over the survivors — exact prefix-filtered
+    *      near-dup pairs (swap in [[minhashPairs]] when the corpus
+    *      outgrows the exact join; same pair semantics at the planted
+    *      fixture similarities);
+    *   3. [[Graph.connectedComponents]] — O(log d) pointer-jump rounds;
+    *      a document survives iff it IS its cluster's canonical minimum
+    *      label (unpaired documents are their own cluster and survive).
+    * Nothing in the pass is all-pairs, and every shuffle is keyed
+    * (content hash / shingle id / vertex id). */
+  def dedupCorpus(docs: DataFrame, threshold: Double,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    // cached: consumed by the pair join's shingle projection AND the final
+    // anti-join (ids only — narrow blocks; recomputing would rescan docs)
+    val keep = scope.track(
+      dropExact(docs).select(col("keep_doc_id").as("doc_id")))
+    val pairs = ppjoinPairs(docs.join(keep, Seq("doc_id")), threshold, scope)
+      .select(col("doc_a"), col("doc_b"))
+    val nearDupVictims = Graph.connectedComponents(pairs)
+      .filter(col("id") =!= col("cc"))
+      .select(col("id").as("doc_id"))
+    keep.join(nearDupVictims, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via the classic count-sharing
     * set-similarity join: any pair with jaccard > 0 shares a shingle, so
     * the inverted-index self-join finds every qualifying pair (exact

@@ -27,11 +27,16 @@ object TextOps {
     * array when the document has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val grams = transform(
+    when(size(toks) >= n, array_distinct(ngramsOf(toks, n)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams of a token array WITH multiplicity (repetition
+    * statistics need occurrence counts; [[shingles]] distincts). */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
-  }
 
   /** English marker stopwords present in general text. */
   val enMarkers: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
@@ -125,6 +130,53 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         size(col("chunk")).as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** Repetition features (Gopher-rule family): per-document n-gram
+    * repetition statistics — the standard "drop boilerplate / templated /
+    * keyboard-mash documents" filter of a corpus build, complementing
+    * [[qualityFeatures]]'s length/stopword rules.
+    *
+    * Per document: `ttr` the type-token ratio; `top2_cnt` the occurrence
+    * count of the most frequent word 2-gram; `dup2_frac` / `dup3_frac`
+    * the fraction of n-gram occurrences whose n-gram occurs more than
+    * once in the document; `pass_repetition` a Gopher-shaped gate.
+    *
+    * Plan at scale: explode n-grams → hash aggregate keyed (doc_id, gram)
+    * (map-side partial combine absorbs the within-partition repeats that
+    * are the very signal measured) → hash aggregate keyed doc_id — the
+    * [[tfIdf]] shuffle shape. All counters are exact integers; each
+    * fraction is one double division (cross-engine bit-exact). */
+  def repetitionFeatures(docs: DataFrame): DataFrame = {
+    def gramStats(n: Int, p: String) =
+      docs.select(col("doc_id"),
+        explode(when(size(tokens(col("text"))) >= n,
+          ngramsOf(tokens(col("text")), n))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${p}_total"),
+          max(col("c")).as(s"${p}_top"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"${p}_dup"))
+    val types = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("t")).as("n_types"))
+    def frac(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) === 0, lit(0.0))
+        .otherwise(coalesce(num, lit(0L)).cast("double") / den.cast("double"))
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(types, Seq("doc_id"), "left")
+      .join(gramStats(2, "g2"), Seq("doc_id"), "left")
+      .join(gramStats(3, "g3"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        frac(col("n_types"), col("n_tokens")).as("ttr"),
+        coalesce(col("g2_top"), lit(0L)).as("top2_cnt"),
+        frac(col("g2_dup"), col("g2_total")).as("dup2_frac"),
+        frac(col("g3_dup"), col("g3_total")).as("dup3_frac"))
+      .withColumn("pass_repetition",
+        (col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.18).cast("int"))
   }
 
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by

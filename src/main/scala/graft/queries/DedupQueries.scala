@@ -81,6 +81,15 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
+
+    // the end-to-end clean pass: exact dedup → near-dup clusters over the
+    // survivors → keep each cluster's canonical doc. The exact stage only
+    // bites at sf0.1+ (the fixture plants exact dups there; smaller SFs
+    // have none — dd_exact_groups covers that logic on its own), the
+    // near-dup stage is non-vacuous at every SF.
+    "dd_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), Threshold)
+        .orderBy(col("doc_id"))),
   )
 
   /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
@@ -130,6 +139,22 @@ object DedupQueries extends QueryFamily {
        |SELECT lab.id AS doc_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY doc_id""".stripMargin
   }
 
+  /** End-to-end clean pass: exact survivors (min doc_id per md5 group),
+    * recursive-CTE reachability among THEM, keep ids that are their own
+    * cluster minimum. */
+  private val dedupCorpusOracle: String =
+    s"""WITH RECURSIVE ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id IN (SELECT doc_id FROM ex)),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE CAST([] AS VARCHAR[]) END AS sh FROM t),
+       |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+       |reach AS (SELECT src AS id, src AS r FROM e
+       |          UNION
+       |          SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+       |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id)
+       |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cc) ORDER BY doc_id""".stripMargin
+
   val oracles: ListMap[String, String] = ListMap(
     "dd_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, COUNT(*) - COUNT(DISTINCT text) AS n_dups FROM documents GROUP BY source ORDER BY source""",
@@ -149,6 +174,7 @@ object DedupQueries extends QueryFamily {
     "dd_minhash" -> bruteForceJaccard,
     "dd_simhash" -> simhashOracle,
     "dd_dup_clusters" -> dupClustersOracle,
+    "dd_dedup_corpus" -> dedupCorpusOracle,
     "dd_embedding" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT vec_a, vec_b, cosine FROM (

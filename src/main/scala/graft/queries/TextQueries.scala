@@ -140,6 +140,11 @@ object TextQueries extends QueryFamily {
           (length(col("dirty")) - length(TextOps.scrubPii(col("dirty"))))
             .as("removed_chars"))
         .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition filter metrics (the n-gram-repetition
+    // complement to txt_quality's length/stopword rules)
+    "txt_repetition" -> ((s, d) =>
+      TextOps.repetitionFeatures(docs(s, d)).orderBy(col("doc_id"))),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -194,5 +199,27 @@ object TextQueries extends QueryFamily {
         |        'https?://[^ ]+', '<URL>', 'g'),
         |        '[0-9]{7,}', '<NUM>', 'g') AS clean FROM d)
         |SELECT doc_id, md5(dirty) AS dirty_fp, md5(clean) AS clean_fp, CAST(length(dirty) - length(clean) AS INT) AS removed_chars FROM s ORDER BY doc_id""".stripMargin,
+    // n-gram counts are exact integers; each fraction is one double
+    // division with double-cast operands on both engines (bit-exact)
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total, CAST(MAX(c) AS BIGINT) AS top, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t WHERE len(toks) >= 3),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup FROM c3 GROUP BY 1),
+        |ty AS (SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |f AS (SELECT t.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(ty.n_types, 0) AS n_types,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(COALESCE(ty.n_types, 0) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ttr,
+        |  COALESCE(a2.top, 0) AS top2_cnt,
+        |  CASE WHEN COALESCE(a2.total, 0) = 0 THEN 0.0 ELSE CAST(a2.dup AS DOUBLE) / CAST(a2.total AS DOUBLE) END AS dup2_frac,
+        |  CASE WHEN COALESCE(a3.total, 0) = 0 THEN 0.0 ELSE CAST(a3.dup AS DOUBLE) / CAST(a3.total AS DOUBLE) END AS dup3_frac
+        |  FROM t LEFT JOIN ty ON t.doc_id = ty.doc_id LEFT JOIN a2 ON t.doc_id = a2.doc_id LEFT JOIN a3 ON t.doc_id = a3.doc_id)
+        |SELECT doc_id, n_tokens, n_types, ttr, top2_cnt, dup2_frac, dup3_frac,
+        |  CAST(dup2_frac <= 0.2 AND dup3_frac <= 0.18 AS INT) AS pass_repetition
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

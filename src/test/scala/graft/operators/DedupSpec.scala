@@ -64,6 +64,14 @@ class DedupSpec extends GraftSparkSpec {
     assert(jaccard < 0.5) // symmetric metric dilutes the embedding
   }
 
+  test("dedupCorpus keeps canonical docs: exact dup and near-dup victims dropped") {
+    // exact stage drops 1 (dup of 0, lower id wins); near-dup stage
+    // clusters {0, 2} and keeps canonical 0; reorder/unrelated/short docs
+    // are their own singleton clusters and survive
+    val kept = Dedup.dedupCorpus(docs, 0.8).collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 3L, 4L, 5L))
+  }
+
   test("ppjoin pairs == count-sharing exact pairs across thresholds") {
     for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
       val exact = Dedup.jaccardPairsExact(docs, t)

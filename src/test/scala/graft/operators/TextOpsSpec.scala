@@ -92,4 +92,20 @@ class TextOpsSpec extends GraftSparkSpec {
     val got = one(dirty).select(TextOps.scrubPii(col("text"))).head().getString(0)
     assert(got === "write <EMAIL> or see <URL> code <NUM> but room 421 stays")
   }
+
+  test("repetition features match hand math on planted repetitive text") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b a b a", "s"), // 2-grams {a b:2, b a:2}; 3-grams {a b a:2, b a b:1}
+      (1L, "v w x y z", "s"), // all unique
+      (2L, "one two", "s"), // one 2-gram, no 3-grams
+      (3L, "solo", "s") // no n-grams at all
+    )).toDF("doc_id", "text", "source")
+    val r = TextOps.repetitionFeatures(docs).collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4),
+        x.getDouble(5), x.getDouble(6), x.getInt(7)))).toMap
+    assert(r(0L) === ((5L, 2L, 0.4, 2L, 1.0, 2.0 / 3.0, 0)))
+    assert(r(1L) === ((5L, 5L, 1.0, 1L, 0.0, 0.0, 1)))
+    assert(r(2L) === ((2L, 2L, 1.0, 1L, 0.0, 0.0, 1)))
+    assert(r(3L) === ((1L, 1L, 1.0, 0L, 0.0, 0.0, 1)))
+  }
 }
