@@ -61,6 +61,7 @@ object Bench {
     // optional comma-separated name prefixes for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val harnessT0 = System.nanoTime()
     val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
@@ -105,7 +106,11 @@ object Bench {
     // a filtered run is labelled as such so its partial total can't be
     // mistaken for (or overwrite) a full benchmark artifact
     val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag"anomalous_runs":$perRun,"queries":$qs,"value":${fmt(total)}}""")
+    // harness wall seconds (warmups + all runs + retries): "value" is
+    // best-of total, so wall >> value is the signature of a stalled host
+    // — visible in the artifact instead of inferred from sbt timestamps
+    val wall = (System.nanoTime() - harnessT0) / 1e9
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag"wall":${fmt(wall)},"anomalous_runs":$perRun,"queries":$qs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -59,6 +59,27 @@ class PlanSpec extends GraftSparkSpec {
     assert(!plan.contains("CodegenFallback"), s"codegen fallback present:\n$plan")
   }
 
+  test("repetition features partial-aggregate the gram counts before shuffling") {
+    val df = graft.operators.TextOps.repetitionFeatures(Tables.documents(spark, sf))
+    val plan = physical(df)
+    // the (doc_id, gram) count must map-side combine — within-partition
+    // repeats are the signal, so they must collapse before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"gram counts shuffle raw occurrences:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in repetition plan:\n$plan")
+  }
+
+  test("corpus dedup pass never plans an unkeyed (all-pairs) join") {
+    val df = graft.operators.Dedup.dedupCorpus(Tables.documents(spark, sf), 0.8)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in dedup pass:\n$plan")
+    spark.catalog.clearCache() // release the pass's operator caches
+  }
+
   test("semi join plans as a real left-semi, anti as left-anti") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
