@@ -83,16 +83,28 @@ object Dedup {
     * (content hash / shingle id / vertex id). */
   def dedupCorpus(docs: DataFrame, threshold: Double,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
-    // cached: consumed by the pair join's shingle projection AND the final
-    // anti-join (ids only — narrow blocks; recomputing would rescan docs)
-    val keep = scope.track(
-      dropExact(docs).select(col("keep_doc_id").as("doc_id")))
-    val pairs = ppjoinPairs(docs.join(keep, Seq("doc_id")), threshold, scope)
+    // Survivor restriction as an ANTI-join against the exact-dup LOSERS
+    // (group rows minus the kept min id) rather than an inner join with
+    // the keep set: the loser side is the duplicated mass only — orders
+    // of magnitude smaller than the corpus on real data, empty on a clean
+    // corpus — so the join stays broadcast-shaped far longer, and the
+    // pair stage's shingle projection reads an almost-unfiltered scan.
+    // Cached: consumed by the pair join's shingle projection AND the
+    // final anti-join (ids only — narrow blocks).
+    val ids = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactLosers = scope.track(
+      ids.join(ids.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")),
+        Seq("fp"))
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id")))
+    val survivors = docs.join(exactLosers, Seq("doc_id"), "left_anti")
+    val pairs = ppjoinPairs(survivors, threshold, scope)
       .select(col("doc_a"), col("doc_b"))
     val nearDupVictims = Graph.connectedComponents(pairs)
       .filter(col("id") =!= col("cc"))
       .select(col("id").as("doc_id"))
-    keep.join(nearDupVictims, Seq("doc_id"), "left_anti")
+    survivors.select(col("doc_id"))
+      .join(nearDupVictims, Seq("doc_id"), "left_anti")
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via the classic count-sharing
