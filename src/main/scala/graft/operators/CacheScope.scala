@@ -30,6 +30,7 @@ final class CacheScope private[operators] (managed: Boolean) {
   def this() = this(managed = true)
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Cache `df` and, if this scope is managed, remember it for release. */
   private[operators] def track(df: DataFrame): DataFrame = {
@@ -38,10 +39,22 @@ final class CacheScope private[operators] (managed: Boolean) {
     df
   }
 
-  /** Unpersist every tracked cache (non-blocking) and forget it. */
+  /** Register a release action for storage `.cache()` cannot express
+    * (e.g. the persisted blocks behind a `localCheckpoint`, which
+    * `Dataset.unpersist`/`catalog.clearCache` never free). No-op in an
+    * unmanaged scope, mirroring [[track]]. NOTE: unlike an unpersisted
+    * cache (which silently recomputes), a released checkpoint cannot be
+    * recomputed — using the result after release fails loudly. */
+  private[operators] def onRelease(f: () => Unit): Unit =
+    if (managed) synchronized { hooks += f }
+
+  /** Unpersist every tracked cache (non-blocking), run every release
+    * hook, and forget both. */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    hooks.foreach(f => f())
+    hooks.clear()
   }
 }
 

@@ -100,7 +100,7 @@ object Dedup {
     val survivors = docs.join(exactLosers, Seq("doc_id"), "left_anti")
     val pairs = ppjoinPairs(survivors, threshold, scope)
       .select(col("doc_a"), col("doc_b"))
-    val nearDupVictims = Graph.connectedComponents(pairs)
+    val nearDupVictims = Graph.connectedComponents(pairs, scope = scope)
       .filter(col("id") =!= col("cc"))
       .select(col("id").as("doc_id"))
     survivors.select(col("doc_id"))

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The persisted RDD behind a `localCheckpoint`ed Dataset (its analyzed
+    * plan is a `LogicalRDD` leaf over the checkpoint blocks). Those blocks
+    * are invisible to `Dataset.unpersist`/`catalog.clearCache` — without
+    * an explicit release they live until JVM garbage collection notices
+    * the RDD object, which on a large heap can be never. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components by iterative min-label propagation.
     *
     * `edges` is an undirected edge list with two long columns (src, dst by
@@ -43,7 +55,8 @@ object Graph {
     * before detection). Per-round driver actions: the eager
     * `localCheckpoint` plus, every other round, one block-local isEmpty —
     * half the actions of the previous check-every-round join+count. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     val cols = edges.columns
     require(cols.length >= 2, "edge list needs (src, dst) columns")
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
@@ -54,6 +67,10 @@ object Graph {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cc"))
       .localCheckpoint()
+    // the round's live checkpoint; every previous round's blocks are dead
+    // the moment the next round materializes and are freed eagerly below
+    // (an iterative operator must hold O(1) rounds of state, not O(n))
+    var liveCkpt = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -75,11 +92,18 @@ object Graph {
         .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"),
           col("prev"))
         .localCheckpoint()
+      releaseCheckpoint(liveCkpt) // previous round: dead once `next` materialized
+      liveCkpt = next
       iter += 1
       if (iter % 2 == 0 || iter >= maxIter)
         converged = next.filter(col("cc") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("cc"))
     }
+    releaseCheckpoint(sym) // only the loop read the symmetrized edges
+    // the FINAL round's blocks back the returned frame — their lifetime
+    // belongs to the caller's scope (unmanaged: until GC, as before)
+    val finalCkpt = liveCkpt
+    scope.onRelease(() => releaseCheckpoint(finalCkpt))
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents hit maxIter=$maxIter without converging; " +
@@ -90,8 +114,9 @@ object Graph {
   /** Dup-pair clustering: near-dup pairs → (doc_id, cc) cluster labels
     * with cluster sizes. Docs not in any pair are not listed (they are
     * their own singleton cluster by definition). */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def dupClusters(pairs: DataFrame,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val cc = connectedComponents(pairs, scope = scope)
     val sizes = cc.groupBy(col("cc")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("cc"))
       .select(col("id").as("doc_id"), col("cc"), col("cluster_size"))

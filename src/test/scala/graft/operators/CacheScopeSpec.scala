@@ -34,7 +34,8 @@ class CacheScopeSpec extends GraftSparkSpec {
       "ppjoin" -> (s => Dedup.ppjoinPairs(docs, 0.5, s)),
       "containment" -> (s => Dedup.containmentPairs(docs, 0.9, s)),
       "minhash" -> (s => Dedup.minhashPairs(docs, 0.5, s)),
-      "simhash" -> (s => Dedup.simhashPairs(docs, 3, portable = true, s)))
+      "simhash" -> (s => Dedup.simhashPairs(docs, 3, portable = true, s)),
+      "dedupCorpus" -> (s => Dedup.dedupCorpus(docs, 0.8, s)))
     operators.foreach { case (name, build) =>
       val n = CacheScope.using(build) { pairs =>
         val c = pairs.count() // materializes the operator's lazy cache()s
