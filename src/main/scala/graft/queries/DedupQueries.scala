@@ -90,6 +90,16 @@ object DedupQueries extends QueryFamily {
     "dd_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), Threshold)
         .orderBy(col("doc_id"))),
+
+    // the cluster stage on the EMBEDDING modality: semantic near-dup
+    // pairs from the bucketed LSH join, transitively closed — semantic
+    // dedup's keep-one-per-meaning grouping
+    "dd_embedding_clusters" -> ((s, d) =>
+      Graph.dupClusters(
+        Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
+          .select(col("vec_a"), col("vec_b")))
+        .select(col("doc_id").as("vec_id"), col("cc"), col("cluster_size"))
+        .orderBy(col("vec_id"))),
   )
 
   /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
@@ -155,6 +165,35 @@ object DedupQueries extends QueryFamily {
        |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id)
        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cc) ORDER BY doc_id""".stripMargin
 
+  /** Sign-LSH embedding near-dup pairs as a reusable CTE chain ending in
+    * `lshp(vec_a, vec_b, cosine)` — bit-exact replica of
+    * [[graft.operators.Similarity.embeddingDupPairsLsh]] (same literal
+    * hyperplanes and IEEE fold sequence as the sim_topk_lsh oracle).
+    * Shared by the pair query and the embedding cluster stage. */
+  private val embeddingLshPairsCte: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |planes AS (SELECT * FROM ${SimQueries.planesSql}),
+       |buck AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, p.b,
+       |      list_reduce(list_transform(e.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+       |    FROM e CROSS JOIN planes p) d
+       |  GROUP BY vec_id),
+       |probe AS (
+       |  SELECT vec_id AS vec_a,
+       |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
+       |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r),
+       |lshp AS (
+       |  SELECT vec_a, vec_b, cosine FROM (
+       |    SELECT p.vec_a, c.vec_id AS vec_b,
+       |      ${SimQueries.cosineSql("ea.v", "eb.v")} AS cosine
+       |    FROM probe p
+       |    JOIN buck c ON p.bucket = c.bucket AND p.vec_a < c.vec_id
+       |    JOIN e ea ON ea.vec_id = p.vec_a
+       |    JOIN e eb ON eb.vec_id = c.vec_id) t
+       |  WHERE cosine >= 0.4)""".stripMargin
+
   val oracles: ListMap[String, String] = ListMap(
     "dd_exact_stats" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, COUNT(*) - COUNT(DISTINCT text) AS n_dups FROM documents GROUP BY source ORDER BY source""",
@@ -187,26 +226,16 @@ object DedupQueries extends QueryFamily {
     // bit-exact replica of the LSH-bucketed near-dup join (same literal
     // hyperplanes and IEEE fold sequence as the sim_topk_lsh oracle)
     "dd_embedding_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |planes AS (SELECT * FROM ${SimQueries.planesSql}),
-         |buck AS (
-         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM (
-         |    SELECT e.vec_id, p.b,
-         |      list_reduce(list_transform(e.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
-         |    FROM e CROSS JOIN planes p) d
-         |  GROUP BY vec_id),
-         |probe AS (
-         |  SELECT vec_id AS vec_a,
-         |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
-         |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r)
-         |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT p.vec_a, c.vec_id AS vec_b,
-         |    ${SimQueries.cosineSql("ea.v", "eb.v")} AS cosine
-         |  FROM probe p
-         |  JOIN buck c ON p.bucket = c.bucket AND p.vec_a < c.vec_id
-         |  JOIN e ea ON ea.vec_id = p.vec_a
-         |  JOIN e eb ON eb.vec_id = c.vec_id) t
-         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+      s"WITH $embeddingLshPairsCte\nSELECT vec_a, vec_b, cosine FROM lshp ORDER BY vec_a, vec_b",
+    // reachability over the SAME bit-exact LSH pair set (shared CTE)
+    "dd_embedding_clusters" ->
+      s"""WITH RECURSIVE $embeddingLshPairsCte,
+         |eg AS (SELECT vec_a AS src, vec_b AS dst FROM lshp UNION ALL SELECT vec_b AS src, vec_a AS dst FROM lshp),
+         |reach AS (SELECT src AS id, src AS r FROM eg
+         |          UNION
+         |          SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id),
+         |sz AS (SELECT cc, COUNT(*) AS cluster_size FROM lab GROUP BY cc)
+         |SELECT lab.id AS vec_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY vec_id""".stripMargin,
   )
 }
