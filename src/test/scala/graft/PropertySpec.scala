@@ -95,4 +95,38 @@ class PropertySpec extends GraftSparkSpec {
       if (r.getInt(2) > 0) assert(r.getDouble(1) === 1.0) // self-similarity
     }
   }
+
+  test("repetition-feature laws: fractions bounded, ttr consistent, " +
+    "all-identical text maximally repetitive") {
+    val s = spark
+    import s.implicits._
+    val docsGen = Gen.listOfN(12, textGen)
+    samples(docsGen, 6).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "src") }
+        .toDF("doc_id", "text", "source")
+      val toks = texts.map(_.split(" ", -1).toSeq)
+      val rows = TextOps.repetitionFeatures(docs).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      toks.zipWithIndex.foreach { case (tk, i) =>
+        val r = rows(i.toLong)
+        assert(r.getLong(1) === tk.size.toLong) // n_tokens
+        assert(r.getLong(2) === tk.distinct.size.toLong) // n_types
+        val (ttr, d2, d3) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+        assert(ttr > 0.0 && ttr <= 1.0)
+        assert(d2 >= 0.0 && d2 <= 1.0 && d3 >= 0.0 && d3 <= 1.0)
+        // a fully-duplicated 2-gram multiset forces a duplicated 3-gram
+        // multiset only when enough grams exist; the reverse bound always
+        // holds: distinct tokens => zero repetition
+        if (tk.distinct.size == tk.size) assert(d2 === 0.0 && d3 === 0.0)
+      }
+    }
+    // degenerate corpus: one token repeated — every gram is the same gram
+    val mono = Seq((0L, Seq.fill(30)("aa").mkString(" "), "src"))
+      .toDF("doc_id", "text", "source")
+    val m = TextOps.repetitionFeatures(mono).head()
+    assert(m.getDouble(5) === 1.0 && m.getDouble(6) === 1.0) // dup fracs
+    assert(m.getLong(4) === 29L) // top2_cnt: all 29 2-grams identical
+    assert(m.getInt(7) === 0) // gate rejects it
+  }
 }
