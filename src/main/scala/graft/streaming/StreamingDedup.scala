@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Incremental near-dup detection: a document STREAM checked against a
   * STATIC historical MinHash index — the production shape for corpus
@@ -47,6 +47,39 @@ object StreamingDedup {
       .select(col("doc_id"), col("dup_of"),
         Dedup.jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-modality historical index: every vector with its sign-LSH
+    * bucket id. In production this persists as a table bucketed by
+    * `bucket` — the stream side then joins without shuffling history. */
+  def buildVectorIndex(historical: DataFrame, nBits: Int = 8,
+      dim: Int = 64): DataFrame =
+    historical.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), nBits, dim).as("bucket"))
+
+  /** Semantic (embedding) incremental dedup — the [[dedupBatch]] analog
+    * on the vector modality, expressed as a PURE stream transform: all
+    * stream-side work is narrow (bucket bits + hamming-1 multi-probe
+    * explode), the bucket equi-join against the static index is
+    * stateless (Append-safe), and candidates are exact-cosine verified.
+    * Works identically on a batch frame (stream==batch law). Returns
+    * (vec_id, dup_of, cosine) per flagged historical near-dup. */
+  def dedupVectorStream(newVecs: DataFrame, index: DataFrame,
+      threshold: Double, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val probe = newVecs
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), nBits, dim).as("bucket0"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array(col("bucket0") +:
+          (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
+    probe
+      .join(index.select(col("vec_id").as("dup_of"),
+        col("embedding").as("hv"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("dup_of"))
+      .select(col("vec_id"), col("dup_of"),
+        Similarity.cosineSeq(col("embedding"), col("hv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Streaming wiring: each micro-batch of documents is checked against

@@ -52,4 +52,43 @@ class StreamingDedupSpec extends GraftSparkSpec {
       assert(f2(0).getDouble(2) === 1.0)
     } finally q.stop()
   }
+
+  test("embedding stream flags semantic dups via the static LSH bucket " +
+    "index, as a pure stream-static join (stream == batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val h0 = vec()
+    val historical = Seq((0L, h0), (1L, vec())).toDF("vec_id", "embedding")
+    val index = StreamingDedup.buildVectorIndex(historical, dim = 16)
+    index.cache().count()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val flagged = StreamingDedup.dedupVectorStream(
+      input.toDF().toDF("vec_id", "embedding"), index, 0.9, dim = 16)
+    assert(flagged.isStreaming) // a transform, not a foreachBatch escape
+    val q = flagged.writeStream.queryName("vec_dedup")
+      .outputMode("append").format("memory").start()
+    try {
+      // one semantic dup of historical vector 0 + one novel vector
+      val batch = Seq((100L, h0.clone()), (101L, vec()))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM vec_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.map(g => (g._1, g._2)) === Seq((100L, 0L)))
+      assert(got.head._3 > 0.99)
+      // stream == batch law: the same transform on a batch frame agrees
+      val batchGot = StreamingDedup.dedupVectorStream(
+        batch.toDF("vec_id", "embedding"), index, 0.9, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batchGot === got)
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
 }
