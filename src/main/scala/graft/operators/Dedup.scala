@@ -91,7 +91,10 @@ object Dedup {
     // pair stage's shingle projection reads an almost-unfiltered scan.
     // Cached: consumed by the pair join's shingle projection AND the
     // final anti-join (ids only — narrow blocks).
-    val ids = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    // cached: the (id, fingerprint) projection is consumed by both sides
+    // of the keeper join — without it the corpus text is scanned and
+    // hashed twice just for the exact stage
+    val ids = scope.track(docs.select(col("doc_id"), md5(col("text")).as("fp")))
     val exactLosers = scope.track(
       ids.join(ids.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")),
         Seq("fp"))
