@@ -97,4 +97,33 @@ object Multimodal {
       (0 until take).map(i => (i.toLong * nBytes / take).toInt)
     }
   }
+
+  /** Distributed frame sampling: one row per sampled frame of every
+    * payload — [[frameOffsets]] as a declarative generate (narrow, no
+    * shuffle; at 100 TB this is the "read k evenly-spaced frames per
+    * video without decoding the rest" access pattern, and the payload
+    * column itself is never widened, only its length is read).
+    *
+    * Offset arithmetic is floor(double) on exact-integer operands —
+    * i·nb ≤ maxFrames·2³¹ is exactly representable and the quotient's
+    * distance to any integer it isn't equal to is ≥ 1/take ≫ 1 ulp, so
+    * this equals [[frameOffsets]]'s integer division (spec-asserted) AND
+    * is bit-replicable in the oracle's FLOOR/CAST SQL. */
+  def frameSample(media: DataFrame, frameSize: Int, maxFrames: Int): DataFrame = {
+    require(frameSize > 0 && maxFrames > 0, "need positive frame geometry")
+    val nb = octet_length(col("bytes")).cast("long")
+    val take = least(
+      greatest(lit(1.0), floor(nb / lit(frameSize.toDouble))),
+      lit(maxFrames.toDouble))
+    media
+      .select(col("doc_id"), col("mime"), nb.as("n_bytes"),
+        take.cast("int").as("n_frames"))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_frames").cast("long") - 1),
+          i => floor((i * col("n_bytes")).cast("double") /
+            col("n_frames").cast("double")).cast("int")))
+          .as(Seq("frame_id", "frame_off")))
+  }
 }

@@ -39,6 +39,13 @@ object MultimodalQueries extends QueryFamily {
           (round(col("entropy"), 6) + lit(0.0)).as("entropy_r6"),
           col("n_frames"))
         .orderBy(col("doc_id"))),
+
+    // frame-sample access pattern: k evenly-spaced frame offsets per
+    // payload, 64-byte frames, at most 8 per doc — a narrow generate
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.syntheticMedia(Tables.documents(s, d)), 64, 8)
+        .orderBy(col("doc_id"), col("frame_id"))),
   )
 
   private val mimeSql =
@@ -84,5 +91,17 @@ object MultimodalQueries extends QueryFamily {
          |  CAST(1 + nb // 64 AS INT) AS n_frames
          |FROM b LEFT JOIN feat f USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+    // mirrored floor(double) offset arithmetic — see Multimodal.frameSample
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, $mimeSql AS mime, octet_length(encode(text)) AS nb FROM documents),
+         |f AS (SELECT doc_id, mime, CAST(nb AS BIGINT) AS n_bytes,
+         |        CAST(LEAST(GREATEST(1.0, FLOOR(CAST(nb AS DOUBLE) / 64.0)), 8.0) AS INT) AS n_frames
+         |      FROM m WHERE nb > 0)
+         |SELECT doc_id, mime, n_bytes, n_frames,
+         |  CAST(i AS INT) AS frame_id,
+         |  CAST(FLOOR(CAST(i * n_bytes AS DOUBLE) / CAST(n_frames AS DOUBLE)) AS INT) AS frame_off
+         |FROM f, (SELECT unnest(range(0, 8)) AS i) r
+         |WHERE i < n_frames
+         |ORDER BY doc_id, frame_id""".stripMargin,
   )
 }

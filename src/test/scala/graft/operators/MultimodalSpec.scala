@@ -38,4 +38,24 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(Multimodal.frameOffsets(10, 64, 4) === Seq(0))
     assert(Multimodal.frameOffsets(0, 64, 4) === Seq.empty)
   }
+
+  test("declarative frameSample == frameOffsets on every payload length") {
+    val s = spark
+    import s.implicits._
+    // lengths straddling each boundary: sub-frame, exact multiples,
+    // take ∈ {1..8}, non-dividing remainders
+    val lens = Seq(1, 10, 63, 64, 65, 128, 129, 200, 320, 448, 512, 513, 999)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "x" * n, "src") }
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.frameSample(Multimodal.syntheticMedia(docs), 64, 8)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(4)).map(_.getInt(5)).toSeq }
+    lens.zipWithIndex.foreach { case (n, i) =>
+      assert(got(i.toLong) === Multimodal.frameOffsets(n, 64, 8),
+        s"payload length $n")
+    }
+  }
 }
