@@ -160,6 +160,24 @@ object Behavior {
       .groupBy(col("event_type").as("service"), col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-user hour-of-day activity vector: 24 exact integer event counts,
+    * cast double — the behavioral fingerprint that turns user-similarity
+    * ("who browses like whom") into vector search over the existing
+    * cosine kernels. Plan at scale: one (user, hour)-keyed partial
+    * aggregate, one user-keyed assembly; the per-user state is a bounded
+    * 24-entry map, never the event list. */
+  def hourlyActivityVectors(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        hour(graft.Tables.eventTime(col("ts"))).cast("int").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("h"), col("c")))).as("m"))
+      .select(col("user_id"),
+        transform(sequence(lit(0), lit(23)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("v"))
+
   /** J2 — semi-join (`Raport.py:177-178`): derived `{service}_{dim}` names
     * probed against observed topics. */
   def observedTopics(msgs: DataFrame): DataFrame = {

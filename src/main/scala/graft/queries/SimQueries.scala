@@ -34,6 +34,19 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // behavioral similarity search (the EDBT/ICDE time-series-similarity
+    // shape on this engine's own domain): per-user hour-of-day activity
+    // vectors → exact top-3 most-similar users per query user. Counts
+    // are exact integers, so the double vectors and every cosine are
+    // bit-replicable in the oracle.
+    "sim_behavior_topk" -> ((s, d) => {
+      val vecs = graft.operators.Behavior
+        .hourlyActivityVectors(Tables.events(s, d))
+        .select(col("user_id").as("vec_id"), col("v").as("embedding"))
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 100), K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_label_centroid_norm" -> ((s, d) =>
       // per-label mean-vector norm: exercises vector aggregation
       // (zip_with-free: posexplode + groupBy position)
@@ -167,6 +180,25 @@ object SimQueries extends QueryFamily {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // dense 24-dim hour vectors via a users×hours grid left-joined to the
+    // (user, hour) counts; the cosine/rank shape mirrors the brute-force
+    // oracle exactly
+    "sim_behavior_topk" ->
+      s"""WITH hc AS (SELECT user_id, CAST(strftime(ts, '%H') AS INT) AS h, COUNT(*) AS c FROM events GROUP BY 1, 2),
+         |u AS (SELECT DISTINCT user_id FROM events),
+         |grid AS (SELECT u.user_id, CAST(r.i AS INT) AS h FROM u, (SELECT unnest(range(0, 24)) AS i) r),
+         |v AS (SELECT g.user_id, list(CAST(COALESCE(hc.c, 0) AS DOUBLE) ORDER BY g.h) AS v
+         |      FROM grid g LEFT JOIN hc ON hc.user_id = g.user_id AND hc.h = g.h GROUP BY g.user_id),
+         |p AS (
+         |  SELECT q.user_id AS query_id, b.user_id AS neighbor_id,
+         |    ${cosineSql("q.v", "b.v")} AS cosine
+         |  FROM v q CROSS JOIN v b
+         |  WHERE q.user_id < 100 AND q.user_id <> b.user_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM p) r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // approximate by CONTRACT (recall < 1 vs brute force, asserted in
     // SimilaritySpec) but deterministic by CONSTRUCTION — the oracle
     // replicates the full algorithm bit-for-bit instead of settling for a

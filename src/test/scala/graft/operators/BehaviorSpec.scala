@@ -81,4 +81,21 @@ class BehaviorSpec extends GraftSparkSpec {
     val parsed = odd.select(Behavior.serviceOf(col("topic"))).collect().map(_.getString(0))
     assert(parsed.toSeq === Seq("googlekubernetes", "foo_bar", "a"))
   }
+
+  test("hourly activity vectors: 24 dense counts from sparse (user, hour) events") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // one hour in ns
+    // user 1: two events in hour 0, one in hour 23; user 2: one in hour 5
+    val ev = Seq(
+      (1L, 0L), (1L, 30L * 60 * 1000 * 1000 * 1000), (1L, 23L * h),
+      (2L, 5L * h + 42L))
+      .toDF("user_id", "ts")
+    val vecs = Behavior.hourlyActivityVectors(ev).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(1L).length === 24)
+    assert(vecs(1L)(0) === 2.0 && vecs(1L)(23) === 1.0)
+    assert(vecs(1L).sum === 3.0) // nothing leaks into other buckets
+    assert(vecs(2L)(5) === 1.0 && vecs(2L).sum === 1.0)
+  }
 }
