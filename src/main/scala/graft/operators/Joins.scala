@@ -39,4 +39,39 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Exact integer division of a long column (Column `/` divides in
+    * DOUBLE, whose 2^53 mantissa corrupts ns-scale epoch values). */
+  private def idiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    Bridge.column(IntegralDivide(Bridge.expression(c.cast("long")), Literal(w)))
+  }
+
+  /** Range (interval) join via bin bucketing: `points` rows matched to
+    * `intervals` rows (columns `lo`, `hi`) where point ∈ [lo, hi).
+    * Intervals may overlap — a point matches every interval containing it.
+    *
+    * Catalyst plans a raw inequality join as BroadcastNestedLoopJoin —
+    * O(|points| · |intervals|) comparisons, a non-starter at 100 TB.
+    * Bucketing turns it into an equi-join: a point lands in bin
+    * `point DIV binWidth`; each interval is replicated to every bin it
+    * overlaps ((hi-lo)/binWidth + 1 rows, O(1) when binWidth is near the
+    * interval width); the bin equi-join plus the residual [lo, hi) filter
+    * is exact. The replicated interval side is broadcast here (dimension
+    * tables of time windows / ID ranges are small); for a large interval
+    * table drop the broadcast hint and both sides shuffle on `__bin`.
+    *
+    * Precondition: non-negative point/lo/hi domain (integral DIV truncates
+    * toward zero, which is floor only for non-negatives; shift first). */
+  def rangeJoinBinned(points: DataFrame, point: Column,
+      intervals: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(idiv(col("lo"), binWidth), idiv(col("hi") - 1, binWidth))))
+    points.withColumn("__bin", idiv(point, binWidth))
+      .join(broadcast(binned), Seq("__bin"))
+      .where(point >= col("lo") && point < col("hi"))
+      .drop("__bin")
+  }
 }

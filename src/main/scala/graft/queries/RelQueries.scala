@@ -420,6 +420,35 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    // -- range (interval) join ----------------------------------------
+    // events matched to OVERLAPPING 3-day windows striding 2 days from
+    // 2024-01-01 (epoch day 19723) — a genuine inequality join (an event
+    // can match two windows), executed as a binned equi-join
+    // (Joins.rangeJoinBinned) instead of Catalyst's BroadcastNestedLoop
+    // default. All-day arithmetic is exact integers.
+    "rel_range_join" -> ((s, d) => {
+      val baseDay = 19723L // 2024-01-01
+      val intervals = s.range(0, 14).select(
+        col("id").cast("int").as("interval_id"),
+        (lit(baseDay) + col("id") * 2).as("lo"),
+        (lit(baseDay) + col("id") * 2 + 3).as("hi"))
+      val points = Tables.events(s, d).select(
+        datediff(to_date(Tables.eventTime(col("ts"))),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("user_id"))
+      graft.operators.Joins.rangeJoinBinned(points, col("day"), intervals, 2L)
+        .groupBy(col("interval_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("interval_id"),
+          date_format(date_add(lit("1970-01-01").cast("date"),
+            col("lo").cast("int")), "yyyy-MM-dd").as("lo_date"),
+          date_format(date_add(lit("1970-01-01").cast("date"),
+            col("hi").cast("int")), "yyyy-MM-dd").as("hi_date"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("interval_id"))
+    }),
+
     // -- deterministic sampling ---------------------------------------
     // content-keyed stratified sample (portable md5 hash; rates per
     // order-status stratum), verified by per-stratum aggregates
@@ -596,6 +625,15 @@ object RelQueries extends QueryFamily {
       """SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey""",
     "rel_daily_events" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_range_join" ->
+      """WITH iv AS (SELECT CAST(i AS INT) AS interval_id, 19723 + 2*CAST(i AS BIGINT) AS lo, 19723 + 2*CAST(i AS BIGINT) + 3 AS hi FROM (SELECT unnest(range(0, 14)) AS i) r),
+        |e AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id FROM events)
+        |SELECT iv.interval_id,
+        |  strftime(DATE '1970-01-01' + CAST(lo AS INT), '%Y-%m-%d') AS lo_date,
+        |  strftime(DATE '1970-01-01' + CAST(hi AS INT), '%Y-%m-%d') AS hi_date,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM e JOIN iv ON e.day >= iv.lo AND e.day < iv.hi
+        |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
     "rel_stratified_sample" -> {
       val h = graft.operators.Sampling.hash60Sql("o_orderkey")
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

@@ -21,6 +21,33 @@ class JoinsSpec extends GraftSparkSpec {
     assert(salted.count() === plain.count())
   }
 
+  test("binned range join == naive inequality join, without a nested-loop plan") {
+    val s = spark
+    import s.implicits._
+    val points = (0L until 200L).map(p => (p, s"u${p % 7}")).toDF("p", "tag")
+    // overlapping intervals, widths 1..40, some empty, some covering all
+    val intervals = Seq((0, 0L, 1L), (1, 0L, 200L), (2, 10L, 50L), (3, 40L, 45L),
+      (4, 44L, 84L), (5, 300L, 310L)).toDF("interval_id", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .where(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("interval_id", "p")
+    for (binWidth <- Seq(1L, 7L, 64L)) {
+      val binned = Joins.rangeJoinBinned(points, col("p"), intervals, binWidth)
+        .select("interval_id", "p")
+      assert(binned.exceptAll(naive).count() === 0, s"extra rows at binWidth=$binWidth")
+      assert(naive.exceptAll(binned).count() === 0, s"missing rows at binWidth=$binWidth")
+    }
+    // boundary law: lo inclusive, hi exclusive
+    val one = Joins.rangeJoinBinned(points, col("p"), intervals, 7L)
+      .where(col("interval_id") === 3).select("p").as[Long].collect().sorted
+    assert(one.toSeq === Seq(40L, 41L, 42L, 43L, 44L))
+    // the point of the operator: an equi-join plan, not a nested loop
+    val plan = Joins.rangeJoinBinned(points, col("p"), intervals, 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bucketed tables join without an Exchange on either side") {
     val s = spark
     import s.implicits._
