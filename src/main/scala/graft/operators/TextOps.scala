@@ -188,6 +188,39 @@ object TextOps {
         (col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.18).cast("int"))
   }
 
+  /** Benchmark decontamination: per training document, the distinct word
+    * n-gram shingles it shares with ANY document of the evaluation/
+    * benchmark set (the GPT-3/Lee-et-al. overlap check that keeps eval
+    * answers out of the training corpus). Returns one row per
+    * contaminated training doc: total distinct n-grams, shared n-grams,
+    * number of benchmark docs hit, shared fraction, and a `flagged` gate
+    * at `flagFrac`.
+    *
+    * Plan at 100 TB: n-grams are hashed to fixed-width 60-bit keys
+    * ([[Sampling.hash60]] — engine-portable); the benchmark side (eval
+    * sets are MBs, not TBs) is exploded, deduped and BROADCAST, so the
+    * training side is one narrow explode + broadcast-hash semi-shaped
+    * join + a (doc_id)-keyed partial+final aggregate — no all-pairs work
+    * and no shuffle of the corpus itself. */
+  def contaminationReport(train: DataFrame, bench: DataFrame, n: Int,
+      flagFrac: Double): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), explode(shingles(col("text"), n)).as("g"))
+        .select(col(idAs), Sampling.hash60(col("g")).as("gh"))
+    val overlap = grams(train, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    val totals = train.select(col("doc_id"),
+      size(shingles(col("text"), n)).cast("long").as("n_grams"))
+    overlap.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("n_bench_docs"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("shared_frac"))
+      .withColumn("flagged", (col("shared_frac") >= flagFrac).cast("int"))
+  }
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * typed placeholder tokens. Patterns stay within the regex subset that
     * Java and RE2-family engines interpret identically. Pure per-row

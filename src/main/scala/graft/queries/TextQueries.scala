@@ -145,6 +145,16 @@ object TextQueries extends QueryFamily {
     // complement to txt_quality's length/stopword rules)
     "txt_repetition" -> ((s, d) =>
       TextOps.repetitionFeatures(docs(s, d)).orderBy(col("doc_id"))),
+
+    // benchmark decontamination: training docs sharing trigram shingles
+    // with the (deterministic doc_id % 97 == 0) "benchmark" slice
+    "txt_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.contaminationReport(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), 3, 0.2)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -221,5 +231,23 @@ object TextQueries extends QueryFamily {
         |SELECT doc_id, n_tokens, n_types, ttr, top2_cnt, dup2_frac, dup3_frac,
         |  CAST(dup2_frac <= 0.2 AND dup3_frac <= 0.18 AS INT) AS pass_repetition
         |FROM f ORDER BY doc_id""".stripMargin,
+    // same 60-bit md5 gram hash as the engine (Sampling.hash60); shared
+    // fraction is one double division — bit-exact cross-engine
+    "txt_decontaminate" -> {
+      val h = graft.operators.Sampling.hash60Sql("g")
+      val tri = "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest($tri) AS g FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, $h AS gh FROM g),
+         |ov AS (SELECT tr.doc_id, COUNT(DISTINCT tr.gh) AS n_shared, COUNT(DISTINCT be.doc_id) AS n_bench_docs
+         |       FROM (SELECT * FROM h WHERE doc_id % 97 <> 0) tr
+         |       JOIN (SELECT * FROM h WHERE doc_id % 97 = 0) be ON tr.gh = be.gh
+         |       GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(len($tri) AS BIGINT) AS n_grams FROM t WHERE len(toks) >= 3 AND doc_id % 97 <> 0)
+         |SELECT doc_id, n_grams, n_shared, n_bench_docs,
+         |  CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_frac,
+         |  CAST(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.2 AS INT) AS flagged
+         |FROM ov JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -108,4 +108,25 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(r(2L) === ((2L, 2L, 1.0, 1L, 0.0, 0.0, 1)))
     assert(r(3L) === ((1L, 1L, 1.0, 0L, 0.0, 0.0, 1)))
   }
+
+  test("contamination report matches hand math; clean and short docs absent") {
+    val bench = spark.createDataFrame(Seq(
+      (100L, "a b c d"), // trigrams {a b c, b c d}
+      (101L, "a b c q") // trigrams {a b c, b c q} — shares 'a b c' with 100
+    )).toDF("doc_id", "text")
+    val train = spark.createDataFrame(Seq(
+      (1L, "a b c x"), // shares 'a b c' (1 of 2 grams, both bench docs)
+      (2L, "x b c d y"), // shares 'b c d' (1 of 3 grams, bench 100 only)
+      (3L, "z z z z"), // no overlap
+      (4L, "x y") // too short for trigrams
+    )).toDF("doc_id", "text")
+    val r = TextOps.contaminationReport(train, bench, 3, 0.4)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getInt(5))))
+      .toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((2L, 1L, 2L, 0.5, 1)))
+    assert(r(2L) === ((3L, 1L, 1L, 1.0 / 3.0, 0)))
+  }
 }
