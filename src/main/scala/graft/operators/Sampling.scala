@@ -48,6 +48,31 @@ object Sampling {
     df.filter(hash60(key) % 1000 < rate)
   }
 
+  /** Deterministic corpus mixing by per-stratum epoch weights (permille):
+    * each row is emitted `weight/1000` whole copies plus one more iff its
+    * key hash falls under the fractional remainder — weight 1500 = 1.5
+    * epochs, 250 = keep a quarter, 0 = drop the stratum. The
+    * training-mix primitive (upsample rare or high-quality slices,
+    * downsample over-represented ones) with the same engine-portable,
+    * partition-independent guarantee as [[hashSample]]: membership AND
+    * multiplicity are pure functions of (stratum, key). Emits a 1-based
+    * `copy_id` per replica. Narrow per-row generate — no shuffle; output
+    * rows ≈ Σ n_s · w_s / 1000. */
+  def weightedRepeat(df: DataFrame, stratum: Column, key: Column,
+      weightsPermille: Map[String, Int]): DataFrame = {
+    require(weightsPermille.nonEmpty && weightsPermille.values.forall(_ >= 0),
+      "need non-negative per-stratum permille weights")
+    val copies = weightsPermille.foldLeft(lit(0)) { case (acc, (s, w)) =>
+      when(stratum === s,
+        lit(w / 1000) + when(hash60(key) % 1000 < w % 1000, 1).otherwise(0))
+        .otherwise(acc)
+    }
+    // sequence(1, 0) would DESCEND ([1, 0]), not produce empty — gate it
+    df.withColumn("copy_id",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Deterministic k-sample: the k rows with the smallest key hash — a
     * reproducible "random" subset with an exact size. Executes as a
     * TakeOrdered (per-partition top-k + driver merge), never a full

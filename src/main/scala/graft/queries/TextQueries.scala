@@ -146,6 +146,29 @@ object TextQueries extends QueryFamily {
     "txt_repetition" -> ((s, d) =>
       TextOps.repetitionFeatures(docs(s, d)).orderBy(col("doc_id"))),
 
+    // training-mix assembly: per-language epoch weights (de ×2, fr ×1.5,
+    // es ×1, en ×0.5, zh ×0.25) applied as deterministic repeat/sample;
+    // reports input vs emitted docs/rows/tokens per language
+    "txt_corpus_mix" -> ((s, d) => {
+      val weights = Map("en" -> 500, "de" -> 2000, "es" -> 1000,
+        "fr" -> 1500, "zh" -> 250)
+      val nToks = size(TextOps.tokens(col("text"))).cast("long")
+      val emitted = graft.operators.Sampling
+        .weightedRepeat(docs(s, d), col("lang"), col("doc_id"), weights)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_emitted"),
+          count(lit(1)).as("n_rows_emitted"),
+          sum(nToks).as("tokens_emitted"))
+      docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nToks).as("tokens_in"))
+        .join(emitted, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("tokens_in"),
+          coalesce(col("n_docs_emitted"), lit(0L)).as("n_docs_emitted"),
+          coalesce(col("n_rows_emitted"), lit(0L)).as("n_rows_emitted"),
+          coalesce(col("tokens_emitted"), lit(0L)).as("tokens_emitted"))
+        .orderBy(col("lang"))
+    }),
+
     // benchmark decontamination: training docs sharing trigram shingles
     // with the (deterministic doc_id % 97 == 0) "benchmark" slice
     "txt_decontaminate" -> ((s, d) => {
@@ -231,6 +254,26 @@ object TextQueries extends QueryFamily {
         |SELECT doc_id, n_tokens, n_types, ttr, top2_cnt, dup2_frac, dup3_frac,
         |  CAST(dup2_frac <= 0.2 AND dup3_frac <= 0.18 AS INT) AS pass_repetition
         |FROM f ORDER BY doc_id""".stripMargin,
+    // multiplicity is a pure function of (lang weight, doc_id hash); the
+    // oracle aggregates copies arithmetically — identical totals to the
+    // engine's exploded replica rows
+    "txt_corpus_mix" -> {
+      val h = graft.operators.Sampling.hash60Sql("doc_id")
+      s"""WITH w AS (SELECT doc_id, lang, $nToks AS ntoks,
+         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 2000 WHEN 'es' THEN 1000 WHEN 'fr' THEN 1500 WHEN 'zh' THEN 250 ELSE 0 END AS wt
+         |  FROM documents),
+         |c AS (SELECT *, wt // 1000 + CASE WHEN $h % 1000 < wt % 1000 THEN 1 ELSE 0 END AS copies FROM w),
+         |a AS (SELECT lang,
+         |  CAST(SUM(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_emitted,
+         |  CAST(SUM(copies) AS BIGINT) AS n_rows_emitted,
+         |  CAST(SUM(copies * ntoks) AS BIGINT) AS tokens_emitted FROM c GROUP BY 1),
+         |t AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntoks) AS BIGINT) AS tokens_in FROM w GROUP BY 1)
+         |SELECT t.lang, t.n_docs, t.tokens_in,
+         |  COALESCE(a.n_docs_emitted, 0) AS n_docs_emitted,
+         |  COALESCE(a.n_rows_emitted, 0) AS n_rows_emitted,
+         |  COALESCE(a.tokens_emitted, 0) AS tokens_emitted
+         |FROM t LEFT JOIN a USING (lang) ORDER BY lang""".stripMargin
+    },
     // same 60-bit md5 gram hash as the engine (Sampling.hash60); shared
     // fraction is one double division — bit-exact cross-engine
     "txt_decontaminate" -> {

@@ -44,6 +44,35 @@ class SamplingSpec extends GraftSparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("weighted repeat: multiplicity is (stratum weight, key hash)-determined") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "up" else if (i % 3 == 1) "keep" else "down"))
+      .toDF("doc_id", "stratum")
+    val out = Sampling.weightedRepeat(df, col("stratum"), col("doc_id"),
+      Map("up" -> 2500, "keep" -> 1000, "down" -> 400, "absent" -> 0))
+      .groupBy(col("doc_id"), col("stratum"))
+      .agg(count(lit(1)).as("n"), max(col("copy_id")).as("max_copy"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // copy_id is a dense 1..n per key; multiplicity matches the hash rule
+    out.foreach { case (id, (st, n, maxCopy)) =>
+      assert(n === maxCopy.toLong, s"copy_id not dense for $id")
+      val frac = st match { case "up" => 500; case "keep" => 0; case _ => 400 }
+      val whole = st match { case "up" => 2; case "keep" => 1; case _ => 0 }
+      val h = rows.filter(col("id") === id)
+        .select(Sampling.hash60(col("id")) % 1000).head().getLong(0)
+      assert(n === whole + (if (h < frac) 1 else 0), s"wrong multiplicity for $id ($st)")
+    }
+    // every keep-stratum row appears exactly once; dropped strata absent
+    val keeps = out.filter(_._2._1 == "keep")
+    assert(keeps.size === 100 && keeps.values.forall(_._2 == 1L))
+    // expected-rate sanity on the fractional strata
+    val upRows = out.filter(_._2._1 == "up").values.map(_._2).sum
+    assert(upRows >= 200 && upRows <= 300, s"2.5-epoch stratum emitted $upRows rows")
+  }
+
   test("hash60 matches the documented DuckDB construction on a known value") {
     // md5("42") = a1d0c6e83f027327d8461063f4ac58a6 -> top 15 hex digits
     val got = rows.filter(col("id") === 42).select(Sampling.hash60(col("id")))
