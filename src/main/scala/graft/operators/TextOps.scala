@@ -203,12 +203,22 @@ object TextOps {
     * join + a (doc_id)-keyed partial+final aggregate — no all-pairs work
     * and no shuffle of the corpus itself. */
   def contaminationReport(train: DataFrame, bench: DataFrame, n: Int,
-      flagFrac: Double): DataFrame = {
-    def grams(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs), explode(shingles(col("text"), n)).as("g"))
-        .select(col(idAs), Sampling.hash60(col("g")).as("gh"))
-    val overlap = grams(train, "doc_id")
-      .join(broadcast(grams(bench, "bench_id")), Seq("gh"))
+      flagFrac: Double): DataFrame =
+    contaminationReportIndexed(train, gramIndex(bench, n), n, flagFrac)
+
+  /** (doc_id, gh) distinct-n-gram hash index of a document set — the
+    * precomputable benchmark side of [[contaminationReportIndexed]]. In
+    * production this persists once per eval-set release. */
+  def gramIndex(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), Sampling.hash60(col("g")).as("gh"))
+
+  /** [[contaminationReport]] against a prebuilt benchmark gram index —
+    * the shape the streaming ingest screen reuses per micro-batch. */
+  def contaminationReportIndexed(train: DataFrame, benchGrams: DataFrame,
+      n: Int, flagFrac: Double): DataFrame = {
+    val overlap = gramIndex(train, n)
+      .join(broadcast(benchGrams.toDF("bench_id", "gh")), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

@@ -82,6 +82,26 @@ object StreamingDedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Ingest-time benchmark-contamination screen: each arriving micro-batch
+    * of documents is scored against a STATIC benchmark n-gram index
+    * ([[graft.operators.TextOps.gramIndex]], built once per eval-set
+    * release) and per-doc overlap reports written via foreachBatch. The
+    * per-doc aggregate is batch-local state (a document's grams arrive
+    * together), so no streaming state store is needed; the broadcast
+    * gram-hash join is the only wide edge and it never shuffles the
+    * stream. */
+  def contaminationWriter(docStream: DataFrame, benchGrams: DataFrame,
+      n: Int, flagFrac: Double, outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextOps
+          .contaminationReportIndexed(batch, benchGrams, n, flagFrac)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+
   /** Streaming wiring: each micro-batch of documents is checked against
     * the index and the flagged pairs written via foreachBatch. */
   def writer(docStream: DataFrame, indexBands: DataFrame,

@@ -53,6 +53,43 @@ class StreamingDedupSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("ingest contamination screen: stream batches score against the " +
+    "static benchmark gram index (stream == batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val bench = Seq((900L, "a b c d"), (901L, "p q r s t")).toDF("doc_id", "text")
+    val benchGrams = graft.operators.TextOps.gramIndex(bench, 3)
+    benchGrams.cache().count()
+
+    val out = Files.createTempDirectory("graft-contam-").toString
+    val ckpt = Files.createTempDirectory("graft-contam-ckpt-").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.contaminationWriter(
+      input.toDF().toDF("doc_id", "text"), benchGrams, 3, 0.4, out, ckpt).start()
+    try {
+      val batch0 = Seq(
+        (1L, "a b c x"), // shares 'a b c' -> 1/2 grams, flagged at 0.4
+        (2L, "q r s zz ww"), // shares 'q r s' -> 1/3 grams, not flagged
+        (3L, "clean text only here")) // no overlap -> absent
+      input.addData(batch0: _*)
+      q.processAllAvailable()
+      val got = s.read.parquet(s"$out/batch=0").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5))).sorted.toSeq
+      assert(got === Seq((1L, 2L, 1L, 1), (2L, 3L, 1L, 0)))
+      // stream == batch law: the indexed batch operator agrees exactly
+      val batchGot = graft.operators.TextOps.contaminationReportIndexed(
+        batch0.toDF("doc_id", "text"), benchGrams, 3, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5)))
+        .sorted.toSeq
+      assert(batchGot === got)
+    } finally {
+      q.stop()
+      benchGrams.unpersist()
+    }
+  }
+
   test("embedding stream flags semantic dups via the static LSH bucket " +
     "index, as a pure stream-static join (stream == batch)") {
     val s = spark
