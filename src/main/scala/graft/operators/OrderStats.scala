@@ -52,4 +52,29 @@ object OrderStats {
         row_number().over(wLocal).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
   }
+
+  /** Appends a global INCLUSIVE prefix sum of `value` over the total order
+    * `sortCols` (`cumCol`, `long` — equal to `sum(value) OVER (ORDER BY
+    * sortCols ROWS UNBOUNDED PRECEDING)`), via the same range-partitioned
+    * two-pass construction as [[withGlobalRank]]: per-partition local
+    * cumulative sums in parallel, plus a broadcast P-row frame of
+    * partition offsets. The only unpartitioned window runs over those P
+    * rows — bounded by the partition count, never the data. */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+      cumCol: String = "cum"): DataFrame = {
+    val withPid = df.repartitionByRange(sortCols: _*)
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val wCum = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__psum"))
+      .select(col("__pid"),
+        coalesce(sum(col("__psum")).over(wCum), lit(0L)).as("__offset"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withPid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, sum(col("__v")).over(wLocal) + col("__offset"))
+      .drop("__pid", "__offset", "__v")
+  }
 }

@@ -231,6 +231,46 @@ object TextOps {
       .withColumn("flagged", (col("shared_frac") >= flagFrac).cast("int"))
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * document stream into fixed-length training sequences: documents are
+    * laid end-to-end in `doc_id` order on a global token axis and cut
+    * every `seqLen` tokens (documents may span a cut — standard causal-LM
+    * packing, no padding except in the final sequence). Returns one row
+    * per training sequence: `(seq_id, n_docs, seq_tokens, n_split_docs,
+    * first_doc, last_doc)` — `seq_tokens == seqLen` everywhere but the
+    * last row, and `n_split_docs` counts documents continuing into the
+    * next sequence (the cross-boundary attention-contamination metric).
+    *
+    * The one global dependency is each document's starting offset on the
+    * token axis — an exact prefix sum over a total order, which is the
+    * [[OrderStats.withGlobalPrefixSum]] two-pass range-partitioned
+    * construction (NOT a single-reducer `SUM OVER (ORDER BY ...)`): P
+    * parallel local cumsums + a broadcast P-row offset frame. Everything
+    * downstream is narrow (a ≤(n/L+1)-way `sequence` generate per doc)
+    * plus one hash aggregate keyed by `seq_id`. Two keyed full-data
+    * shuffles total at any scale. */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val withN = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n"))
+    val spans = OrderStats
+      .withGlobalPrefixSum(withN, Seq(col("doc_id")), col("n"), "fin")
+      .withColumn("st", col("fin") - col("n"))
+    val L = lit(seqLen.toLong)
+    spans
+      .select(col("doc_id"), col("st"), col("fin"),
+        explode(sequence(expr(s"st DIV $seqLen"),
+          expr(s"(fin - 1) DIV $seqLen"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("fin"), (col("seq_id") + 1) * L)
+          - greatest(col("st"), col("seq_id") * L)).as("seq_tokens"),
+        sum(when(col("fin") > (col("seq_id") + 1) * L, 1L).otherwise(0L))
+          .as("n_split_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * typed placeholder tokens. Patterns stay within the regex subset that
     * Java and RE2-family engines interpret identically. Pure per-row

@@ -178,6 +178,11 @@ object TextQueries extends QueryFamily {
         all.filter(col("doc_id") % 97 === 0), 3, 0.2)
         .orderBy(col("doc_id"))
     }),
+
+    // sequence packing: corpus laid end-to-end in doc_id order on the
+    // token axis, cut every 256 tokens (causal-LM concat-and-chunk)
+    "txt_seq_pack" -> ((s, d) =>
+      TextOps.packSequences(docs(s, d), 256).orderBy(col("seq_id"))),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -292,5 +297,17 @@ object TextQueries extends QueryFamily {
          |  CAST(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.2 AS INT) AS flagged
          |FROM ov JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    // single-reducer window is fine HERE (oracle side); the engine side
+    // is the distributed two-pass prefix sum (OrderStats scaladoc)
+    "txt_seq_pack" ->
+      s"""WITH toks AS (SELECT doc_id, CAST($nToks AS BIGINT) AS n FROM documents),
+         |cum AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin FROM toks),
+         |spans AS (SELECT doc_id, fin - n AS st, fin FROM cum),
+         |contrib AS (SELECT doc_id, st, fin, UNNEST(range(st // 256, (fin - 1) // 256 + 1)) AS seq_id FROM spans)
+         |SELECT seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEAST(fin, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256)) AS BIGINT) AS seq_tokens,
+         |  CAST(SUM(CASE WHEN fin > (seq_id + 1) * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM contrib GROUP BY seq_id ORDER BY seq_id""".stripMargin,
   )
 }

@@ -95,4 +95,15 @@ class PlanSpec extends GraftSparkSpec {
     val plan = physical(df)
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-k:\n$plan")
   }
+
+  test("sequence packing sorts via range partitioning, not one global window") {
+    val df = operators.TextOps.packSequences(Tables.documents(spark, sf), 256)
+    val plan = physical(df)
+    assert(plan.contains("rangepartitioning(doc_id"),
+      s"missing distributed range sort:\n$plan")
+    // the full-data cumsum window must be keyed by partition id (the only
+    // unkeyed window allowed is the P-row partition-offset frame)
+    assert("Window \\[[^\\]]*\\], \\[__pid[#0-9]*\\]".r.findFirstIn(plan).isDefined,
+      s"per-partition cumsum window missing:\n$plan")
+  }
 }

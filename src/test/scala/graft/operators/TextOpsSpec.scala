@@ -129,4 +129,36 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(r(1L) === ((2L, 1L, 2L, 0.5, 1)))
     assert(r(2L) === ((3L, 1L, 1L, 1.0 / 3.0, 0)))
   }
+
+  test("sequence packing matches hand math and conserves tokens") {
+    // token axis (L=4): doc 1 [0,3) | doc 2 [3,9) | doc 3 [9,10) | doc 4 [10,12)
+    // seq 0 = docs {1, 2}, seq 1 = doc {2}, seq 2 = docs {2, 3, 4}
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c"), // 3 tokens
+      (2L, "d e f g h i"), // 6 tokens, spans seqs 0-2
+      (3L, "j"), // 1 token
+      (4L, "k l") // 2 tokens — final, short seq
+    )).toDF("doc_id", "text").repartition(3) // prefix sum must be partition-independent
+    val r = TextOps.packSequences(docs, 4).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+    assert(r(0L) === ((2L, 4L, 1L, 1L, 2L))) // doc 2 split into seq 1
+    assert(r(1L) === ((1L, 4L, 1L, 2L, 2L))) // doc 2 alone, split again
+    assert(r(2L) === ((3L, 4L, 0L, 2L, 4L)))
+    // conservation: every token lands in exactly one sequence
+    assert(r.values.map(_._2).sum === 12L)
+  }
+
+  test("sequence packing: every sequence but the last is exactly full") {
+    val docs = spark.createDataFrame(
+      (1L to 97L).map(i => (i, Seq.fill((i % 7).toInt + 1)("t").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val rows = TextOps.packSequences(docs, 16).orderBy(col("seq_id")).collect()
+    val total = (1L to 97L).map(i => (i % 7) + 1).sum
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.dropRight(1).foreach(x => assert(x.getLong(2) === 16L))
+    assert(rows.last.getLong(2) === (if (total % 16 == 0) 16L else total % 16))
+  }
 }
