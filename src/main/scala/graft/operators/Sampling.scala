@@ -79,4 +79,22 @@ object Sampling {
     * sort. */
   def hashTopK(df: DataFrame, key: Column, k: Int): DataFrame =
     df.withColumn("sample_h", hash60(key)).orderBy(col("sample_h")).limit(k)
+
+  /** Deterministic global training-order shuffle + sharding: every row
+    * gets its position in the hash-of-key permutation (`shuffle_rank`,
+    * 1-based) and the training shard that position lands in (`shard` =
+    * (rank-1) DIV shardSize) — the "shuffle once, write fixed-size shards"
+    * step between curation and training. Seeded: different `seed` values
+    * give independent permutations; equal seeds reproduce bit-identically
+    * on any engine/partitioning (the [[hash60]] guarantee). The global
+    * rank is [[OrderStats.withGlobalRank]]'s range-partitioned two-pass
+    * construction — P parallel sorts, no single-reducer window. */
+  def shuffleShards(df: DataFrame, key: Column, seed: Int,
+      shardSize: Long): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    OrderStats.withGlobalRank(
+      df.withColumn("shuffle_h", hash60(concat_ws("|", lit(seed), key))),
+      Seq(col("shuffle_h"), key), rankCol = "shuffle_rank", totalCol = "n_rows")
+      .withColumn("shard", expr(s"(shuffle_rank - 1) DIV $shardSize"))
+  }
 }

