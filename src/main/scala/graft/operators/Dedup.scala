@@ -391,4 +391,27 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated-passage statistics — exact substring dedup
+    * at chunk grain (the Lee-et-al. "deduplicate training data" pass
+    * reduced to fixed token windows): the corpus is cut into
+    * non-overlapping `chunkSize`-token chunks
+    * ([[TextOps.chunkTokens]]), each chunk fingerprinted, and every
+    * fingerprint occurring in MORE THAN ONE document reported with its
+    * occurrence stats. Catches shared boilerplate/templates/quotes that
+    * document-level dedup (whole-doc jaccard below threshold) misses.
+    *
+    * Plan at 100 TB: narrow per-doc generate + one md5 per chunk + one
+    * hash aggregate keyed by the 128-bit fingerprint (map-side partial
+    * combine absorbs within-partition repeats) — the [[exactStats]]
+    * shuffle shape at chunk granularity; no joins, no all-pairs work. */
+  def passageDups(docs: DataFrame, chunkSize: Int): DataFrame =
+    TextOps.chunkTokens(docs, chunkSize, 0)
+      .select(col("doc_id"), md5(col("chunk_text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
 }

@@ -206,6 +206,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SQ8 scalar quantization, returned in the DEQUANTIZED double domain:
+    * per dimension, the corpus [min, max] range is cut into 256 levels
+    * and every value snapped to its level's reconstruction point —
+    * exactly the values an int8-compressed index (4× smaller than
+    * float32, the memory-bound scale lever under IVF/LSH) scores with.
+    * `x̂ = mn + round((x−mn)/(mx−mn)·255) · (mx−mn)/255`; a constant
+    * dimension reconstructs as its single value.
+    *
+    * Plan: one posexplode → per-dimension min/max (a dim-count-row
+    * aggregate, broadcast back) → per-element quantize → re-assemble via
+    * the [[ivfTopK]] collect-sort idiom. Every step is a fixed IEEE
+    * sequence on exactly-representable inputs (float→double casts, and
+    * integer codes 0..255), so codes AND reconstructions are
+    * bit-identical in any engine. */
+  def sq8Dequantized(vectors: DataFrame): DataFrame = {
+    val stats = vectors
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val xhat = when(col("mx") === col("mn"), col("mn"))
+      .otherwise(col("mn") +
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
+          * (col("mx") - col("mn")) / 255.0)
+    vectors
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"), xhat.as("xh"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("xh")))).as("px"))
+      .select(col("vec_id"), transform(col("px"), p => p.getField("xh")).as("qv"))
+  }
+
+  /** Top-k neighbors scored on the SQ8-[[sq8Dequantized]] corpus, with a
+    * per-query `recall_at_k` column against the exact float-domain
+    * [[bruteForceTopK]] — the quantization-error contract, oracle-checked.
+    * Scoring shape mirrors the brute force here (the fixture measures
+    * quantization error in isolation); at scale the quantized codes sit
+    * UNDER a cell/bucket layout ([[ivfTopK]] / [[lshTopK]]), which this
+    * composes with freely. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val deq = sq8Dequantized(corpus)
+    val qs = deq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val pairs = qs.select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .crossJoin(deq.select(col("vec_id").as("neighbor_id"), col("qv").as("qb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qa"), col("qb")).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact but O(n²) — the capability baseline;
     * [[embeddingDupPairsLsh]] is the 100 TB plan. */

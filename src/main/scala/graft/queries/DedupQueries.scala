@@ -100,6 +100,11 @@ object DedupQueries extends QueryFamily {
           .select(col("vec_a"), col("vec_b")))
         .select(col("doc_id").as("vec_id"), col("cc"), col("cluster_size"))
         .orderBy(col("vec_id"))),
+
+    // exact substring dedup at 32-token-chunk grain: passages repeated
+    // across documents (shared boilerplate doc-level dedup misses)
+    "dd_chunk_dup" -> ((s, d) =>
+      Dedup.passageDups(Tables.documents(s, d), 32).orderBy(col("fp"))),
   )
 
   /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
@@ -237,5 +242,14 @@ object DedupQueries extends QueryFamily {
          |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id),
          |sz AS (SELECT cc, COUNT(*) AS cluster_size FROM lab GROUP BY cc)
          |SELECT lab.id AS vec_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY vec_id""".stripMargin,
+    // same non-overlapping 32-token chunking as TextOps.chunkTokens
+    // (starts 0,32,... up to len-1; final chunk may be short)
+    "dd_chunk_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, md5(array_to_string(toks[(i-1)*32+1 : i*32], ' ')) AS fp
+        |      FROM t, UNNEST(range(1, CAST(ceil(len(toks) / 32.0) AS BIGINT) + 1)) u(i))
+        |SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY fp""".stripMargin,
   )
 }

@@ -34,6 +34,12 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // SQ8 int8-compression scoring path (4x memory), with the per-query
+    // recall-vs-exact contract column oracle-checked alongside
+    "sim_topk_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
     // behavioral similarity search (the EDBT/ICDE time-series-similarity
     // shape on this engine's own domain): per-user hour-of-day activity
     // vectors → exact top-3 most-similar users per query user. Counts
@@ -180,6 +186,39 @@ object SimQueries extends QueryFamily {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM p) r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // identical SQ8 reconstruction (min/max per dim, 256 levels, fixed
+    // IEEE sequence) + the brute-force cosine/rank shape on the
+    // dequantized vectors; recall joins against the float-exact top-k
+    "sim_topk_sq8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |xs AS (SELECT vec_id, i AS pos, v[i] AS x FROM e, UNNEST(range(1, len(v) + 1)) u(i)),
+        |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM xs GROUP BY pos),
+        |dq AS (SELECT vec_id, pos, CASE WHEN mx = mn THEN mn ELSE mn + FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) * (mx - mn) / 255.0 END AS xh FROM xs JOIN st USING (pos)),
+        |qv AS (SELECT vec_id, list(xh ORDER BY pos) AS v FROM dq GROUP BY vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(q.v, (x,i) -> x * c.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x + y))) AS qcos
+        |  FROM (SELECT * FROM qv WHERE vec_id % 5 = 0) q CROSS JOIN qv c WHERE q.vec_id <> c.vec_id),
+        |tk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
+        |  SELECT query_id, neighbor_id, qcos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+        |  FROM p) r WHERE rank <= 3),
+        |ep AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(q.v, (x,i) -> x * c.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM (SELECT * FROM e WHERE vec_id % 5 = 0) q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+        |etk AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM ep) r WHERE rank <= 3),
+        |rec AS (SELECT tk.query_id, COUNT(etk.neighbor_id) AS n_hit
+        |        FROM tk LEFT JOIN etk USING (query_id, neighbor_id) GROUP BY tk.query_id)
+        |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+        |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin,
     // dense 24-dim hour vectors via a users×hours grid left-joined to the
     // (user, hour) counts; the cosine/rank shape mirrors the brute-force
     // oracle exactly

@@ -49,6 +49,32 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(topk(0).getDouble(3) > 0.999)
   }
 
+  test("SQ8 reconstruction error is bounded by half a quantization step") {
+    val deq = Similarity.sq8Dequantized(vectors)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "xh")))
+    val orig = vectors
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+    val steps = orig.groupBy(col("pos"))
+      .agg(((max(col("x")) - min(col("x"))) / 255.0).as("step"))
+    val bad = deq.join(orig, Seq("vec_id", "pos")).join(steps, Seq("pos"))
+      .filter(abs(col("xh") - col("x")) > col("step") / 2 * 1.0000001)
+    assert(bad.count() === 0)
+  }
+
+  test("SQ8 top-k: high recall vs exact, recall column consistent") {
+    val queries = vectors.filter(col("vec_id") % 5 === 0)
+    val r = Similarity.sq8TopK(vectors, queries, 3).collect()
+    assert(r.length === 30) // 10 queries x k=3
+    // recall_at_k is constant per query and the mean is high (8-bit error)
+    val perQ = r.groupBy(_.getLong(0)).map { case (_, rows) =>
+      val rc = rows.map(_.getDouble(4)).distinct
+      assert(rc.length === 1)
+      rc.head
+    }
+    assert(perQ.sum / perQ.size >= 0.8)
+  }
+
   test("LSH top-k results are a subset of brute-force rankings' candidates" +
     " and identical vectors always collide") {
     val dup = spark.createDataFrame(Seq(
