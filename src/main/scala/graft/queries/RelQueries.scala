@@ -449,6 +449,16 @@ object RelQueries extends QueryFamily {
         .orderBy(col("interval_id"))
     }),
 
+    // Z-order (Morton-curve) layout quality: orders laid on the
+    // interleaved-bit curve of (custkey, price-bucket), cut into 32 equal
+    // Z ranges; each range's min/max extents on BOTH dimensions are the
+    // row-group stats a 100 TB scan would prune on (see operators/Layout)
+    "rel_zorder_layout" -> ((s, d) =>
+      graft.operators.Layout.zOrderExtents(Tables.orders(s, d),
+        col("o_custkey"), shiftright(cents(col("o_totalprice")), 10),
+        bits = 16, bucketBits = 5)
+        .orderBy(col("bucket"))),
+
     // -- deterministic sampling ---------------------------------------
     // content-keyed stratified sample (portable md5 hash; rates per
     // order-status stratum), verified by per-stratum aggregates
@@ -634,6 +644,21 @@ object RelQueries extends QueryFamily {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         |FROM e JOIN iv ON e.day >= iv.lo AND e.day < iv.hi
         |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
+    "rel_zorder_layout" -> {
+      // identical Morton interleave: x bits on even positions, y on odd,
+      // each dimension min/max-scaled to the full 16-bit range first
+      val zTerms = ((0 until 16).map(i => s"(((xb >> $i) & 1) << ${2 * i})") ++
+        (0 until 16).map(i => s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH r AS (SELECT CAST(o_custkey AS BIGINT) AS xr, (${centsSql("o_totalprice")} >> 10) AS yr FROM orders),
+         |st AS (SELECT MIN(xr) AS xmn, MAX(xr) AS xmx, MIN(yr) AS ymn, MAX(yr) AS ymx FROM r),
+         |b AS (SELECT xr, yr,
+         |        CASE WHEN xmx = xmn THEN 0 ELSE ((xr - xmn) * 65535) // (xmx - xmn) END AS xb,
+         |        CASE WHEN ymx = ymn THEN 0 ELSE ((yr - ymn) * 65535) // (ymx - ymn) END AS yb
+         |      FROM r CROSS JOIN st),
+         |z AS (SELECT xr, yr, ($zTerms) AS z FROM b)
+         |SELECT z >> 27 AS bucket, COUNT(*) AS n_rows, MIN(xr) AS x_min, MAX(xr) AS x_max, MIN(yr) AS y_min, MAX(yr) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
     "rel_stratified_sample" -> {
       val h = graft.operators.Sampling.hash60Sql("o_orderkey")
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${dollarsSql(s"SUM(${centsSql("o_totalprice")})")} AS total, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key

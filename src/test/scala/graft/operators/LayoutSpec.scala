@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Z-order layout: Morton interleave hand-math, and the data-skipping
+  * law — equal Z ranges have tight extents on BOTH dimensions, where a
+  * one-column sort leaves the other dimension at full range. */
+class LayoutSpec extends GraftSparkSpec {
+
+  test("zValue interleaves bits (hand-computed case)") {
+    // x=3 (b0,b1 set) -> positions 0,2 = 5; y=5 (b0,b2 set) -> positions 1,5 = 34
+    val z = spark.range(1).select(Layout.zValue(lit(3), lit(5), 3)).head().getLong(0)
+    assert(z === 39L)
+  }
+
+  test("equal Z ranges are squares: tight extents on both dimensions") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+    val ext = Layout.zOrderExtents(grid, col("x"), col("y"), bits = 6, bucketBits = 4)
+      .collect()
+    assert(ext.length === 16)
+    ext.foreach { r =>
+      assert(r.getLong(1) === 256L) // n_rows per bucket
+      assert(r.getLong(3) - r.getLong(2) === 15L) // x extent: 16-wide square
+      assert(r.getLong(5) - r.getLong(4) === 15L) // y extent: 16-wide square
+    }
+    // contrast: bucketing the x-SORTED layout leaves y at full range
+    val sortedExt = grid.withColumn("bucket", (col("x") / 4).cast("int")) // 16 x-range buckets
+      .groupBy(col("bucket"))
+      .agg(min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .collect()
+    sortedExt.foreach(r => assert(r.getInt(2) - r.getInt(1) === 63))
+  }
+}
