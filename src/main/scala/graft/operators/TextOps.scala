@@ -290,6 +290,26 @@ object TextOps {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Adjacent-symbol pair counts at character grain — the inner statistic
+    * of BPE tokenizer TRAINING (each merge round picks the most frequent
+    * adjacent pair; this computes the full round-0 count table, and the
+    * same shape re-runs per round on re-encoded symbols). Pairs never
+    * cross token boundaries, matching the word-boundary pretokenizer.
+    *
+    * Plan at 100 TB: two narrow generates (token explode, then a
+    * primitive index-range explode — the [[gramIndex]] codegen-friendly
+    * idiom; both stay in whole-stage codegen) into one hash aggregate
+    * keyed by the pair — vocabulary-bounded state, map-side partial
+    * combine absorbs the heavy repeats. No joins, no shuffle of the
+    * corpus. */
+  def bpePairCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * typed placeholder tokens. Patterns stay within the regex subset that
     * Java and RE2-family engines interpret identically. Pure per-row

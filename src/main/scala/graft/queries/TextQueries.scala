@@ -190,6 +190,12 @@ object TextQueries extends QueryFamily {
       graft.operators.Sampling.shuffleShards(docs(s, d), col("doc_id"), 7, 64)
         .select(col("doc_id"), col("shuffle_rank"), col("shard"))
         .orderBy(col("shuffle_rank"))),
+
+    // BPE tokenizer training, round 0: the 50 most frequent adjacent
+    // character pairs within words across the corpus
+    "txt_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(docs(s, d))
+        .orderBy(col("cnt").desc, col("pair")).limit(50)),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -323,5 +329,13 @@ object TextQueries extends QueryFamily {
          |FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY $h, doc_id) AS shuffle_rank FROM documents) t
          |ORDER BY shuffle_rank""".stripMargin
     },
+    // same word-boundary pair construction: 1-based substr, pairs only
+    // within tokens of length >= 2
+    "txt_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM (SELECT w FROM w WHERE length(w) >= 2) t, UNNEST(range(1, length(w))) u(i))
+        |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
   )
 }
