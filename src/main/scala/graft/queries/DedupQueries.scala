@@ -10,6 +10,16 @@ import graft.operators.{Dedup, Graph, Similarity}
 
 /** Deduplication family over `documents` / `embeddings`.
   *
+  * Cache lifecycle: registry entries return LAZY plans that the driver
+  * consumes later, so they cannot wrap `CacheScope.using` around their
+  * own result (the scope would unpersist before the driver's action
+  * runs). The contract is therefore: registry results carry
+  * `CacheScope.ambient` caches, and every consumer that owns the action
+  * bounds them — `Verify` and `Bench` both `clearCache()` per query
+  * (asserted style in CacheScopeSpec); library callers who own their
+  * actions use `CacheScope.using` directly for exact loan-pattern
+  * bounding.
+  *
   * dd_ngram_jaccard (count-sharing join), dd_ppjoin (prefix+position
   * filtered) and dd_minhash share one oracle: the brute-force O(n²)
   * exact-jaccard SQL. The first two are exact by construction; the LSH
