@@ -73,6 +73,27 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** [[weightedRepeat]] with DATA-DRIVEN rates: the per-stratum permille
+    * weights arrive as a (stratum, permille) dimension frame COMPUTED
+    * upstream — the budget-constrained mix ("hit N tokens per language")
+    * where each rate is budget/available rather than hand-configured.
+    * Same determinism contract: multiplicity is a pure function of
+    * (stratum, key); strata absent from `rates` are dropped. The rates
+    * frame is dimension-sized → broadcast hash join, no shuffle of the
+    * corpus; the generate is narrow. */
+  def repeatByRate(df: DataFrame, stratum: Column, key: Column,
+      rates: DataFrame): DataFrame = {
+    val r = rates.toDF("__stratum", "__permille")
+    val copies = expr("__permille DIV 1000").cast("int") +
+      when(hash60(key) % 1000 < col("__permille") % 1000, 1).otherwise(0)
+    df.withColumn("__stratum", stratum)
+      .join(broadcast(r), Seq("__stratum"))
+      .withColumn("copy_id",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__stratum", "__permille")
+  }
+
   /** Deterministic k-sample: the k rows with the smallest key hash — a
     * reproducible "random" subset with an exact size. Executes as a
     * TakeOrdered (per-partition top-k + driver merge), never a full

@@ -196,6 +196,31 @@ object TextQueries extends QueryFamily {
     "txt_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(docs(s, d))
         .orderBy(col("cnt").desc, col("pair")).limit(50)),
+
+    // budget-constrained mix: per-language permille rates COMPUTED from a
+    // fixed token budget (8000/lang) over the measured availability, then
+    // applied as deterministic repeat/sample; reports hit vs budget
+    "txt_budget_mix" -> ((s, d) => {
+      val budget = 8000L
+      val tk = docs(s, d).select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      val av = tk.groupBy(col("lang")).agg(sum(col("n")).as("tokens_in"))
+      val rates = av.select(col("lang"),
+        expr(s"($budget * 1000) DIV tokens_in").as("permille"))
+      val emitted = graft.operators.Sampling
+        .repeatByRate(tk, col("lang"), col("doc_id"), rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows_out"), sum(col("n")).as("tokens_out"))
+      // left join from availability: a stratum whose every doc draws 0
+      // copies still reports a 0-row (matches the oracle's SUM shape)
+      av.join(broadcast(rates), Seq("lang"))
+        .join(emitted, Seq("lang"), "left")
+        .select(col("lang"), col("tokens_in"), lit(budget).as("budget"),
+          col("permille").as("rate_permille"),
+          coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+        .orderBy(col("lang"))
+    }),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -337,5 +362,18 @@ object TextQueries extends QueryFamily {
         |      FROM (SELECT w FROM w WHERE length(w) >= 2) t, UNNEST(range(1, length(w))) u(i))
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // same budget/availability integer rate and per-doc hash gate
+    "txt_budget_mix" -> {
+      val h = graft.operators.Sampling.hash60Sql("doc_id")
+      s"""WITH tk AS (SELECT doc_id, lang, CAST($nToks AS BIGINT) AS n FROM documents),
+         |av AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tokens_in FROM tk GROUP BY lang),
+         |rt AS (SELECT lang, tokens_in, (8000 * 1000) // tokens_in AS permille FROM av),
+         |cp AS (SELECT t.lang, t.n, r.tokens_in, r.permille,
+         |        (r.permille // 1000) + CASE WHEN $h % 1000 < r.permille % 1000 THEN 1 ELSE 0 END AS copies
+         |       FROM tk t JOIN rt r USING (lang))
+         |SELECT lang, tokens_in, CAST(8000 AS BIGINT) AS budget, MIN(permille) AS rate_permille,
+         |       CAST(SUM(copies) AS BIGINT) AS n_rows_out, CAST(SUM(copies * n) AS BIGINT) AS tokens_out
+         |FROM cp GROUP BY lang, tokens_in ORDER BY lang""".stripMargin
+    },
   )
 }

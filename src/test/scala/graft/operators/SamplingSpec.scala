@@ -80,6 +80,22 @@ class SamplingSpec extends GraftSparkSpec {
     assert(got === java.lang.Long.parseLong("a1d0c6e83f02732", 16))
   }
 
+  test("repeatByRate matches weightedRepeat on identical rates; unrated strata drop") {
+    val data = spark.createDataFrame(
+      (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    ).toDF("id", "stratum")
+    val rates = Map("a" -> 1500, "b" -> 400) // c unrated -> dropped
+    val viaMap = Sampling.weightedRepeat(data, col("stratum"), col("id"), rates)
+      .select(col("id"), col("copy_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val ratesDf = spark.createDataFrame(rates.toSeq).toDF("stratum", "permille")
+    val viaFrame = Sampling.repeatByRate(data, col("stratum"), col("id"), ratesDf)
+      .select(col("id"), col("copy_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(viaMap.toSeq === viaFrame.toSeq)
+    assert(viaFrame.forall { case (id, _) => id % 3 != 2 }) // stratum c absent
+  }
+
   test("shuffle shards: exact permutation, fixed-size shards, seed-dependent") {
     val a = Sampling.shuffleShards(rows, col("id"), 7, 100)
       .select(col("id"), col("shuffle_rank"), col("shard")).collect()
