@@ -160,5 +160,7 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(rows.map(_.getLong(2)).sum === total)
     rows.dropRight(1).foreach(x => assert(x.getLong(2) === 16L))
     assert(rows.last.getLong(2) === (if (total % 16 == 0) 16L else total % 16))
+    // split accounting: a doc spanning m sequences contributes m-1 splits
+    assert(rows.map(_.getLong(1)).sum - 97L === rows.map(_.getLong(3)).sum)
   }
 }
