@@ -310,6 +310,49 @@ object TextOps {
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Count-Min sketch frequency estimation — the fixed-memory answer to
+    * "how often does each term occur" when the vocabulary itself is too
+    * large to aggregate exactly (the 100 TB regime where
+    * [[termFrequencies]]' per-term state stops fitting): the sketch is
+    * `depth × width` counters REGARDLESS of vocabulary size, each counter
+    * summing the terms that hash into it, and a term's estimate is the
+    * MIN over its `depth` cells — always ≥ the true count (collisions
+    * only add), within εN with high probability for width e/ε.
+    *
+    * Relational formulation (public Cormode–Muthukrishnan construction):
+    * the sketch build is one explode×depth → hash aggregate keyed
+    * (seed, cell) — map-side partial combine collapses each partition to
+    * ≤ depth·width rows before the shuffle, which IS the sketch's merge
+    * (elementwise add, exact integer, order-independent). No UDAF needed
+    * and every stage stays in codegen. The tiny sketch broadcasts back to
+    * the probe side. Returns, for the `topK` exact heavy hitters, the
+    * true count, the sketch estimate, the always-true overestimate
+    * contract and the error — the verifiable core of the sketch.
+    * Hashing is the engine-portable [[Sampling.hash60]], seeded per row. */
+  def cmsTermEstimates(docs: DataFrame, width: Int, depth: Int,
+      topK: Int): DataFrame = {
+    require(width > 0 && depth > 0 && topK > 0, "positive width/depth/topK")
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    def cellOf(seed: Column, term: Column): Column =
+      Sampling.hash60(concat_ws("|", seed, term)) % width
+    val cells = toks
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select(col("seed"), cellOf(col("seed"), col("term")).as("cell"))
+      .groupBy(col("seed"), col("cell")).agg(count(lit(1)).as("c"))
+    val truth = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(topK)
+    truth
+      .select(col("term"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("cell", cellOf(col("seed"), col("term")))
+      .join(broadcast(cells), Seq("seed", "cell"))
+      .groupBy(col("term"), col("true_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("term"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).cast("int").as("overestimate_ok"),
+        (col("est_cnt") - col("true_cnt")).as("err"))
+  }
+
   /** PII/noise scrubbing: emails, URLs and long digit runs replaced by
     * typed placeholder tokens. Patterns stay within the regex subset that
     * Java and RE2-family engines interpret identically. Pure per-row

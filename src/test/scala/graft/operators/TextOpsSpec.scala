@@ -130,6 +130,23 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(r(2L) === ((3L, 1L, 1L, 1.0 / 3.0, 0)))
   }
 
+  test("count-min sketch: exact when collision-free, total-mass bound at width 1") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a a b b c"), (2L, "a b d"))).toDF("doc_id", "text")
+    // 9 tokens: a=4 b=3 c=1 d=1
+    val wide = TextOps.cmsTermEstimates(docs, width = 1024, depth = 4, topK = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wide("a") === ((4L, 4L)) && wide("b") === ((3L, 3L)))
+    assert(wide.values.forall { case (t, e) => e === t }) // no collisions at 1024
+    // width 1: every term shares the single cell -> estimate = total mass
+    val narrow = TextOps.cmsTermEstimates(docs, width = 1, depth = 4, topK = 4)
+      .collect()
+    narrow.foreach { r =>
+      assert(r.getLong(2) === 9L) // est = all 9 tokens
+      assert(r.getInt(3) === 1) // overestimate contract still holds
+    }
+  }
+
   test("sequence packing matches hand math and conserves tokens") {
     // token axis (L=4): doc 1 [0,3) | doc 2 [3,9) | doc 3 [9,10) | doc 4 [10,12)
     // seq 0 = docs {1, 2}, seq 1 = doc {2}, seq 2 = docs {2, 3, 4}
