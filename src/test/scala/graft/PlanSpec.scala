@@ -96,6 +96,28 @@ class PlanSpec extends GraftSparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-k:\n$plan")
   }
 
+  test("runtime bloom-filter pre-filtering injects on a selective shuffle join") {
+    // at 100 TB a selective dim filter should reach the fact side BEFORE
+    // the shuffle as a bloom probe (Spark's runtime row-level filtering);
+    // assert the optimizer injects it for this engine's join shapes
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    // production default gates on a 10GB application-side scan — the whole
+    // point of the filter; drop it so the sf0.001 fixture qualifies
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    val orders = s.read.parquet(s"$sf/orders.parquet")
+    val lineitem = s.read.parquet(s"$sf/lineitem.parquet")
+    val joined = lineitem.join(
+      orders.filter(col("o_orderpriority") === "1-URGENT"),
+      col("l_orderkey") === col("o_orderkey"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no runtime bloom filter injected:\n$optimized")
+  }
+
   test("sequence packing sorts via range partitioning, not one global window") {
     val df = operators.TextOps.packSequences(Tables.documents(spark, sf), 256)
     val plan = physical(df)
