@@ -200,7 +200,7 @@ object TextQueries extends QueryFamily {
     // fixed-memory frequency sketch: Count-Min estimates for the 30 exact
     // heavy hitters, with the overestimate contract checked per term
     "txt_cms_termfreq" -> ((s, d) =>
-      TextOps.cmsTermEstimates(docs(s, d), width = 64, depth = 4, topK = 30)
+      TextOps.cmsTermEstimates(docs(s, d), width = 32, depth = 4, topK = 30)
         .orderBy(col("true_cnt").desc, col("term"))),
 
     // budget-constrained mix: per-language permille rates COMPUTED from a
@@ -368,16 +368,16 @@ object TextQueries extends QueryFamily {
         |      FROM (SELECT w FROM w WHERE length(w) >= 2) t, UNNEST(range(1, length(w))) u(i))
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
-    // same seeded hash60 cells; MIN over depth rows is the CMS estimate
+    // same hash60-slice cells (row i = 15-bit slice i of one term hash);
+    // MIN over depth rows is the CMS estimate
     "txt_cms_termfreq" -> {
-      val h = graft.operators.Sampling.hash60Sql("seed || '|' || term")
-      val ht = graft.operators.Sampling.hash60Sql("sd.seed || '|' || t.term")
+      val h = graft.operators.Sampling.hash60Sql("term")
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |sd AS (SELECT unnest(range(0, 4)) AS seed),
-         |cells AS (SELECT seed, $h % 64 AS cell, COUNT(*) AS c FROM tok CROSS JOIN sd GROUP BY 1, 2),
+         |cells AS (SELECT seed, ($h >> (15 * seed)) % 32 AS cell, COUNT(*) AS c FROM tok CROSS JOIN sd GROUP BY 1, 2),
          |truth AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term ORDER BY true_cnt DESC, term LIMIT 30),
          |est AS (SELECT t.term, t.true_cnt, MIN(c.c) AS est_cnt
-         |        FROM truth t CROSS JOIN sd JOIN cells c ON c.seed = sd.seed AND c.cell = $ht % 64
+         |        FROM truth t CROSS JOIN sd JOIN cells c ON c.seed = sd.seed AND c.cell = (${graft.operators.Sampling.hash60Sql("t.term")} >> (15 * sd.seed)) % 32
          |        GROUP BY 1, 2)
          |SELECT term, true_cnt, est_cnt, CAST(est_cnt >= true_cnt AS INT) AS overestimate_ok, est_cnt - true_cnt AS err
          |FROM est ORDER BY true_cnt DESC, term""".stripMargin
