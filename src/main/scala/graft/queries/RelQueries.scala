@@ -449,6 +449,28 @@ object RelQueries extends QueryFamily {
         .orderBy(col("interval_id"))
     }),
 
+    // per-GROUP exact quartiles: the window is PARTITIONED by the group
+    // key, so this is scale-safe as-is (per-group parallel sorts, keyed
+    // shuffle — no single reducer), unlike a global ntile; value ranks
+    // use integer cents so cuts are engine-exact
+    "rel_group_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("st")).orderBy(col("v"), col("o_orderkey"))
+      val wn = Window.partitionBy(col("st"))
+      val r = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("v"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      r.groupBy(col("st"))
+        .agg(
+          dollars(min(when(col("rn") === ceil(lit(0.25) * col("n")), col("v")))).as("q1"),
+          dollars(min(when(col("rn") === ceil(lit(0.5) * col("n")), col("v")))).as("median"),
+          dollars(min(when(col("rn") === ceil(lit(0.75) * col("n")), col("v")))).as("q3"),
+          max(col("n")).as("n_orders"))
+        .select(col("st").as("o_orderstatus"), col("q1"), col("median"),
+          col("q3"), col("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Z-order (Morton-curve) layout quality: orders laid on the
     // interleaved-bit curve of (custkey, price-bucket), cut into 32 equal
     // Z ranges; each range's min/max extents on BOTH dimensions are the
@@ -644,6 +666,19 @@ object RelQueries extends QueryFamily {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         |FROM e JOIN iv ON e.day >= iv.lo AND e.day < iv.hi
         |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
+    // discrete quantile = value at rank CEIL(f*n) within the group
+    // (rank order on cents only — ties interchange the same value)
+    "rel_group_quartiles" -> {
+      val cents = centsSql("o_totalprice")
+      s"""WITH t AS (SELECT o_orderstatus AS st, $cents AS v FROM orders),
+         |r AS (SELECT st, v, ROW_NUMBER() OVER (PARTITION BY st ORDER BY v) AS rn, COUNT(*) OVER (PARTITION BY st) AS n FROM t)
+         |SELECT st AS o_orderstatus,
+         |  ${dollarsSql("MIN(CASE WHEN rn = CEIL(0.25 * n) THEN v END)")} AS q1,
+         |  ${dollarsSql("MIN(CASE WHEN rn = CEIL(0.5 * n) THEN v END)")} AS median,
+         |  ${dollarsSql("MIN(CASE WHEN rn = CEIL(0.75 * n) THEN v END)")} AS q3,
+         |  MAX(n) AS n_orders
+         |FROM r GROUP BY st ORDER BY o_orderstatus""".stripMargin
+    },
     "rel_zorder_layout" -> {
       // identical Morton interleave: x bits on even positions, y on odd,
       // each dimension min/max-scaled to the full 16-bit range first
