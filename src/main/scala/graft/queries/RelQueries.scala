@@ -449,6 +449,21 @@ object RelQueries extends QueryFamily {
         .orderBy(col("interval_id"))
     }),
 
+    // SLIDING event-time windows (4 h window, 2 h slide — every event in
+    // exactly 2 windows): the overlapping-aggregation primitive behind
+    // rate/throughput monitoring; `window()` is a narrow generate + one
+    // keyed hash aggregate, identical shape in Structured Streaming
+    "rel_sliding_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(window(Tables.eventTime(col("ts")), "4 hours", "2 hours").as("w"),
+          col("user_id"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").cast("long").as("w_start"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("w_start"))),
+
     // per-GROUP exact quartiles: the window is PARTITIONED by the group
     // key, so this is scale-safe as-is (per-group parallel sorts, keyed
     // shuffle — no single reducer), unlike a global ntile; value ranks
@@ -666,6 +681,13 @@ object RelQueries extends QueryFamily {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         |FROM e JOIN iv ON e.day >= iv.lo AND e.day < iv.hi
         |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
+    // every event belongs to exactly windowLen/slide = 2 windows:
+    // floor-aligned start and the one slide earlier (Spark's alignment)
+    "rel_sliding_events" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, user_id FROM events),
+        |w AS (SELECT ((sec // 7200) - off) * 7200 AS w_start, user_id FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS off) o)
+        |SELECT w_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
     // discrete quantile = value at rank CEIL(f*n) within the group
     // (rank order on cents only — ties interchange the same value)
     "rel_group_quartiles" -> {

@@ -15,8 +15,8 @@ class EntrySpec extends GraftSparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("all 92 queries are registered with stable names") {
-    assert(SparkEntry.queries.size === 92)
+  test("all 93 queries are registered with stable names") {
+    assert(SparkEntry.queries.size === 93)
     // every registered query is oracle-checked — no rows-only gaps
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set.empty[String])
