@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest-time data profiling — the first pass any pipeline runs over a
+  * new 100 TB drop: per-column null rates, cardinalities and value ranges
+  * (the reference implicitly trusts its MySQL/Kafka schemas; an engine
+  * needs to VERIFY a feed before 1000 executors burn a day on it; cf.
+  * reference `Raport.py:56-74`, which assumes every message parses).
+  *
+  * Scale design: [[columnProfile]] is ONE aggregation pass. count/min/max
+  * are plain partial aggregates; the exact per-column distinct counts make
+  * Catalyst plan a single Expand (k× row multiplication, then map-side
+  * partial aggregation collapses each partition to ≤ |distinct| rows
+  * before the shuffle). The k× expand is the price of EXACTNESS — at the
+  * 100 TB grain, flip `approxDistinct = true` and the same single pass
+  * uses HyperLogLog sketches (no Expand at all); the exact mode stays the
+  * oracle-checkable contract at test scale.
+  *
+  * The caller projects columns to string-safe types first (longs /
+  * strings; money → integer cents, timestamps → epoch) so the min/max
+  * rendering is canonical across engines — double→string formatting is
+  * engine-specific (Java's `1.0E7` vs shortest-round-trip `10000000.0`)
+  * and deliberately never happens here.
+  */
+object Profile {
+
+  /** One row per column of `df`: (column, n, n_null, n_distinct, min_s,
+    * max_s). Column order of the output follows `df.columns`; `n` is the
+    * table row count (same every row), min/max are null on all-null
+    * columns. Exact distincts by default; `approxDistinct` switches to
+    * HLL (±5% rsd) for the no-Expand scale path. */
+  def columnProfile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    def dcount(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+    // one flat agg: 4 aggregates per column + the shared row count
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"), // non-null count
+        dcount(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stats row into one row per column (explode of a
+    // k-element literal-built array: driver-side k structs, not a shuffle)
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").cast("long").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+  }
+
+  /** Pearson correlation / covariance / stddev from EXACT integer moments.
+    *
+    * Double-summed moments depend on partition merge order (FP addition
+    * is non-associative) — unacceptable for a deterministic engine
+    * contract. Here every moment (Σx, Σy, Σx², Σy², Σxy) is summed in
+    * DECIMAL(38,0) over integer-cent inputs: exact, order-independent,
+    * and with 38 digits of headroom (Σx² at 100 TB ≈ 1e12 rows × 1e14
+    * per-row ≈ 1e26 ≪ 1e38). The final statistics are derived from the
+    * moments by a FIXED IEEE double expression — both engines cast the
+    * same exact decimal to the same nearest double and run the same
+    * operation sequence, so results are bit-identical.
+    *
+    * `x`, `y` must be integer-valued columns (cents). Output per group:
+    * n, corr, covar_pop, std_x, std_y (doubles).
+    */
+  def momentStats(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val grouped = df.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"),
+      sum(y.cast(dec)).as("sy"),
+      sum((x.cast(dec) * x.cast(dec))).as("sxx"),
+      sum((y.cast(dec) * y.cast(dec))).as("syy"),
+      sum((x.cast(dec) * y.cast(dec))).as("sxy"))
+    // fixed double derivation (identical op sequence in the oracle SQL):
+    // cov_pop = (n·sxy − sx·sy) / n², corr = cov / (sdx·sdy)
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = nD * d("sxy") - d("sx") * d("sy") // n²·cov_pop
+    val varXN = nD * d("sxx") - d("sx") * d("sx") // n²·var_pop
+    val varYN = nD * d("syy") - d("sy") * d("sy")
+    grouped.select(groupCols ++ Seq(
+      col("n"),
+      (covN / sqrt(varXN) / sqrt(varYN)).as("corr"),
+      (covN / nD / nD).as("covar_pop"),
+      (sqrt(varXN) / nD).as("std_x"),
+      (sqrt(varYN) / nD).as("std_y")): _*)
+  }
+
+  /** Exact median + median absolute deviation (the robust outlier screen:
+    * unlike mean/stddev, MAD doesn't move when a feed drops a handful of
+    * garbage rows at 1e9×value) — two passes of distributed order
+    * statistics ([[OrderStats.withGlobalRank]]: range partition +
+    * per-partition offsets, no single reducer, no full-column buffer).
+    * Median is the value at rank ⌈n/2⌉ of the value order (ties make the
+    * rank→value mapping deterministic without a tie-breaker column).
+    *
+    * `v` must be an integer column (cents). Output: one row
+    * (n, median_c, mad_c) in the same integer units. */
+  def medianMad(df: DataFrame, v: Column): DataFrame = {
+    def pickMedian(values: DataFrame, out: String): DataFrame = {
+      val ranked = OrderStats.withGlobalRank(values, Seq(col("__v")))
+      ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("__v").as(out), col("n"))
+    }
+    val cents = df.select(v.cast("long").as("__v"))
+    val med = pickMedian(cents, "median_c")
+    val dev = cents.crossJoin(broadcast(med.select(col("median_c"))))
+      .select(abs(col("__v") - col("median_c")).as("__v"))
+    val mad = pickMedian(dev, "mad_c")
+    med.select(col("n"), col("median_c"))
+      .crossJoin(broadcast(mad.select(col("mad_c"))))
+  }
+}

@@ -578,6 +578,52 @@ object RelQueries extends QueryFamily {
           Array(col("quantity"), col("extendedprice"), col("discount")),
           "metric", "cents_value")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
+    // ingest-time column profiling (Profile.columnProfile scaladoc): one
+    // aggregation pass → per-column null/distinct/min/max. The projection
+    // pre-casts to string-safe types (money → cents, timestamp → epoch
+    // ms) so min/max rendering is engine-canonical.
+    "rel_profile" -> ((s, d) =>
+      graft.operators.Profile.columnProfile(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("o_totalprice_c"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("o_orderpriority")))
+        .orderBy(col("column"))),
+
+    // statistical moments with a deterministic contract: corr/covar/stddev
+    // derived from EXACT decimal moments (Profile.momentStats scaladoc) —
+    // no order-dependent double summation anywhere in the plan
+    "rel_corr_moments" -> ((s, d) =>
+      graft.operators.Profile.momentStats(
+        Tables.lineitem(s, d),
+        Seq(col("l_returnflag")),
+        cents(col("l_quantity")), cents(col("l_extendedprice")))
+        .orderBy(col("l_returnflag"))),
+
+    // robust location/spread: exact median + MAD via two distributed
+    // order-statistics passes (no single reducer, no full-column buffer)
+    "rel_mad" -> ((s, d) =>
+      graft.operators.Profile.medianMad(
+        Tables.orders(s, d), cents(col("o_totalprice")))
+        .select(col("n"), dollars(col("median_c")).as("median"),
+          dollars(col("mad_c")).as("mad"))),
+
+    // trailing event-time window per row: 1-hour RANGE frame (value-based,
+    // so same-timestamp peers are all in-frame — deterministic without a
+    // tie-break). Partitioned by user — per-user parallel sorts, keyed
+    // shuffle, no global window. Exact integer ns bounds + cents sums.
+    "rel_trailing_1h" -> ((s, d) => {
+      val hourNs = 3600L * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-hourNs, 0)
+      Tables.events(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", dollars(sum(cents(col("value"))).over(w)))
+        .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -756,5 +802,67 @@ object RelQueries extends QueryFamily {
          |  UNION ALL
          |  SELECT l_orderkey, l_linenumber, 'discount', ${centsSql("l_discount")} FROM lineitem WHERE l_orderkey < 100) u
          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "rel_profile" -> {
+      def colProfile(c: String, exprSql: String): String =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           |  COUNT(*) - COUNT(v) AS n_null, COUNT(DISTINCT v) AS n_distinct,
+           |  CAST(MIN(v) AS VARCHAR) AS min_s, CAST(MAX(v) AS VARCHAR) AS max_s
+           |FROM (SELECT $exprSql AS v FROM orders) t""".stripMargin
+      Seq(
+        colProfile("o_orderkey", "o_orderkey"),
+        colProfile("o_custkey", "o_custkey"),
+        colProfile("o_orderstatus", "o_orderstatus"),
+        colProfile("o_totalprice_c", centsSql("o_totalprice")),
+        colProfile("o_orderdate_ms", "epoch_ms(o_orderdate)"),
+        colProfile("o_orderpriority", "o_orderpriority"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) p ORDER BY \"column\"")
+    },
+    // the same fixed double derivation over the same exact HUGEINT moments
+    // (DuckDB SUM(BIGINT) is HUGEINT — 128-bit exact, mirror of the
+    // engine's DECIMAL(38,0) sums)
+    "rel_corr_moments" -> {
+      val cq = centsSql("l_quantity")
+      val cp = centsSql("l_extendedprice")
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST($cq AS HUGEINT)) AS sx, SUM(CAST($cp AS HUGEINT)) AS sy,
+         |    SUM(CAST($cq AS HUGEINT) * CAST($cq AS HUGEINT)) AS sxx,
+         |    SUM(CAST($cp AS HUGEINT) * CAST($cp AS HUGEINT)) AS syy,
+         |    SUM(CAST($cq AS HUGEINT) * CAST($cp AS HUGEINT)) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS corr,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
+         |  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS std_x,
+         |  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS std_y
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+    // median = value at rank (n+1)//2 of the value order; MAD = same rank
+    // over |v - median|
+    "rel_mad" -> {
+      val cv = centsSql("o_totalprice")
+      s"""WITH c AS (SELECT $cv AS cv FROM orders),
+         |m AS (SELECT cv AS median_c, n FROM (
+         |  SELECT cv, ROW_NUMBER() OVER (ORDER BY cv) AS rn, COUNT(*) OVER () AS n FROM c) t
+         |  WHERE rn = (n + 1) // 2),
+         |dev AS (SELECT abs(cv - (SELECT median_c FROM m)) AS dv FROM c),
+         |md AS (SELECT dv AS mad_c FROM (
+         |  SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn, COUNT(*) OVER () AS n FROM dev) t
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT (SELECT n FROM m) AS n,
+         |  ${dollarsSql("(SELECT median_c FROM m)")} AS median,
+         |  ${dollarsSql("(SELECT mad_c FROM md)")} AS mad""".stripMargin
+    },
+    "rel_trailing_1h" ->
+      s"""SELECT user_id, event_id,
+         |  COUNT(*) OVER w AS n_1h,
+         |  ${dollarsSql(s"SUM(${centsSql("value")}) OVER w")} AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+         |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
   )
 }
