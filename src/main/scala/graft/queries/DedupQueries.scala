@@ -115,6 +115,37 @@ object DedupQueries extends QueryFamily {
     // across documents (shared boilerplate doc-level dedup misses)
     "dd_chunk_dup" -> ((s, d) =>
       Dedup.passageDups(Tables.documents(s, d), 32).orderBy(col("fp"))),
+
+    // leakage-safe train/val split: hash-split by near-dup CLUSTER
+    // representative, not by document — a doc-grain split leaks val
+    // answers into train through near-duplicates, the classic eval
+    // contamination path. Split key = cc label (min doc_id of the
+    // cluster; singleton docs are their own rep), mapped through a
+    // multiplicative hash kept in cross-engine-exact BIGINT range
+    // (production would salt-hash the rep; xxhash64 has no DuckDB
+    // equivalent, and the law under check — no cluster straddles the
+    // split — is hash-agnostic). `leaked_clusters` is COMPUTED, not
+    // assumed: reps with >1 distinct split (0 by construction, and the
+    // oracle would catch a regression that breaks the construction).
+    "dd_split_leakage" -> ((s, d) => {
+      val labs = Graph.dupClusters(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("cc"))
+      val withSplit = Tables.documents(s, d).select(col("doc_id"))
+        .join(labs, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when((col("rep") % 1000003) * 30011 % 101 < 81, "train")
+            .otherwise("val"))
+      val perSplit = withSplit.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+      val leaked = withSplit.groupBy(col("rep"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked_clusters"))
+      perSplit.crossJoin(broadcast(leaked)).orderBy(col("split"))
+    }),
   )
 
   /** Shingle-set CTE shared by the jaccard oracles (trigram, distinct,
@@ -261,5 +292,27 @@ object DedupQueries extends QueryFamily {
         |SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY fp""".stripMargin,
+    // cluster labels via the shared recursive-CTE reachability, then the
+    // same rep-keyed multiplicative hash split and the same honest
+    // leakage count
+    "dd_split_leakage" -> {
+      val recCte = shCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$recCte,
+         |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+         |reach AS (SELECT src AS id, src AS r FROM e
+         |          UNION
+         |          SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
+         |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id),
+         |w AS (SELECT d.doc_id, COALESCE(lab.cc, d.doc_id) AS rep,
+         |        CASE WHEN (COALESCE(lab.cc, d.doc_id) % 1000003) * 30011 % 101 < 81 THEN 'train' ELSE 'val' END AS split
+         |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |lk AS (SELECT CAST(COUNT(*) FILTER (WHERE ns > 1) AS BIGINT) AS leaked_clusters
+         |       FROM (SELECT rep, COUNT(DISTINCT split) AS ns FROM w GROUP BY rep) t)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_clusters,
+         |       (SELECT leaked_clusters FROM lk) AS leaked_clusters
+         |FROM w GROUP BY split ORDER BY split""".stripMargin
+    },
   )
 }

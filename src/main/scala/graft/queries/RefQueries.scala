@@ -79,6 +79,38 @@ object RefQueries extends QueryFamily {
         .crossJoin(tc.agg(count(lit(1)).as("n_view_click")))
         .crossJoin(tp.agg(count(lit(1)).as("n_full_funnel")))
     }),
+
+    // event-time AS-OF attribution: each purchase → the latest click by
+    // the same user at-or-before it, within a 30-min window. ONE pass:
+    // the last-click candidate is a running max of a (ts, event_id)
+    // struct over a user-partitioned window (per-user parallel sorts,
+    // keyed shuffle — no join, no per-purchase scan). The struct max is
+    // lexicographic in both engines, so same-timestamp clicks break ties
+    // identically (highest event_id wins). Timestamps are floored to
+    // exact integer µs — the grain DuckDB's parquet reader keeps (it
+    // FLOORS TIMESTAMP_NANOS to µs; verified floor, not round), so gap
+    // arithmetic and window order are engine-identical. The stream-stream
+    // form of this join (watermarked interval join) is StreamingSpec's
+    // attribution law.
+    "ref_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val windowUs = 1800L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastClick = max(when(col("event_type") === "click",
+        struct(col("tus").as("cts"), col("event_id").as("cid")))).over(w)
+      val attributed = col("lc").isNotNull &&
+        col("tus") - col("lc.cts") <= lit(windowUs)
+      Tables.events(s, d)
+        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("lc", lastClick)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(attributed, col("lc.cid")).as("click_id"),
+          when(attributed, col("tus") - col("lc.cts")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -134,5 +166,16 @@ object RefQueries extends QueryFamily {
         |tc AS (SELECT e.user_id, MIN(tns) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tns > t_view GROUP BY 1),
         |tp AS (SELECT e.user_id, MIN(tns) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tns > t_click GROUP BY 1)
         |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users, (SELECT COUNT(*) FROM tv) AS n_viewed, (SELECT COUNT(*) FROM tc) AS n_view_click, (SELECT COUNT(*) FROM tp) AS n_full_funnel""".stripMargin,
+    "ref_attribution" ->
+      """SELECT purchase_id, user_id, click_id, gap_us FROM (
+        |  SELECT event_id AS purchase_id, user_id, event_type,
+        |    CASE WHEN lc IS NOT NULL AND tus - lc.cts <= 1800000000 THEN lc.cid END AS click_id,
+        |    CASE WHEN lc IS NOT NULL AND tus - lc.cts <= 1800000000 THEN tus - lc.cts END AS gap_us
+        |  FROM (
+        |    SELECT event_id, user_id, event_type, tus,
+        |      max(CASE WHEN event_type = 'click' THEN {'cts': tus, 'cid': event_id} END)
+        |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS lc
+        |    FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events) e) t) p
+        |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
   )
 }

@@ -613,12 +613,15 @@ object RelQueries extends QueryFamily {
     // trailing event-time window per row: 1-hour RANGE frame (value-based,
     // so same-timestamp peers are all in-frame — deterministic without a
     // tie-break). Partitioned by user — per-user parallel sorts, keyed
-    // shuffle, no global window. Exact integer ns bounds + cents sums.
+    // shuffle, no global window. Exact integer µs bounds (the grain
+    // DuckDB's parquet reader floors TIMESTAMP_NANOS to — ns-grain bounds
+    // would disagree on sub-µs frame boundaries) + cents sums.
     "rel_trailing_1h" -> ((s, d) => {
-      val hourNs = 3600L * 1000000000L
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        .rangeBetween(-hourNs, 0)
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-hourUs, 0)
       Tables.events(s, d)
+        .withColumn("tus", expr("ts DIV 1000"))
         .withColumn("n_1h", count(lit(1)).over(w))
         .withColumn("sum_1h", dollars(sum(cents(col("value"))).over(w)))
         .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
@@ -861,8 +864,8 @@ object RelQueries extends QueryFamily {
          |  COUNT(*) OVER w AS n_1h,
          |  ${dollarsSql(s"SUM(${centsSql("value")}) OVER w")} AS sum_1h
          |FROM events
-         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
-         |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -66,6 +66,29 @@ object SimQueries extends QueryFamily {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("dims"), sum(col("sum_micros")).as("sum_all_micros"))
         .orderBy(col("label"))),
+
+    // ingest screen for the embedding column: norm-distribution histogram
+    // + zero-vector count (a zero vector NaN-poisons every cosine
+    // downstream — catch it at the door, not in the ANN results). Norm²
+    // in exact integer micros² (order-independent), then ONE fixed
+    // sqrt/floor IEEE sequence for the bucket — engine-exact. Narrow
+    // per-row transform + tiny groupBy: no shuffle wider than the
+    // histogram.
+    "sim_norm_profile" -> ((s, d) => {
+      val m2 = aggregate(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")),
+        lit(0L), (acc, v) => acc + v * v)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), m2.as("m2"))
+        .select(
+          floor(sqrt(col("m2").cast("double")) / 100000.0).cast("long").as("bucket"),
+          col("m2"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("m2") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** The cosine expression the brute-force oracle already matches
@@ -250,5 +273,18 @@ object SimQueries extends QueryFamily {
         |  FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u
         |  GROUP BY label, pos) g
         |GROUP BY label ORDER BY label""".stripMargin,
+    "sim_norm_profile" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    list_reduce(
+        |      list_transform(
+        |        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+        |        v -> v * v),
+        |      (a, b) -> a + b) AS m2
+        |  FROM embeddings)
+        |SELECT CAST(FLOOR(sqrt(CAST(m2 AS DOUBLE)) / 100000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN m2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }
