@@ -19,7 +19,7 @@ import graft.queries.{DedupQueries, MultimodalQueries, QueryFamily, RefQueries, 
   */
 object SparkEntry {
 
-  private val families: Seq[QueryFamily] =
+  private[graft] val families: Seq[QueryFamily] =
     Seq(RefQueries, RelQueries, TextQueries, DedupQueries, SimQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

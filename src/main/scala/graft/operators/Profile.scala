@@ -91,12 +91,19 @@ object Profile {
     val covN = nD * d("sxy") - d("sx") * d("sy") // n²·cov_pop
     val varXN = nD * d("sxx") - d("sx") * d("sx") // n²·var_pop
     val varYN = nD * d("syy") - d("sy") * d("sy")
+    // degenerate-group guard: a zero-variance group makes varXN exactly 0
+    // (Spark's non-ANSI x/0.0 → NULL, DuckDB's IEEE → ±inf/NaN — the
+    // engines would DISAGREE), and near-total cancellation can round the
+    // exact-decimal-to-double derivation to a tiny negative (sqrt → NaN,
+    // with engine-specific NaN ordering downstream). NULL-ing corr/std on
+    // varN <= 0 on BOTH sides makes degenerate groups engine-identical;
+    // no-op for any group with real variance.
     grouped.select(groupCols ++ Seq(
       col("n"),
-      (covN / sqrt(varXN) / sqrt(varYN)).as("corr"),
+      when(varXN > 0 && varYN > 0, covN / sqrt(varXN) / sqrt(varYN)).as("corr"),
       (covN / nD / nD).as("covar_pop"),
-      (sqrt(varXN) / nD).as("std_x"),
-      (sqrt(varYN) / nD).as("std_y")): _*)
+      when(varXN > 0, sqrt(varXN) / nD).as("std_x"),
+      when(varYN > 0, sqrt(varYN) / nD).as("std_y")): _*)
   }
 
   /** Exact median + median absolute deviation (the robust outlier screen:

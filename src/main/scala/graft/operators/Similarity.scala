@@ -266,6 +266,35 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** SQ8 codes UNDER the IVF cell layout — the composition a real
+    * int8-compressed index runs at scale: the corpus is quantized
+    * ([[sq8Dequantized]]) and the ENTIRE index pipeline — centroid init,
+    * Lloyd refinement, cell assignment, probing, scoring — runs in the
+    * quantized domain ([[ivfTopK]] over the reconstructed vectors), so a
+    * probed cell scans 4×-smaller codes, which is the whole point of SQ8.
+    * The per-query `recall_at_k` contract compares against the
+    * float-exact IVF path with the SAME layout parameters, isolating the
+    * quantization-induced ranking error at fixed probe cost. Nothing
+    * here is O(n²): both pipelines are centroid-partitioned
+    * (broadcast centroids, nProbe-cell probes) — this is the scale
+    * registration of the quantized path; [[sq8TopK]] stays as the
+    * isolated brute-force quantization-error baseline. */
+  def sq8IvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int): DataFrame = {
+    val deq = sq8Dequantized(corpus)
+      .select(col("vec_id"), col("qv").as("embedding"))
+    val qdeq = deq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val approx = ivfTopK(deq, qdeq, k, nCells, nProbe)
+      .withColumnRenamed("cosine", "qcos")
+    val exact = ivfTopK(corpus, queries, k, nCells, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact but O(n²) — the capability baseline;
     * [[embeddingDupPairsLsh]] is the 100 TB plan. */

@@ -87,9 +87,11 @@ object RefQueries extends QueryFamily {
     // keyed shuffle — no join, no per-purchase scan). The struct max is
     // lexicographic in both engines, so same-timestamp clicks break ties
     // identically (highest event_id wins). Timestamps are floored to
-    // exact integer µs — the grain DuckDB's parquet reader keeps (it
-    // FLOORS TIMESTAMP_NANOS to µs; verified floor, not round), so gap
-    // arithmetic and window order are engine-identical. The stream-stream
+    // exact integer µs — DuckDB's parquet reader preserves ns
+    // (TIMESTAMP_NS); it's the oracle's epoch_us() conversion that
+    // truncates to µs (floor for positive epochs, verified) — so gap
+    // arithmetic and window order are engine-identical at the shared
+    // µs grain. The stream-stream
     // form of this join (watermarked interval join) is StreamingSpec's
     // attribution law.
     "ref_attribution" -> ((s, d) => {

@@ -613,9 +613,10 @@ object RelQueries extends QueryFamily {
     // trailing event-time window per row: 1-hour RANGE frame (value-based,
     // so same-timestamp peers are all in-frame — deterministic without a
     // tie-break). Partitioned by user — per-user parallel sorts, keyed
-    // shuffle, no global window. Exact integer µs bounds (the grain
-    // DuckDB's parquet reader floors TIMESTAMP_NANOS to — ns-grain bounds
-    // would disagree on sub-µs frame boundaries) + cents sums.
+    // shuffle, no global window. Exact integer µs bounds (DuckDB's reader
+    // preserves TIMESTAMP_NS; the oracle's epoch_us() truncates ns→µs —
+    // floor for positive epochs — making µs the shared grain; ns-grain
+    // bounds would disagree on sub-µs frame boundaries) + cents sums.
     "rel_trailing_1h" -> ((s, d) => {
       val hourUs = 3600L * 1000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
@@ -822,7 +823,8 @@ object RelQueries extends QueryFamily {
     },
     // the same fixed double derivation over the same exact HUGEINT moments
     // (DuckDB SUM(BIGINT) is HUGEINT — 128-bit exact, mirror of the
-    // engine's DECIMAL(38,0) sums)
+    // engine's DECIMAL(38,0) sums), with the identical varN <= 0
+    // degenerate-group guard (see Profile.momentStats)
     "rel_corr_moments" -> {
       val cq = centsSql("l_quantity")
       val cp = centsSql("l_extendedprice")
@@ -832,16 +834,19 @@ object RelQueries extends QueryFamily {
          |    SUM(CAST($cq AS HUGEINT) * CAST($cq AS HUGEINT)) AS sxx,
          |    SUM(CAST($cp AS HUGEINT) * CAST($cp AS HUGEINT)) AS syy,
          |    SUM(CAST($cq AS HUGEINT) * CAST($cp AS HUGEINT)) AS sxy
-         |  FROM lineitem GROUP BY l_returnflag)
+         |  FROM lineitem GROUP BY l_returnflag),
+         |v AS (
+         |  SELECT l_returnflag, n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn
+         |  FROM m)
          |SELECT l_returnflag, n,
-         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS corr,
-         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
-         |  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS std_x,
-         |  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS std_y
-         |FROM m ORDER BY l_returnflag""".stripMargin
+         |  CASE WHEN vxn > 0 AND vyn > 0 THEN covn / sqrt(vxn) / sqrt(vyn) END AS corr,
+         |  covn / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
+         |  CASE WHEN vxn > 0 THEN sqrt(vxn) / CAST(n AS DOUBLE) END AS std_x,
+         |  CASE WHEN vyn > 0 THEN sqrt(vyn) / CAST(n AS DOUBLE) END AS std_y
+         |FROM v ORDER BY l_returnflag""".stripMargin
     },
     // median = value at rank (n+1)//2 of the value order; MAD = same rank
     // over |v - median|

@@ -35,9 +35,20 @@ object SimQueries extends QueryFamily {
         .orderBy(col("query_id"), col("rank"))),
 
     // SQ8 int8-compression scoring path (4x memory), with the per-query
-    // recall-vs-exact contract column oracle-checked alongside
+    // recall-vs-exact contract column oracle-checked alongside. This is
+    // the ISOLATED quantization-error baseline (brute-force-shaped by
+    // design); sim_topk_sq8_ivf is the scale registration.
     "sim_topk_sq8" -> ((s, d) =>
       Similarity.sq8TopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // SQ8 codes under the IVF cell layout — quantize → assign to cells →
+    // probe nProbe cells → rank, recall contract vs the float-exact IVF
+    // path at the same layout params. The registered 100 TB plan for
+    // quantized ANN: centroid-partitioned everywhere, no cross join.
+    "sim_topk_sq8_ivf" -> ((s, d) =>
+      Similarity.sq8IvfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
+        nCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
     // behavioral similarity search (the EDBT/ICDE time-series-similarity
@@ -143,12 +154,17 @@ object SimQueries extends QueryFamily {
        |  FROM pair) r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Bit-exact DuckDB replica of [[graft.operators.Similarity.ivfTopK]]
+  /** The full IVF pipeline (deterministic strided init → 2 Lloyd
+    * iterations in integer-micros fixed point → final assign → nProbe=4
+    * probe → k=3 rank) as prefixed CTE clauses over `$base(vec_id, v)` —
+    * a bit-exact DuckDB replica of [[graft.operators.Similarity.ivfTopK]]
     * (nCells=16, nProbe=4, 2 Lloyd iterations, k=3). Centroid updates are
-    * integer-micros fixed point — order-independent long sums — so the
-    * iterative refinement is exactly reproducible; every double op
-    * (cosine, the micros→double division) is a fixed IEEE sequence. */
-  private def ivfOracleSql: String = {
+    * order-independent long sums, so the iterative refinement is exactly
+    * reproducible; every double op (cosine, the micros→double division)
+    * is a fixed IEEE sequence. Emits `${p}tk(query_id, neighbor_id,
+    * cosine, rank)`. Shared by the float (`sim_topk_ivf`) and quantized
+    * (`sim_topk_sq8_ivf`) pipelines, which differ ONLY in `base`. */
+  private def ivfCtesSql(p: String, base: String): String = {
     // the CASE mirrors the engine's NaN→-2.0 sentinel in ivfTopK's assign
     // (see Similarity.scala): without it a zero-norm vector's NaN cosine
     // would rank FIRST here (DuckDB orders NaN above everything) but lose
@@ -157,42 +173,66 @@ object SimQueries extends QueryFamily {
       s"""SELECT vec_id, v, cell FROM (
          |  SELECT vec_id, v, cell,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY (CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END) DESC, cell) AS rn
-         |  FROM (SELECT e.vec_id, e.v, c.cell, ${cosineSql("e.v", "c.cv")} AS cos0 FROM e CROSS JOIN $cents c) x) s WHERE rn = 1""".stripMargin
+         |  FROM (SELECT e.vec_id, e.v, c.cell, ${cosineSql("e.v", "c.cv")} AS cos0 FROM $base e CROSS JOIN $cents c) x) s WHERE rn = 1""".stripMargin
     def meansSql(assigned: String): String =
       s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
          |  SELECT cell, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
          |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $assigned) u
          |  GROUP BY cell, pos) g
          |GROUP BY cell""".stripMargin
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM e),
-       |c0 AS (
+    s"""${p}params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM $base),
+       |${p}c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS cv
-       |  FROM e, params WHERE vec_id % stride = 0
+       |  FROM $base, ${p}params WHERE vec_id % stride = 0
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
-       |a1 AS (${assignSql("c0")}),
-       |c1 AS (${meansSql("a1")}),
-       |a2 AS (${assignSql("c1")}),
-       |c2 AS (${meansSql("a2")}),
-       |af AS (${assignSql("c2")}),
-       |probes AS (
+       |${p}a1 AS (${assignSql(s"${p}c0")}),
+       |${p}c1 AS (${meansSql(s"${p}a1")}),
+       |${p}a2 AS (${assignSql(s"${p}c1")}),
+       |${p}c2 AS (${meansSql(s"${p}a2")}),
+       |${p}af AS (${assignSql(s"${p}c2")}),
+       |${p}probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
-       |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 5 = 0) s
+       |    FROM $base e CROSS JOIN ${p}c2 c WHERE e.vec_id % 5 = 0) s
        |  WHERE rn <= 4),
-       |pair AS (
-       |  SELECT p.query_id, af.vec_id AS neighbor_id,
+       |${p}pair AS (
+       |  SELECT pr.query_id, af.vec_id AS neighbor_id,
        |    ${cosineSql("eq.v", "af.v")} AS cosine
-       |  FROM probes p
-       |  JOIN af ON af.cell = p.cell AND af.vec_id <> p.query_id
-       |  JOIN e eq ON eq.vec_id = p.query_id)
-       |SELECT query_id, rank, neighbor_id, cosine FROM (
-       |  SELECT query_id, neighbor_id, cosine,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-       |  FROM pair) r
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |  FROM ${p}probes pr
+       |  JOIN ${p}af af ON af.cell = pr.cell AND af.vec_id <> pr.query_id
+       |  JOIN $base eq ON eq.vec_id = pr.query_id),
+       |${p}tk AS (
+       |  SELECT query_id, neighbor_id, cosine, rank FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM ${p}pair) r
+       |  WHERE rank <= 3)""".stripMargin
   }
+
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${ivfCtesSql("", "e")}
+       |SELECT query_id, rank, neighbor_id, cosine FROM tk ORDER BY query_id, rank""".stripMargin
+
+  /** Bit-exact replica of [[graft.operators.Similarity.sq8IvfTopK]]: the
+    * identical SQ8 reconstruction as the `sim_topk_sq8` oracle feeds the
+    * identical IVF pipeline as the `sim_topk_ivf` oracle; the recall
+    * contract joins against the float-exact IVF top-k (same layout
+    * params), not a brute-force pass — nothing here is O(n²). */
+  private def sq8IvfOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |xs0 AS (SELECT vec_id, i AS pos, v[i] AS x FROM ef, UNNEST(range(1, len(v) + 1)) u(i)),
+       |st0 AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM xs0 GROUP BY pos),
+       |dq0 AS (SELECT vec_id, pos, CASE WHEN mx = mn THEN mn ELSE mn + FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) * (mx - mn) / 255.0 END AS xh FROM xs0 JOIN st0 USING (pos)),
+       |edq AS (SELECT vec_id, list(xh ORDER BY pos) AS v FROM dq0 GROUP BY vec_id),
+       |${ivfCtesSql("q", "edq")},
+       |${ivfCtesSql("x", "ef")},
+       |rec AS (SELECT qtk.query_id, COUNT(xtk.neighbor_id) AS n_hit
+       |        FROM qtk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY qtk.query_id)
+       |SELECT qtk.query_id, qtk.rank, qtk.neighbor_id, qtk.cosine AS qcos,
+       |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+       |FROM qtk JOIN rec USING (query_id) ORDER BY qtk.query_id, qtk.rank""".stripMargin
 
   val oracles: ListMap[String, String] = ListMap(
     "sim_topk_bruteforce" ->
@@ -267,20 +307,26 @@ object SimQueries extends QueryFamily {
     // rows-only check
     "sim_topk_lsh" -> lshOracleSql,
     "sim_topk_ivf" -> ivfOracleSql,
+    "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (
         |  SELECT label, pos, CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
         |  FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM embeddings) u
         |  GROUP BY label, pos) g
         |GROUP BY label ORDER BY label""".stripMargin,
+    // total over empty embeddings: two-arg list_reduce ERRORS on an empty
+    // list while the engine's aggregate(...) returns its 0L seed — the
+    // CASE keeps the oracle defined (m2 = 0) on exactly the zero/garbage
+    // vector class this ingest screen exists to catch
     "sim_norm_profile" ->
       """WITH n AS (
         |  SELECT vec_id,
+        |    CASE WHEN len(embedding) = 0 THEN CAST(0 AS BIGINT) ELSE
         |    list_reduce(
         |      list_transform(
         |        list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
         |        v -> v * v),
-        |      (a, b) -> a + b) AS m2
+        |      (a, b) -> a + b) END AS m2
         |  FROM embeddings)
         |SELECT CAST(FLOOR(sqrt(CAST(m2 AS DOUBLE)) / 100000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_vecs,

@@ -15,8 +15,12 @@ class EntrySpec extends GraftSparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("all 93 queries are registered with stable names") {
-    assert(SparkEntry.queries.size === 93)
+  test("registry is collision-free and fully oracle-checked") {
+    // the registry fold (`_ ++ _.queries`) would silently drop a query whose
+    // name collides across families — assert the sum survives the merge
+    val perFamily = SparkEntry.families.map(_.queries.size).sum
+    assert(SparkEntry.queries.size === perFamily,
+      "duplicate query name across families")
     // every registered query is oracle-checked — no rows-only gaps
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set.empty[String])
