@@ -119,14 +119,17 @@ object Similarity {
     * micros→double division) is a fixed IEEE operation sequence — so the
     * whole algorithm is bit-for-bit replicable by the DuckDB oracle SQL. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
-      nProbe: Int, lloydIters: Int = 2): DataFrame = {
+      nProbe: Int, lloydIters: Int = 2, nRows: Option[Long] = None): DataFrame = {
     // double-cast view: centroids are double arrays, so assignment runs
     // the double cosine kernel on both sides
     val corpusD = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
-    // deterministic init: evenly-strided sample by vec_id rank
-    val n = corpus.count()
+    // deterministic init: evenly-strided sample by vec_id rank. `nRows`
+    // lets a caller that already knows the corpus size (sq8IvfTopK: the
+    // quantized view is row-for-row the raw table) skip an extra count
+    // action over a derived pipeline.
+    val n = nRows.getOrElse(corpus.count())
     val stride = math.max(1L, n / nCells)
     var centroids = corpusD
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -281,12 +284,18 @@ object Similarity {
     * isolated brute-force quantization-error baseline. */
   def sq8IvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nProbe: Int): DataFrame = {
+    // NOT cached: measured 4× SLOWER with the quantized corpus behind an
+    // InMemoryRelation (13.3 s vs 3.2 s at sf0.1) — a cache here blocks
+    // the AQE ReusedExchange dedup of the identical quantization +
+    // assignment subtrees across Lloyd branches, the same effect as the
+    // eager-localCheckpoint experiment in ivfTopK's scaladoc.
     val deq = sq8Dequantized(corpus)
       .select(col("vec_id"), col("qv").as("embedding"))
     val qdeq = deq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val approx = ivfTopK(deq, qdeq, k, nCells, nProbe)
+    val n = Some(corpus.count())
+    val approx = ivfTopK(deq, qdeq, k, nCells, nProbe, nRows = n)
       .withColumnRenamed("cosine", "qcos")
-    val exact = ivfTopK(corpus, queries, k, nCells, nProbe)
+    val exact = ivfTopK(corpus, queries, k, nCells, nProbe, nRows = n)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
