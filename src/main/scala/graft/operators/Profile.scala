@@ -106,6 +106,43 @@ object Profile {
       when(varYN > 0, sqrt(varYN) / nD).as("std_y")): _*)
   }
 
+  /** Per-group z-score outlier screen: rows whose integer-valued column
+    * deviates from their group's mean by more than `t` population standard
+    * deviations. The feed-quality counterpart of [[medianMad]] — mean/std
+    * answer "how extreme is THIS row", MAD answers "did the distribution
+    * move".
+    *
+    * Same exactness discipline as [[momentStats]]: per-group Σx and Σx²
+    * in DECIMAL(38,0) (order-independent), then mean/std/z derived by a
+    * FIXED IEEE double sequence, so the flag decision (a strict `>` on a
+    * derived double) is bit-identical in any engine. Degenerate groups
+    * (zero or cancellation-negative variance) produce NULL z and are
+    * never flagged — on BOTH engines, per the momentStats guard
+    * rationale. Plan: one group-keyed partial agg + one equi-join of the
+    * row stream against the per-group stats (|groups| rows — broadcast
+    * when small, shuffle-keyed otherwise; never a window over the rows).
+    *
+    * `vCol` must be an integer-valued column (cents). Output: the input
+    * columns plus `z`. */
+  def zOutliers(df: DataFrame, keyCol: String, vCol: String, t: Double)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = col(vCol).cast(dec)
+    val m = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(c).as("__sx"),
+      sum(c * c).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val varN = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val mu = col("__sx").cast("double") / nD
+    val std = sqrt(varN) / nD
+    df.join(m, Seq(keyCol))
+      .withColumn("z", when(varN > 0, (col(vCol).cast("double") - mu) / std))
+      .filter(col("z").isNotNull && abs(col("z")) > t)
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Exact median + median absolute deviation (the robust outlier screen:
     * unlike mean/stddev, MAD doesn't move when a feed drops a handful of
     * garbage rows at 1e9×value) — two passes of distributed order

@@ -374,4 +374,57 @@ object TextOps {
     val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
     regexp_replace(url, "[0-9]{7,}", "<NUM>")
   }
+
+  /** BM25 document ranking for a literal query-term set (k1=1.2, b=0.75):
+    * the classic keyword-retrieval scorer over the same tf/df/dl corpus
+    * statistics [[tfIdf]] computes. Returns the top `k` docs by score
+    * with (rank, doc_id, n_terms_hit, dl, score).
+    *
+    * Cross-engine determinism:
+    *   - idf is the RATIONAL variant in exact integer millionths,
+    *     `((n_docs - df)·2 + 1)·1e6 DIV (2·df + 1)` — an exact-BIGINT
+    *     mirror of (n−df+0.5)/(df+0.5) — because ln() is not
+    *     bit-portable across math libraries (see [[tfIdf]]);
+    *   - the per-term score is then ONE fixed IEEE double sequence over
+    *     exact integer inputs (tf, dl, total_dl, n_docs), and the
+    *     per-doc sum folds over the hit terms SORTED BY TERM (a shuffle-
+    *     order-dependent double `sum` would not be reproducible).
+    *
+    * Plan shape at scale: the two vocabulary-keyed hash aggregates of
+    * tfIdf, with the query-term `isin` filter pushed BELOW the tf
+    * aggregate (Catalyst pushes a grouping-key predicate through the
+    * agg), so the candidate shuffle carries only posting-list rows for
+    * the query terms — the inverted-index access pattern; docs with no
+    * hit are never scored. Global top-k compiles to
+    * TakeOrderedAndProject (no global sort). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(col("dl")).as("total_dl"), count(lit(1)).as("n_docs"))
+    val hits = tf.filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val idfScaled = expr("((n_docs - df) * 2 + 1) * 1000000 DIV (2 * df + 1)")
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val s = idfScaled.cast("double") *
+      (tfD * lit(2.2) / (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))) /
+      lit(1000000.0)
+    val scored = hits.select(col("doc_id"), col("dl"), col("term"), s.as("s"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("s")))),
+            p => p.getField("s")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    // rank over the already-limited k rows (bounded window)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("dl"), col("score"))
+  }
 }

@@ -113,6 +113,84 @@ object RefQueries extends QueryFamily {
           when(attributed, col("tus") - col("lc.cts")).as("gap_us"))
         .orderBy(col("purchase_id"))
     }),
+
+    // weekly cohort retention: cohort = a user's first active week,
+    // matrix cell (cohort, offset) = users from that cohort active
+    // `offset` weeks later. Exact integer week arithmetic on the raw ns
+    // long (epochs positive, so truncation == floor in both engines).
+    // Plan: distinct (user, week) → per-user min → equi-join back on
+    // user → one matrix agg. The matrix count needs no DISTINCT (no
+    // Expand): (user, week) rows are already unique and a user has
+    // exactly one cohort, so count(*) IS the distinct user count.
+    "ref_retention_cohorts" -> ((s, d) => {
+      // integer DIV, not `/`: ts (~1.7e18 ns) exceeds 2^53, so a double
+      // quotient would round before the truncation
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // first-order Markov model of the event stream: per-user transition
+    // (previous event type → event type) counts and row-normalized
+    // probabilities. Order is exact (ns, event_id) — engine-identical
+    // tie-break. The probability is one double division of exact longs;
+    // its denominator window runs over the GROUPED 5×5 transition matrix
+    // (bounded domain), not the event stream.
+    "ref_markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val counts = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wTot = Window.partitionBy(col("prev_type"))
+      counts
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(wTot).cast("double"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // engagement stickiness: per week, distinct weekly actives (WAU),
+    // mean daily actives (avg DAU over days with any activity), and the
+    // DAU/WAU ratio. Two distinct-projections (user×day, user×week) +
+    // tiny keyed aggs; both ratios are fixed double divisions of exact
+    // longs.
+    "ref_dau_stickiness" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud.select(col("user_id"), expr("day DIV 7").as("wk"))
+        .distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      val avgDau = col("sum_dau").cast("double") / col("n_days").cast("double")
+      dau.groupBy(expr("day DIV 7").as("wk"))
+        .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        .join(wau, Seq("wk"))
+        .select(col("wk"), col("n_days"), col("wau"), col("sum_dau"),
+          avgDau.as("avg_dau"),
+          (avgDau / col("wau").cast("double")).as("stickiness"))
+        .orderBy(col("wk"))
+    }),
+
+    // per-user spend-anomaly screen: events whose value is more than 3
+    // population-σ from that user's own mean (Profile.zOutliers: exact
+    // decimal moments, fixed-IEEE z, degenerate users never flagged).
+    "ref_value_outliers" -> ((s, d) =>
+      graft.operators.Profile.zOutliers(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            QueryFamily.cents(col("value")).as("c")),
+        "user_id", "c", 3.0)
+        .select(col("event_id"), col("user_id"),
+          QueryFamily.dollars(col("c")).as("value"), col("z"))
+        .orderBy(col("event_id"))),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -179,5 +257,44 @@ object RefQueries extends QueryFamily {
         |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS lc
         |    FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events) e) t) p
         |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "ref_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ref_markov_transitions" ->
+      """WITH l AS (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |           FROM events),
+        |c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "ref_dau_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT wk, COUNT(*) AS wau FROM (SELECT DISTINCT user_id, day // 7 AS wk FROM ud) w GROUP BY 1),
+        |dw AS (SELECT day // 7 AS wk, CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days FROM dau GROUP BY 1)
+        |SELECT wk, n_days, wau, sum_dau,
+        |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+        |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dw JOIN wau USING (wk) ORDER BY wk""".stripMargin,
+    // the identical exact-moment derivation as Profile.zOutliers: HUGEINT
+    // sums (mirror of DECIMAL(38,0)), fixed double sequence for mu/std/z,
+    // degenerate (varn <= 0) users never flagged
+    "ref_value_outliers" ->
+      """WITH s AS (SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT user_id, COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS sx,
+        |        SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sxx
+        |      FROM s GROUP BY 1),
+        |j AS (SELECT s.event_id, s.user_id, s.c,
+        |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varn,
+        |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |        sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS std
+        |      FROM s JOIN m USING (user_id))
+        |SELECT event_id, user_id, CAST(c AS DOUBLE) / 100 AS value,
+        |  (CAST(c AS DOUBLE) - mu) / std AS z
+        |FROM j WHERE varn > 0 AND abs((CAST(c AS DOUBLE) - mu) / std) > 3
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -227,6 +227,13 @@ object TextQueries extends QueryFamily {
           coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
         .orderBy(col("lang"))
     }),
+
+    // BM25 keyword retrieval for a fixed 3-term query: rational integer
+    // idf (ln is not bit-portable — TextOps.tfIdf scaladoc), fixed-IEEE
+    // per-term score, per-doc sum folded in term order, global top-20
+    "txt_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), Seq("spark", "join", "hash"), 20)
+        .orderBy(col("rank"))),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -395,5 +402,28 @@ object TextQueries extends QueryFamily {
          |       CAST(SUM(copies) AS BIGINT) AS n_rows_out, CAST(SUM(copies * n) AS BIGINT) AS tokens_out
          |FROM cp GROUP BY lang, tokens_in ORDER BY lang""".stripMargin
     },
+    // identical rational idf millionths (exact BIGINT), identical one-
+    // sequence double score, per-doc sum via list_reduce over the terms
+    // SORTED BY TERM (seedless first element == Spark's 0.0 + x: exact
+    // for the strictly positive scores here)
+    "txt_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM dl),
+        |sc AS (
+        |  SELECT tf.doc_id, dl.dl, tf.term,
+        |    CAST(((n_docs - df) * 2 + 1) * 1000000 // (2 * df + 1) AS DOUBLE) *
+        |      (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) / 1000000.0 AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |  WHERE tf.term IN ('spark', 'join', 'hash')),
+        |agg AS (SELECT doc_id, dl, COUNT(*) AS n_terms_hit,
+        |          list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+        |        FROM sc GROUP BY 1, 2),
+        |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |       doc_id, n_terms_hit, dl, score
+        |FROM top ORDER BY rank""".stripMargin,
   )
 }

@@ -128,4 +128,23 @@ class PlanSpec extends GraftSparkSpec {
     assert("Window \\[[^\\]]*\\], \\[__pid[#0-9]*\\]".r.findFirstIn(plan).isDefined,
       s"per-partition cumsum window missing:\n$plan")
   }
+
+  test("BM25 prunes to query-term postings below the tf aggregate, top-k without global sort") {
+    val df = operators.TextOps.bm25TopK(Tables.documents(spark, sf),
+      Seq("spark", "join", "hash"), 20)
+    // the inverted-index contract: the term IN (...) predicate must sit
+    // UNDER the (doc, term) count aggregate — directly on the explode
+    // (Generate) — so the candidate shuffle carries only query-term
+    // posting rows. At 100 TB this is the difference between shuffling 3
+    // posting lists and the whole tokenized corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.toString.contains("IN (spark,join,hash)") &&
+        f.child.isInstanceOf[Generate] => f
+    }
+    assert(pushed.nonEmpty,
+      s"term filter not pushed below the tf aggregate:\n${df.queryExecution.optimizedPlan}")
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
 }
