@@ -46,6 +46,26 @@ object MultimodalQueries extends QueryFamily {
       Multimodal.frameSample(
         Multimodal.syntheticMedia(Tables.documents(s, d)), 64, 8)
         .orderBy(col("doc_id"), col("frame_id"))),
+
+    // content-hash dedup over the BINARY payload — the first pass of any
+    // multimodal ingest (byte-identical re-crawls/re-uploads) and the
+    // binary mirror of dd_exact_stats: hash the blob (the fixed-width
+    // hash shuffles, the payload bytes never do), report per-mime blob /
+    // unique / duplicate counts and the worst repeat. The fixture has no
+    // byte-identical payloads, so the dup columns measure an honest 0 —
+    // the blob and unique counts keep the check non-vacuous (a corrupted
+    // hash column would desync n_unique immediately).
+    "mm_content_dedup" -> ((s, d) =>
+      Multimodal.syntheticMedia(Tables.documents(s, d))
+        .select(col("doc_id"), col("mime"), md5(col("bytes")).as("content_hash"))
+        .groupBy(col("mime"), col("content_hash"))
+        .agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("mime"))
+        .agg(sum(col("n_copies")).as("n_blobs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("n_copies") - 1).as("n_dup_blobs"),
+          max(col("n_copies")).as("max_copies"))
+        .orderBy(col("mime"))),
   )
 
   private val mimeSql =
@@ -103,5 +123,16 @@ object MultimodalQueries extends QueryFamily {
          |FROM f, (SELECT unnest(range(0, 8)) AS i) r
          |WHERE i < n_frames
          |ORDER BY doc_id, frame_id""".stripMargin,
+    // md5(text) in DuckDB hashes the varchar's UTF-8 bytes — exactly the
+    // engine's md5 over the binary payload (bytes = UTF-8 encoding of
+    // text by construction in Multimodal.syntheticMedia)
+    "mm_content_dedup" ->
+      s"""WITH g AS (
+         |  SELECT mime, content_hash, COUNT(*) AS n_copies
+         |  FROM (SELECT $mimeSql AS mime, md5(text) AS content_hash FROM documents) t
+         |  GROUP BY mime, content_hash)
+         |SELECT mime, CAST(SUM(n_copies) AS BIGINT) AS n_blobs, COUNT(*) AS n_unique,
+         |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_blobs, MAX(n_copies) AS max_copies
+         |FROM g GROUP BY mime ORDER BY mime""".stripMargin,
   )
 }

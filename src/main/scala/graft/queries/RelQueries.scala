@@ -628,6 +628,40 @@ object RelQueries extends QueryFamily {
         .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+
+    // navigation-window battery: lead / first_value / nth_value / ntile
+    // over a per-customer order timeline. All frames are explicit ROWS
+    // frames over a UNIQUE (o_orderdate, o_orderkey) order, so every
+    // engine computes the identical cell. Keyed windows only.
+    "rel_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(wRun).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(wRun).as("second_order"),
+          ntile(4).over(w).as("qtile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // skew-hardened fact-dimension join (Joins.saltedJoin): the big side
+    // scattered over `salt` sub-keys of a deterministic hash, the small
+    // side replicated salt×, equi-join on (key, salt) — row-for-row equal
+    // to the plain join (which is exactly what the oracle checks), with a
+    // hot key's probe work spread over salt reducers instead of one
+    // straggler. The salt column never reaches the aggregate.
+    "rel_salted_join" -> ((s, d) => {
+      val big = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("event_id"), col("event_type"))
+      val small = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      graft.operators.Joins.saltedJoin(big, small, "k", 8, col("event_id"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("segment"), col("event_type"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -872,5 +906,20 @@ object RelQueries extends QueryFamily {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_id""".stripMargin,
+    "rel_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order,
+        |  CAST(ntile(4) OVER w AS INT) AS qtile
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // the salted join must equal the PLAIN join row-for-row — the oracle
+    // is the unsalted formulation
+    "rel_salted_join" ->
+      """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

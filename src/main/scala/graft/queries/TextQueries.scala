@@ -234,6 +234,40 @@ object TextQueries extends QueryFamily {
     "txt_bm25" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Seq("spark", "join", "hash"), 20)
         .orderBy(col("rank"))),
+
+    // language-ID eval: confusion matrix of the declared lang column vs
+    // the heuristic prediction — the monitoring view a corpus pipeline
+    // watches when an upstream feed changes. One narrow projection + a
+    // tiny (|langs|²-bounded) hash agg.
+    "txt_langid_confusion" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))),
+
+    // out-of-vocabulary screen: token share outside the corpus top-1000
+    // vocabulary, per declared language — the cheap quality proxy that
+    // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
+    // total order); the rate is one fixed double division of exact
+    // counts. Plan: vocabulary is a term-keyed agg + top-k, broadcast
+    // back against the exploded token stream (the 1000-row build side
+    // never shuffles the corpus).
+    "txt_oov_rate" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      val vocab = TextOps.termFrequencies(docs(s, d))
+        .orderBy(col("cnt").desc, col("term")).limit(1000)
+        .select(col("term"), lit(1).as("__v"))
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -425,5 +459,18 @@ object TextQueries extends QueryFamily {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |       doc_id, n_terms_hit, dl, score
         |FROM top ORDER BY rank""".stripMargin,
+    "txt_langid_confusion" ->
+      s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+         |  SELECT lang, CASE WHEN $nToks = 0 THEN 'und' WHEN CAST($markerCnt AS DOUBLE) / $nToks >= 0.02 THEN 'en' ELSE 'und' END AS predicted
+         |  FROM documents) t
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "txt_oov_rate" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1) t ORDER BY c DESC, term LIMIT 1000),
+        |m AS (SELECT lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok LEFT JOIN vocab v ON v.term = tok.term)
+        |SELECT lang, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
