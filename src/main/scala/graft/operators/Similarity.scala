@@ -283,7 +283,7 @@ object Similarity {
     * registration of the quantized path; [[sq8TopK]] stays as the
     * isolated brute-force quantization-error baseline. */
   def sq8IvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, lloydIters: Int = 2): DataFrame = {
     // NOT cached: measured 4× SLOWER with the quantized corpus behind an
     // InMemoryRelation (13.3 s vs 3.2 s at sf0.1) — a cache here blocks
     // the AQE ReusedExchange dedup of the identical quantization +
@@ -293,9 +293,9 @@ object Similarity {
       .select(col("vec_id"), col("qv").as("embedding"))
     val qdeq = deq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
     val n = Some(corpus.count())
-    val approx = ivfTopK(deq, qdeq, k, nCells, nProbe, nRows = n)
+    val approx = ivfTopK(deq, qdeq, k, nCells, nProbe, lloydIters, nRows = n)
       .withColumnRenamed("cosine", "qcos")
-    val exact = ivfTopK(corpus, queries, k, nCells, nProbe, nRows = n)
+    val exact = ivfTopK(corpus, queries, k, nCells, nProbe, lloydIters, nRows = n)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))

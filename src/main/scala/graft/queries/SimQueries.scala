@@ -46,9 +46,12 @@ object SimQueries extends QueryFamily {
     // probe nProbe cells → rank, recall contract vs the float-exact IVF
     // path at the same layout params. The registered 100 TB plan for
     // quantized ANN: centroid-partitioned everywhere, no cross join.
+    // 1 Lloyd iteration on BOTH pipelines: the quantization-error
+    // measurement is layout-independent as long as the two paths share
+    // the layout, and one iteration halves the two-pipeline cost.
     "sim_topk_sq8_ivf" -> ((s, d) =>
       Similarity.sq8IvfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
-        nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 4, lloydIters = 1)
         .orderBy(col("query_id"), col("rank"))),
 
     // behavioral similarity search (the EDBT/ICDE time-series-similarity
@@ -154,17 +157,18 @@ object SimQueries extends QueryFamily {
        |  FROM pair) r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** The full IVF pipeline (deterministic strided init → 2 Lloyd
+  /** The full IVF pipeline (deterministic strided init → `iters` Lloyd
     * iterations in integer-micros fixed point → final assign → nProbe=4
     * probe → k=3 rank) as prefixed CTE clauses over `$base(vec_id, v)` —
     * a bit-exact DuckDB replica of [[graft.operators.Similarity.ivfTopK]]
-    * (nCells=16, nProbe=4, 2 Lloyd iterations, k=3). Centroid updates are
+    * (nCells=16, nProbe=4, k=3). Centroid updates are
     * order-independent long sums, so the iterative refinement is exactly
     * reproducible; every double op (cosine, the micros→double division)
     * is a fixed IEEE sequence. Emits `${p}tk(query_id, neighbor_id,
-    * cosine, rank)`. Shared by the float (`sim_topk_ivf`) and quantized
-    * (`sim_topk_sq8_ivf`) pipelines, which differ ONLY in `base`. */
-  private def ivfCtesSql(p: String, base: String): String = {
+    * cosine, rank)`. Shared by the float (`sim_topk_ivf`, 2 iterations)
+    * and quantized (`sim_topk_sq8_ivf`, 1 iteration on BOTH of its
+    * pipelines) oracles, which otherwise differ ONLY in `base`. */
+  private def ivfCtesSql(p: String, base: String, iters: Int = 2): String = {
     // the CASE mirrors the engine's NaN→-2.0 sentinel in ivfTopK's assign
     // (see Similarity.scala): without it a zero-norm vector's NaN cosine
     // would rank FIRST here (DuckDB orders NaN above everything) but lose
@@ -180,21 +184,23 @@ object SimQueries extends QueryFamily {
          |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $assigned) u
          |  GROUP BY cell, pos) g
          |GROUP BY cell""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      s"""${p}a$i AS (${assignSql(s"${p}c${i - 1}")}),
+         |${p}c$i AS (${meansSql(s"${p}a$i")}),""".stripMargin
+    }.mkString("\n")
+    val cFinal = s"${p}c$iters"
     s"""${p}params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM $base),
        |${p}c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS cv
        |  FROM $base, ${p}params WHERE vec_id % stride = 0
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
-       |${p}a1 AS (${assignSql(s"${p}c0")}),
-       |${p}c1 AS (${meansSql(s"${p}a1")}),
-       |${p}a2 AS (${assignSql(s"${p}c1")}),
-       |${p}c2 AS (${meansSql(s"${p}a2")}),
-       |${p}af AS (${assignSql(s"${p}c2")}),
+       |$lloyd
+       |${p}af AS (${assignSql(cFinal)}),
        |${p}probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
-       |    FROM $base e CROSS JOIN ${p}c2 c WHERE e.vec_id % 5 = 0) s
+       |    FROM $base e CROSS JOIN $cFinal c WHERE e.vec_id % 5 = 0) s
        |  WHERE rn <= 4),
        |${p}pair AS (
        |  SELECT pr.query_id, af.vec_id AS neighbor_id,
@@ -226,8 +232,8 @@ object SimQueries extends QueryFamily {
        |st0 AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM xs0 GROUP BY pos),
        |dq0 AS (SELECT vec_id, pos, CASE WHEN mx = mn THEN mn ELSE mn + FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) * (mx - mn) / 255.0 END AS xh FROM xs0 JOIN st0 USING (pos)),
        |edq AS (SELECT vec_id, list(xh ORDER BY pos) AS v FROM dq0 GROUP BY vec_id),
-       |${ivfCtesSql("q", "edq")},
-       |${ivfCtesSql("x", "ef")},
+       |${ivfCtesSql("q", "edq", iters = 1)},
+       |${ivfCtesSql("x", "ef", iters = 1)},
        |rec AS (SELECT qtk.query_id, COUNT(xtk.neighbor_id) AS n_hit
        |        FROM qtk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY qtk.query_id)
        |SELECT qtk.query_id, qtk.rank, qtk.neighbor_id, qtk.cosine AS qcos,
