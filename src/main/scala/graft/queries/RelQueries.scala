@@ -646,6 +646,51 @@ object RelQueries extends QueryFamily {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // time-series resample: per-user daily event counts with missing
+    // days ZERO-FILLED over the global [min_day, max_day] span — the
+    // gap-fill every downstream rolling statistic needs (a rolling mean
+    // over only-observed days silently skips gaps). Plan: the day spine
+    // is a 1-row aggregate exploded to span-many rows (tiny, broadcast);
+    // the user×day grid left-joins the keyed counts — the fact stream is
+    // touched once.
+    "rel_daily_filled" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      val sub = e.filter(col("user_id") < 20)
+      val counts = sub.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      sub.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+        .join(counts, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // blocked fuzzy matching (entity resolution): customer-name pairs at
+    // edit distance <= 1 within a blocking key (digit prefix), counted
+    // per left entity. Blocking is the scale contract: the quadratic
+    // comparison runs INSIDE ~100-row blocks (an equi-join on the block
+    // key — never all-pairs), at the documented recall cost of missing
+    // pairs that differ inside the blocked prefix — the standard ER
+    // trade. Exact integer levenshtein on both engines.
+    "rel_fuzzy_name_match" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 10, 7).as("blk"))
+      val a = c.filter(col("c_custkey") < 300)
+        .select(col("c_custkey").as("k_a"), col("c_name").as("n_a"), col("blk"))
+      val b = c.select(col("c_custkey").as("k_b"), col("c_name").as("n_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("k_a") < col("k_b") &&
+          levenshtein(col("n_a"), col("n_b")) <= 1)
+        .groupBy(col("k_a"))
+        .agg(count(lit(1)).as("n_near"), min(col("k_b")).as("nearest"))
+        .orderBy(col("k_a"))
+    }),
+
     // skew-hardened fact-dimension join (Joins.saltedJoin): the big side
     // scattered over `salt` sub-keys of a deterministic hash, the small
     // side replicated salt×, equi-join on (key, salt) — row-for-row equal
@@ -921,5 +966,22 @@ object RelQueries extends QueryFamily {
       """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_daily_filled" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, day, COUNT(*) AS n FROM e WHERE user_id < 20 GROUP BY 1, 2),
+        |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |dy AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |u AS (SELECT DISTINCT user_id FROM e WHERE user_id < 20)
+        |SELECT u.user_id, dy.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |FROM u CROSS JOIN dy LEFT JOIN c ON c.user_id = u.user_id AND c.day = dy.day
+        |ORDER BY u.user_id, dy.day""".stripMargin,
+    // identical blocking + integer edit distance (both engines implement
+    // classic unit-cost levenshtein)
+    "rel_fuzzy_name_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer)
+        |SELECT a.c_custkey AS k_a, COUNT(*) AS n_near, MIN(b.c_custkey) AS nearest
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 300 AND levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
