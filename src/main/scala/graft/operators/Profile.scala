@@ -106,42 +106,53 @@ object Profile {
       when(varYN > 0, sqrt(varYN) / nD).as("std_y")): _*)
   }
 
+  /** Per-group exact-moment statistics: (keyCol, n, mu, std) for every
+    * group with POSITIVE variance — degenerate groups (zero or
+    * cancellation-negative variance) are excluded, per the
+    * [[momentStats]] guard rationale, so no consumer ever divides by a
+    * zero/NaN std. Same exactness discipline as momentStats: Σx and Σx²
+    * in DECIMAL(38,0) (order-independent), mean/std derived by a FIXED
+    * IEEE double sequence — bit-identical in any engine.
+    *
+    * The static half of the anomaly screen: compute once over history,
+    * broadcast against live rows ([[zOutliers]] batch,
+    * [[graft.streaming.AnomalyScreen]] streaming). `vCol` must be an
+    * integer-valued column (cents). */
+  def groupStats(df: DataFrame, keyCol: String, vCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = col(vCol).cast(dec)
+    val nD = col("__n").cast("double")
+    val varN = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(c).as("__sx"),
+      sum(c * c).as("__sxx"))
+      .filter(varN > 0)
+      .select(col(keyCol), col("__n").as("n"),
+        (col("__sx").cast("double") / nD).as("mu"),
+        (sqrt(varN) / nD).as("std"))
+  }
+
   /** Per-group z-score outlier screen: rows whose integer-valued column
     * deviates from their group's mean by more than `t` population standard
     * deviations. The feed-quality counterpart of [[medianMad]] — mean/std
     * answer "how extreme is THIS row", MAD answers "did the distribution
-    * move".
-    *
-    * Same exactness discipline as [[momentStats]]: per-group Σx and Σx²
-    * in DECIMAL(38,0) (order-independent), then mean/std/z derived by a
-    * FIXED IEEE double sequence, so the flag decision (a strict `>` on a
-    * derived double) is bit-identical in any engine. Degenerate groups
-    * (zero or cancellation-negative variance) produce NULL z and are
-    * never flagged — on BOTH engines, per the momentStats guard
-    * rationale. Plan: one group-keyed partial agg + one equi-join of the
-    * row stream against the per-group stats (|groups| rows — broadcast
-    * when small, shuffle-keyed otherwise; never a window over the rows).
+    * move". Stats via [[groupStats]] (exact moments, degenerate groups
+    * never flagged); the flag decision — a strict `>` on a fixed-IEEE
+    * derived double — is bit-identical in any engine. Plan: one
+    * group-keyed partial agg + one equi-join of the row stream against
+    * the |groups|-row stats (broadcast when small, shuffle-keyed
+    * otherwise; never a window over the rows).
     *
     * `vCol` must be an integer-valued column (cents). Output: the input
     * columns plus `z`. */
   def zOutliers(df: DataFrame, keyCol: String, vCol: String, t: Double)
-      : DataFrame = {
-    val dec = "decimal(38,0)"
-    val c = col(vCol).cast(dec)
-    val m = df.groupBy(col(keyCol)).agg(
-      count(lit(1)).as("__n"),
-      sum(c).as("__sx"),
-      sum(c * c).as("__sxx"))
-    val nD = col("__n").cast("double")
-    val varN = nD * col("__sxx").cast("double") -
-      col("__sx").cast("double") * col("__sx").cast("double")
-    val mu = col("__sx").cast("double") / nD
-    val std = sqrt(varN) / nD
-    df.join(m, Seq(keyCol))
-      .withColumn("z", when(varN > 0, (col(vCol).cast("double") - mu) / std))
-      .filter(col("z").isNotNull && abs(col("z")) > t)
-      .drop("__n", "__sx", "__sxx")
-  }
+      : DataFrame =
+    df.join(groupStats(df, keyCol, vCol).drop("n"), Seq(keyCol))
+      .withColumn("z", (col(vCol).cast("double") - col("mu")) / col("std"))
+      .filter(abs(col("z")) > t)
+      .drop("mu", "std")
 
   /** Exact median + median absolute deviation (the robust outlier screen:
     * unlike mean/stddev, MAD doesn't move when a feed drops a handful of
