@@ -39,17 +39,22 @@ object RefQueries extends QueryFamily {
       Behavior.observedTopics(msgs(s, d)).orderBy(col("topic"))),
 
     // T4-extension (batch form): sessionization by 30-min inactivity gap.
-    // Exact integer ns arithmetic on the raw long timestamp — engine-order
-    // independent. The streaming form is BehaviorStream.sessionCounts.
+    // Exact integer µs arithmetic (ts DIV 1000) — µs is the only grain
+    // both engines share (DuckDB's reader floors TIMESTAMP_NANOS to µs,
+    // Spark's nanosAsLong keeps true ns): ns-domain ordering or gap
+    // compares would silently diverge on same-µs ties / sub-µs straddles
+    // only Spark can see. The streaming form is
+    // BehaviorStream.sessionCounts.
     "ref_sessions" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val gapNs = 30L * 60 * 1000000000L
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
-        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
         .withColumn("new_s",
-          when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
         .withColumn("session_id", sum(col("new_s")).over(wRun))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_ev"))
@@ -60,18 +65,20 @@ object RefQueries extends QueryFamily {
     }),
 
     // Behavior funnel: view → later click → later purchase, per user,
-    // exact ns-timestamp ordering (a capability the reference's
+    // exact µs-timestamp ordering — the shared engine grain, see the
+    // ref_sessions note — (a capability the reference's
     // Counter-per-topic model cannot express).
     "ref_funnel" -> ((s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("tus"))
       val tv = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
       val tc = e.filter(col("event_type") === "click")
-        .join(tv, Seq("user_id")).filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        .join(tv, Seq("user_id")).filter(col("tus") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
       val tp = e.filter(col("event_type") === "purchase")
-        .join(tc, Seq("user_id")).filter(col("ts") > col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        .join(tc, Seq("user_id")).filter(col("tus") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
       // one declarative plan (1-row aggregates cross-joined), no
       // driver-side counting
       e.agg(countDistinct(col("user_id")).as("n_users"))
@@ -87,11 +94,12 @@ object RefQueries extends QueryFamily {
     // keyed shuffle — no join, no per-purchase scan). The struct max is
     // lexicographic in both engines, so same-timestamp clicks break ties
     // identically (highest event_id wins). Timestamps are floored to
-    // exact integer µs — DuckDB's parquet reader preserves ns
-    // (TIMESTAMP_NS); it's the oracle's epoch_us() conversion that
-    // truncates to µs (floor for positive epochs, verified) — so gap
-    // arithmetic and window order are engine-identical at the shared
-    // µs grain. The stream-stream
+    // exact integer µs — the grain DuckDB's reader keeps: DuckDB 1.0.0
+    // maps parquet TIMESTAMP_NANOS to TIMESTAMP (µs), FLOORING the
+    // sub-µs digits (re-verified round 7: epoch_ns(ts) % 1000 = 0 for
+    // every row while Spark's nanosAsLong keeps true ns) — so µs is the
+    // only grain both engines share, and all cross-engine time
+    // arithmetic here runs on ts DIV 1000. The stream-stream
     // form of this join (watermarked interval join) is StreamingSpec's
     // attribution law.
     "ref_attribution" -> ((s, d) => {
@@ -137,13 +145,15 @@ object RefQueries extends QueryFamily {
 
     // first-order Markov model of the event stream: per-user transition
     // (previous event type → event type) counts and row-normalized
-    // probabilities. Order is exact (ns, event_id) — engine-identical
-    // tie-break. The probability is one double division of exact longs;
-    // its denominator window runs over the GROUPED 5×5 transition matrix
-    // (bounded domain), not the event stream.
+    // probabilities. Order is exact (µs, event_id) — the shared engine
+    // grain (see ref_sessions note), engine-identical tie-break. The
+    // probability is one double division of exact longs; its denominator
+    // window runs over the GROUPED 5×5 transition matrix (bounded
+    // domain), not the event stream.
     "ref_markov_transitions" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
       val counts = Tables.events(s, d)
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .filter(col("prev_type").isNotNull)
@@ -177,6 +187,30 @@ object RefQueries extends QueryFamily {
           avgDau.as("avg_dau"),
           (avgDau / col("wau").cast("double")).as("stickiness"))
         .orderBy(col("wk"))
+    }),
+
+    // funnel latency: per converting user, the gap between their first
+    // view and the first purchase AFTER it; distribution summarized by
+    // the robust median/MAD pair (Profile.medianMad — two distributed
+    // order-statistics passes, no single reducer). All arithmetic at the
+    // shared µs grain (ts DIV 1000 BEFORE subtracting): subtracting raw
+    // ns first and flooring after disagrees with the oracle by 1 µs
+    // whenever the two sub-µs remainders straddle — caught live on this
+    // fixture (77/150 users off by one).
+    "ref_conversion_lag" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("tus"))
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tv, Seq("user_id")).filter(col("tus") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("tus")).as("t_purchase"))
+      val gaps = tp.select((col("t_purchase") - col("t_view")).as("gap_us"))
+      graft.operators.Profile.medianMad(gaps, col("gap_us"))
+        .select(col("n"), col("median_c").as("median_gap_us"),
+          col("mad_c").as("mad_gap_us"))
     }),
 
     // per-user spend-anomaly screen: events whose value is more than 3
@@ -233,18 +267,18 @@ object RefQueries extends QueryFamily {
     "ref_observed_topics" ->
       s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','segment','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
     "ref_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
-        |m AS (SELECT user_id, event_id, tns,
-        |        CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
-        |s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
         |g AS (SELECT user_id, session_id, COUNT(*) AS n_ev FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events, MAX(n_ev) AS max_session_events FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "ref_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
-        |tv AS (SELECT user_id, MIN(tns) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
-        |tc AS (SELECT e.user_id, MIN(tns) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tns > t_view GROUP BY 1),
-        |tp AS (SELECT e.user_id, MIN(tns) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tns > t_click GROUP BY 1)
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |tv AS (SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT e.user_id, MIN(tus) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tus > t_view GROUP BY 1),
+        |tp AS (SELECT e.user_id, MIN(tus) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tus > t_click GROUP BY 1)
         |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users, (SELECT COUNT(*) FROM tv) AS n_viewed, (SELECT COUNT(*) FROM tc) AS n_view_click, (SELECT COUNT(*) FROM tp) AS n_full_funnel""".stripMargin,
     "ref_attribution" ->
       """SELECT purchase_id, user_id, click_id, gap_us FROM (
@@ -264,7 +298,7 @@ object RefQueries extends QueryFamily {
         |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ref_markov_transitions" ->
       """WITH l AS (SELECT event_type,
-        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
         |           FROM events),
         |c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, event_type, n,
@@ -279,6 +313,25 @@ object RefQueries extends QueryFamily {
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dw JOIN wau USING (wk) ORDER BY wk""".stripMargin,
+    // rank-median shape of the rel_mad oracle over view→purchase gaps,
+    // at the shared µs grain (epoch_us == engine's ts DIV 1000)
+    "ref_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |tv AS (SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |tp AS (SELECT e.user_id, t_view, MIN(tus) AS t_purchase
+        |       FROM e JOIN tv USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t_view GROUP BY 1, 2),
+        |c AS (SELECT t_purchase - t_view AS cv FROM tp),
+        |m AS (SELECT cv AS median_c, n FROM (
+        |  SELECT cv, ROW_NUMBER() OVER (ORDER BY cv) AS rn, COUNT(*) OVER () AS n FROM c) t
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT abs(cv - (SELECT median_c FROM m)) AS dv FROM c),
+        |md AS (SELECT dv AS mad_c FROM (
+        |  SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn, COUNT(*) OVER () AS n FROM dev) t
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT (SELECT n FROM m) AS n,
+        |  (SELECT median_c FROM m) AS median_gap_us,
+        |  (SELECT mad_c FROM md) AS mad_gap_us""".stripMargin,
     // the identical exact-moment derivation as Profile.zOutliers: HUGEINT
     // sums (mirror of DECIMAL(38,0)), fixed double sequence for mu/std/z,
     // degenerate (varn <= 0) users never flagged

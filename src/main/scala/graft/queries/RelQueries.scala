@@ -613,10 +613,11 @@ object RelQueries extends QueryFamily {
     // trailing event-time window per row: 1-hour RANGE frame (value-based,
     // so same-timestamp peers are all in-frame — deterministic without a
     // tie-break). Partitioned by user — per-user parallel sorts, keyed
-    // shuffle, no global window. Exact integer µs bounds (DuckDB's reader
-    // preserves TIMESTAMP_NS; the oracle's epoch_us() truncates ns→µs —
-    // floor for positive epochs — making µs the shared grain; ns-grain
-    // bounds would disagree on sub-µs frame boundaries) + cents sums.
+    // shuffle, no global window. Exact integer µs bounds — µs is the
+    // grain DuckDB's reader keeps (1.0.0 floors TIMESTAMP_NANOS to
+    // TIMESTAMP µs at read; re-verified round 7), so ns-grain bounds
+    // would silently disagree on the sub-µs digits only Spark sees —
+    // + cents sums.
     "rel_trailing_1h" -> ((s, d) => {
       val hourUs = 3600L * 1000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
@@ -644,6 +645,32 @@ object RelQueries extends QueryFamily {
           nth_value(col("o_orderkey"), 2).over(wRun).as("second_order"),
           ntile(4).over(w).as("qtile"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // winsorization (P1/P99 value clipping) — the training-data outlier
+    // clamp: exact percentile cuts via distributed order statistics
+    // (OrderStats.withGlobalRank — range partition + per-partition
+    // offsets, no single reducer), clamp as a narrow projection against
+    // the broadcast 1-row cuts frame, exact integer-cent accounting of
+    // what moved. Reports totals before/after, clamp counts, and the
+    // cut values.
+    "rel_winsorize" -> ((s, d) => {
+      val c = Tables.orders(s, d).select(cents(col("o_totalprice")).as("cv"))
+      val ranked = graft.operators.OrderStats.withGlobalRank(c, Seq(col("cv")))
+      val cuts = ranked.agg(
+        max(when(col("rn") === expr("(n + 99) DIV 100"), col("cv"))).as("lo"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("cv"))).as("hi"))
+      c.crossJoin(broadcast(cuts))
+        .select(col("cv"),
+          least(greatest(col("cv"), col("lo")), col("hi")).as("wv"),
+          col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          dollars(sum(col("cv"))).as("total_before"),
+          dollars(sum(col("wv"))).as("total_after"),
+          sum(when(col("cv") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when(col("cv") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+          dollars(max(col("lo"))).as("p01"),
+          dollars(max(col("hi"))).as("p99"))
     }),
 
     // time-series resample: per-user daily event counts with missing
@@ -966,6 +993,22 @@ object RelQueries extends QueryFamily {
       """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // single-reducer window is fine ORACLE-side (DuckDB, fixture scale);
+    // the engine side is the scale-safe OrderStats construction
+    "rel_winsorize" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cv FROM orders),
+        |r AS (SELECT cv, ROW_NUMBER() OVER (ORDER BY cv) AS rn, COUNT(*) OVER () AS n FROM c),
+        |cuts AS (SELECT MAX(CASE WHEN rn = (n + 99) // 100 THEN cv END) AS lo,
+        |                MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cv END) AS hi FROM r),
+        |w AS (SELECT cv, LEAST(GREATEST(cv, lo), hi) AS wv, lo, hi FROM c CROSS JOIN cuts)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(cv) AS DOUBLE) / 100 AS total_before,
+        |  CAST(SUM(wv) AS DOUBLE) / 100 AS total_after,
+        |  CAST(SUM(CASE WHEN cv < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(SUM(CASE WHEN cv > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  CAST(MAX(lo) AS DOUBLE) / 100 AS p01,
+        |  CAST(MAX(hi) AS DOUBLE) / 100 AS p99
+        |FROM w""".stripMargin,
     "rel_daily_filled" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
         |c AS (SELECT user_id, day, COUNT(*) AS n FROM e WHERE user_id < 20 GROUP BY 1, 2),
