@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -15,6 +15,23 @@ object RefQueries extends QueryFamily {
 
   private def msgs(s: SparkSession, d: String): DataFrame =
     Behavior.fanoutMessages(Tables.events(s, d), Tables.customer(s, d))
+
+  /** 30-min-gap session assignment at the shared µs grain (see the
+    * ref_sessions note): events + (tus, session_id). Shared by
+    * ref_sessions and ref_session_lift. */
+  private def withSessionIds(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("tus", expr("ts DIV 1000"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .drop("prev", "new_s")
+  }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ref_value_counts" -> ((s, d) =>
@@ -46,16 +63,7 @@ object RefQueries extends QueryFamily {
     // only Spark can see. The streaming form is
     // BehaviorStream.sessionCounts.
     "ref_sessions" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val gapUs = 30L * 60 * 1000000L
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("tus", expr("ts DIV 1000"))
-        .withColumn("prev", lag(col("tus"), 1).over(w))
-        .withColumn("new_s",
-          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1).otherwise(0))
-        .withColumn("session_id", sum(col("new_s")).over(wRun))
+      withSessionIds(Tables.events(s, d))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_ev"))
         .groupBy(col("user_id"))
@@ -189,6 +197,43 @@ object RefQueries extends QueryFamily {
         .orderBy(col("wk"))
     }),
 
+    // association mining over sessions (market-basket lift on the
+    // engine's own domain): for every event-type pair, the number of
+    // sessions containing BOTH, support, and lift
+    // P(ab)/(P(a)·P(b)). Cardinalities are exact session counts; the
+    // two ratios are fixed double expressions. Plan: the session window
+    // (per-user keyed), one distinct projection at (user, session,
+    // type), a self equi-join keyed on the session — never all-pairs of
+    // events — and aggregates over the |types|²-bounded matrix.
+    "ref_session_lift" -> ((s, d) => {
+      val st = withSessionIds(Tables.events(s, d))
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+      val nSess = st.select(col("user_id"), col("session_id")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val sg = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_with"))
+      val pairs = st.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_a"))
+        .join(st.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_b")), Seq("user_id", "session_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      def d2(c: Column): Column = c.cast("double")
+      pairs
+        .join(broadcast(sg.select(col("event_type").as("type_a"),
+          col("n_with").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sg.select(col("event_type").as("type_b"),
+          col("n_with").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"), col("n_sessions"),
+          (d2(col("n_both")) / d2(col("n_sessions"))).as("support"),
+          (d2(col("n_both")) * d2(col("n_sessions")) /
+            (d2(col("n_a")) * d2(col("n_b")))).as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // funnel latency: per converting user, the gap between their first
     // view and the first purchase AFTER it; distribution summarized by
     // the robust median/MAD pair (Profile.medianMad — two distributed
@@ -313,6 +358,25 @@ object RefQueries extends QueryFamily {
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dw JOIN wau USING (wk) ORDER BY wk""".stripMargin,
+    // identical µs-grain session CTE as ref_sessions, then the basket
+    // self-join and the two fixed double ratios
+    "ref_session_lift" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_type, tus, event_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, event_type, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+        |ns AS (SELECT COUNT(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_id FROM st) t),
+        |sg AS (SELECT event_type, COUNT(*) AS n_with FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+        |       FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, sa.n_with AS n_a, sb.n_with AS n_b, ns.n_sessions,
+        |  CAST(n_both AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS support,
+        |  CAST(n_both AS DOUBLE) * CAST(n_sessions AS DOUBLE) / (CAST(sa.n_with AS DOUBLE) * CAST(sb.n_with AS DOUBLE)) AS lift
+        |FROM pr JOIN sg sa ON sa.event_type = pr.type_a JOIN sg sb ON sb.event_type = pr.type_b CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
     // rank-median shape of the rel_mad oracle over view→purchase gaps,
     // at the shared µs grain (epoch_us == engine's ts DIV 1000)
     "ref_conversion_lag" ->

@@ -630,10 +630,12 @@ object RelQueries extends QueryFamily {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
-    // navigation-window battery: lead / first_value / nth_value / ntile
-    // over a per-customer order timeline. All frames are explicit ROWS
-    // frames over a UNIQUE (o_orderdate, o_orderkey) order, so every
-    // engine computes the identical cell. Keyed windows only.
+    // navigation-window battery: lead / first_value / nth_value / ntile /
+    // percent_rank / cume_dist over a per-customer order timeline. All
+    // frames are explicit ROWS frames over a UNIQUE (o_orderdate,
+    // o_orderkey) order, so every engine computes the identical cell;
+    // percent_rank/cume_dist are single divisions of exact integers
+    // under the standard SQL definitions. Keyed windows only.
     "rel_window_battery" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -643,7 +645,9 @@ object RelQueries extends QueryFamily {
           lead(col("o_orderkey"), 1).over(w).as("next_order"),
           first(col("o_orderkey")).over(wRun).as("first_order"),
           nth_value(col("o_orderkey"), 2).over(wRun).as("second_order"),
-          ntile(4).over(w).as("qtile"))
+          ntile(4).over(w).as("qtile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -983,7 +987,9 @@ object RelQueries extends QueryFamily {
         |  lead(o_orderkey, 1) OVER w AS next_order,
         |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
         |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order,
-        |  CAST(ntile(4) OVER w AS INT) AS qtile
+        |  CAST(ntile(4) OVER w AS INT) AS qtile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
