@@ -121,4 +121,38 @@ object Graph {
     cc.join(sizes, Seq("cc"))
       .select(col("id").as("doc_id"), col("cc"), col("cluster_size"))
   }
+
+  /** Triangle / wedge census of an undirected graph given as oriented
+    * edges (a < b, two columns) — the transitivity QA for a near-dup
+    * relation: a cluster whose members are pairwise-similar closes its
+    * triangles; chained borderline matches don't. Returns ONE row:
+    * (n_edges, n_triangles, n_wedges, clustering_coeff = 3·tri/wedges,
+    * NULL when wedge-free — both engines, same guard rationale as
+    * momentStats).
+    *
+    * Plan: the id-orientation already counts each triangle exactly once
+    * ((x<y<z) matches the join pattern uniquely); both joins are keyed
+    * equi-joins on vertex ids — never all-pairs. At 100 TB-graph scale
+    * you'd re-orient low-degree→high-degree first (bounds the per-vertex
+    * join fan-out by the arboricity instead of the max degree) — same
+    * join shape, one extra degree join to pick the orientation. Wedges
+    * are an exact integer aggregate over the degree table. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(expr("SUM(d * (d - 1)) DIV 2").as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
 }

@@ -116,6 +116,14 @@ object DedupQueries extends QueryFamily {
     "dd_chunk_dup" -> ((s, d) =>
       Dedup.passageDups(Tables.documents(s, d), 32).orderBy(col("fp"))),
 
+    // triangle/wedge census of the near-dup graph (Graph.triangleStats):
+    // the transitivity QA — pairwise-similar clusters close triangles,
+    // chained borderline matches don't. Keyed equi-joins only; one row.
+    "dd_triangles" -> ((s, d) =>
+      Graph.triangleStats(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))),
+
     // leakage-safe train/val split: hash-split by near-dup CLUSTER
     // representative, not by document — a doc-grain split leaks val
     // answers into train through near-duplicates, the classic eval
@@ -247,6 +255,25 @@ object DedupQueries extends QueryFamily {
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size FROM documents GROUP BY 1 ORDER BY 1""",
     "dd_ngram_jaccard" -> bruteForceJaccard,
     "dd_ppjoin" -> bruteForceJaccard,
+    // the exact brute-force pair set feeds the same oriented triple join
+    "dd_triangles" ->
+      s"""$shCte,
+         |e AS (SELECT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+         |  WHERE jaccard >= $Threshold),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |        FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+         |        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e) u GROUP BY 1),
+         |wg AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges FROM deg)
+         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         |  (SELECT n_triangles FROM tri) AS n_triangles,
+         |  (SELECT n_wedges FROM wg) AS n_wedges,
+         |  CASE WHEN (SELECT n_wedges FROM wg) > 0
+         |    THEN 3.0 * CAST((SELECT n_triangles FROM tri) AS DOUBLE) / CAST((SELECT n_wedges FROM wg) AS DOUBLE)
+         |  END AS clustering_coeff""".stripMargin,
     "dd_containment" ->
       s"""$shCte
          |SELECT doc_a, doc_b, containment, jaccard FROM (
