@@ -40,4 +40,24 @@ class GraphSpec extends GraftSparkSpec {
     assert(cl === Array((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
+
+  private def tri(pairs: (Long, Long)*): (Long, Long, Long, Option[Double]) = {
+    val r = Graph.triangleStats(edges(pairs: _*)).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("triangleStats: path has wedges but no triangle; K3 closes one") {
+    // path 1-2-3: one wedge at 2, no triangle, coefficient 0
+    assert(tri(1L -> 2L, 2L -> 3L) === ((2L, 0L, 1L, Some(0.0))))
+    // K3: 3 wedges, 1 triangle, coefficient 3·1/3 = 1
+    assert(tri(1L -> 2L, 2L -> 3L, 1L -> 3L) === ((3L, 1L, 3L, Some(1.0))))
+    // K4: C(4,3)=4 triangles, 4·C(3,2)=12 wedges, coefficient 1
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield a -> b
+    assert(tri(k4: _*) === ((6L, 4L, 12L, Some(1.0))))
+  }
+
+  test("triangleStats: single disjoint edges are wedge-free, coeff NULL") {
+    assert(tri(1L -> 2L, 5L -> 6L) === ((2L, 0L, 0L, None)))
+  }
 }

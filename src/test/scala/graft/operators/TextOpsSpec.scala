@@ -180,4 +180,25 @@ class TextOpsSpec extends GraftSparkSpec {
     // split accounting: a doc spanning m sequences contributes m-1 splits
     assert(rows.map(_.getLong(1)).sum - 97L === rows.map(_.getLong(3)).sum)
   }
+
+  test("bm25: rank, hit counts, and score agree with hand math") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spark spark fast"),
+      (2L, "join fast fast"),
+      (3L, "slow slow slow slow slow slow"))).toDF("doc_id", "text")
+    val rows = TextOps.bm25TopK(docs, Seq("spark", "join"), 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc 3 has no query term — never scored
+    assert(rows.map(_._2).toSeq === Seq(1L, 2L))
+    assert(rows.map(_._3).toSeq === Seq(1L, 1L)) // one hit term each
+    // n_docs=3, total_dl=12, avgdl=4; df(spark)=df(join)=1:
+    // idf_scaled = ((3-1)*2+1)*1e6 DIV 3 = 1666666
+    val idf = (((3L - 1) * 2 + 1) * 1000000L) / 3L
+    def score(tf: Double, dl: Double): Double =
+      idf.toDouble * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / 4.0)))) / 1000000.0
+    assert(math.abs(rows(0)._5 - score(2.0, 3.0)) < 1e-12)
+    assert(math.abs(rows(1)._5 - score(1.0, 3.0)) < 1e-12)
+    assert(rows(0)._5 > rows(1)._5) // higher tf at equal dl ranks first
+  }
 }
