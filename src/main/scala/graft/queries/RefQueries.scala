@@ -197,6 +197,64 @@ object RefQueries extends QueryFamily {
         .orderBy(col("wk"))
     }),
 
+    // dwell time: gap to the user's NEXT event (µs grain), averaged per
+    // event type — "how long does each page hold a user". One keyed
+    // window (lead) + a tiny hash agg; the mean is one fixed double
+    // division of exact integer sums.
+    "ref_dwell_time" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("nxt", lead(col("tus"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type"), (col("nxt") - col("tus")).as("dwell_us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("dwell_us")).as("sum_dwell_us"))
+        .select(col("event_type"), col("n"), col("sum_dwell_us"),
+          (col("sum_dwell_us").cast("double") / col("n").cast("double"))
+            .as("mean_dwell_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // bounce rate: share of 30-min sessions containing exactly one
+    // event — the classic engagement metric, riding the shared session
+    // window. Exact counts + one fixed division.
+    "ref_bounce_rate" -> ((s, d) =>
+      withSessionIds(Tables.events(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .select(col("n_sessions"), col("n_bounces"),
+          (col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+            .as("bounce_rate"))),
+
+    // entry/exit analysis: which event type OPENS and which CLOSES each
+    // session — landing/abandonment view. Two keyed session windows
+    // (forward and backward row_number over the unique (µs, event_id)
+    // order), per-type counts, full outer join so a type that only
+    // enters or only exits still reports.
+    "ref_entry_exit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = withSessionIds(Tables.events(s, d))
+      val wf = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val wb = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+      val r = sess.withColumn("rfw", row_number().over(wf))
+        .withColumn("rbw", row_number().over(wb))
+      val en = r.filter(col("rfw") === 1).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_entry"))
+      val ex = r.filter(col("rbw") === 1).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exit"))
+      en.join(ex, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_entry"), lit(0L)).as("n_entry"),
+          coalesce(col("n_exit"), lit(0L)).as("n_exit"))
+        .orderBy(col("event_type"))
+    }),
+
     // association mining over sessions (market-basket lift on the
     // engine's own domain): for every event-type pair, the number of
     // sessions containing BOTH, support, and lift
@@ -358,6 +416,42 @@ object RefQueries extends QueryFamily {
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
         |  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dw JOIN wau USING (wk) ORDER BY wk""".stripMargin,
+    "ref_dwell_time" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT event_type,
+        |        lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dwell_us
+        |      FROM e)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(dwell_us) AS BIGINT) AS sum_dwell_us,
+        |  CAST(SUM(dwell_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_dwell_us
+        |FROM l WHERE dwell_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ref_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, tus, event_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+        |g AS (SELECT user_id, session_id, COUNT(*) AS n_ev FROM s GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        |FROM g""".stripMargin,
+    "ref_entry_exit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_type, tus, event_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, event_type, tus, event_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+        |r AS (SELECT event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id) AS rfw,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY tus DESC, event_id DESC) AS rbw
+        |      FROM s),
+        |en AS (SELECT event_type, COUNT(*) AS n_entry FROM r WHERE rfw = 1 GROUP BY 1),
+        |ex AS (SELECT event_type, COUNT(*) AS n_exit FROM r WHERE rbw = 1 GROUP BY 1)
+        |SELECT COALESCE(en.event_type, ex.event_type) AS event_type,
+        |  CAST(COALESCE(n_entry, 0) AS BIGINT) AS n_entry,
+        |  CAST(COALESCE(n_exit, 0) AS BIGINT) AS n_exit
+        |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
+        |ORDER BY event_type""".stripMargin,
     // identical µs-grain session CTE as ref_sessions, then the basket
     // self-join and the two fixed double ratios
     "ref_session_lift" ->

@@ -651,6 +651,32 @@ object RelQueries extends QueryFamily {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // aggregation algebra: weekly report computed FROM the daily rollup
+    // (sum of sums, sum of counts, min of mins, max of maxes,
+    // count-weighted mean) — the partial-aggregate-reuse pattern that
+    // lets a 100 TB pipeline serve monthly reports without ever
+    // re-scanning raw events. The oracle computes the weekly numbers
+    // DIRECTLY from events, so a pass proves the reaggregation algebra
+    // exact.
+    "rel_reaggregate" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+          min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      daily.groupBy(expr("day DIV 7").as("wk"))
+        .agg(sum(col("n")).as("n_events"), sum(col("sum_c")).as("sum_c"),
+          min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+        .select(col("wk"), col("n_events"),
+          dollars(col("sum_c")).as("total"),
+          dollars(col("min_c")).as("min_v"),
+          dollars(col("max_c")).as("max_v"),
+          (col("sum_c").cast("double") / col("n_events").cast("double") / 100.0)
+            .as("mean_v"))
+        .orderBy(col("wk"))
+    }),
+
     // winsorization (P1/P99 value clipping) — the training-data outlier
     // clamp: exact percentile cuts via distributed order statistics
     // (OrderStats.withGlobalRank — range partition + per-partition
@@ -999,6 +1025,16 @@ object RelQueries extends QueryFamily {
       """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // computed DIRECTLY from events — a pass proves the engine's
+    // daily→weekly reaggregation algebra exact
+    "rel_reaggregate" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 604800000000000 AS wk, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT wk, COUNT(*) AS n_events,
+        |  CAST(SUM(c) AS DOUBLE) / 100 AS total,
+        |  CAST(MIN(c) AS DOUBLE) / 100 AS min_v,
+        |  CAST(MAX(c) AS DOUBLE) / 100 AS max_v,
+        |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_v
+        |FROM e GROUP BY wk ORDER BY wk""".stripMargin,
     // single-reducer window is fine ORACLE-side (DuckDB, fixture scale);
     // the engine side is the scale-safe OrderStats construction
     "rel_winsorize" ->
