@@ -123,7 +123,11 @@ object RelQueries extends QueryFamily {
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       ev.join(ords, col("user_id") === col("o_custkey"))
         // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast
-        // is the identity epoch mapping (matches DuckDB epoch_ns)
+        // is the identity epoch mapping (matches DuckDB epoch_ns).
+        // Grain-safe in raw ns DESPITE DuckDB flooring ts to µs (the
+        // ARCHITECTURE grain rule): the boundary D is midnight-aligned
+        // (a multiple of 1000 ns), and D <= ts ⟺ D <= floor_us(ts)
+        // whenever D is µs-aligned — both engines pick identical rows.
         .filter(unix_micros(col("o_orderdate").cast("timestamp")) * 1000 <= col("ts"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
