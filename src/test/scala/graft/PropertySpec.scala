@@ -129,4 +129,31 @@ class PropertySpec extends GraftSparkSpec {
     assert(m.getLong(4) === 29L) // top2_cnt: all 29 2-grams identical
     assert(m.getInt(7) === 0) // gate rejects it
   }
+
+  test("reaggregation algebra law: weekly-from-daily == weekly-from-rows") {
+    // the rel_reaggregate contract generalized beyond the fixture: for
+    // ANY (day, cents) multiset, rolling the daily rollup up to weeks
+    // (sum of sums / sum of counts / min of mins / max of maxes) equals
+    // aggregating the raw rows at week grain directly
+    val s = spark
+    import s.implicits._
+    val rowGen = for {
+      day <- Gen.choose(0L, 20L)
+      c <- Gen.choose(-5000L, 50000L)
+    } yield (day, c)
+    samples(Gen.listOfN(60, rowGen), 6).foreach { rows =>
+      val df = rows.toDF("day", "c")
+      val daily = df.groupBy(col("day")).agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s"), min(col("c")).as("mn"), max(col("c")).as("mx"))
+      val weeklyFromDaily = daily.groupBy(expr("day DIV 7").as("wk"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .orderBy(col("wk")).collect().map(_.toSeq).toSeq
+      val weeklyDirect = df.groupBy(expr("day DIV 7").as("wk"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          min(col("c")).as("mn"), max(col("c")).as("mx"))
+        .orderBy(col("wk")).collect().map(_.toSeq).toSeq
+      assert(weeklyFromDaily === weeklyDirect)
+    }
+  }
 }
