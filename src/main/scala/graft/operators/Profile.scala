@@ -146,13 +146,21 @@ object Profile {
     * otherwise; never a window over the rows).
     *
     * `vCol` must be an integer-valued column (cents). Output: the input
-    * columns plus `z`. */
+    * columns plus `z` (the one reserved output name — an input already
+    * carrying `z` is rejected; the stats columns are joined under
+    * collision-proof `__`-prefixed internal names, so inputs may freely
+    * carry `mu`/`std`/`n`). */
   def zOutliers(df: DataFrame, keyCol: String, vCol: String, t: Double)
-      : DataFrame =
-    df.join(groupStats(df, keyCol, vCol).drop("n"), Seq(keyCol))
-      .withColumn("z", (col(vCol).cast("double") - col("mu")) / col("std"))
+      : DataFrame = {
+    require(!df.columns.contains("z"),
+      "zOutliers appends a `z` column; rename the input's existing `z` first")
+    val stats = groupStats(df, keyCol, vCol).drop("n")
+      .withColumnRenamed("mu", "__mu").withColumnRenamed("std", "__std")
+    df.join(stats, Seq(keyCol))
+      .withColumn("z", (col(vCol).cast("double") - col("__mu")) / col("__std"))
       .filter(abs(col("z")) > t)
-      .drop("mu", "std")
+      .drop("__mu", "__std")
+  }
 
   /** Exact median + median absolute deviation (the robust outlier screen:
     * unlike mean/stddev, MAD doesn't move when a feed drops a handful of

@@ -407,6 +407,9 @@ object TextOps {
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
+    // BIGINT bound: the numerator tops out at n_docs·2e6, overflowing
+    // past ~4.6e12 DOCUMENTS (not bytes) — far beyond any real corpus
+    // (100 TB at 10 KB/doc is 1e10 docs, 460x under the bound)
     val idfScaled = expr("((n_docs - df) * 2 + 1) * 1000000 DIV (2 * df + 1)")
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     val tfD = col("tf").cast("double")

@@ -88,11 +88,13 @@ object RefQueries extends QueryFamily {
         .join(tc, Seq("user_id")).filter(col("tus") > col("t_click"))
         .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
       // one declarative plan (1-row aggregates cross-joined), no
-      // driver-side counting
+      // driver-side counting; explicit broadcast so the 1-row sides plan
+      // as BroadcastNestedLoopJoin regardless of AQE heuristics (uniform
+      // with every other 1-row crossJoin in the tree)
       e.agg(countDistinct(col("user_id")).as("n_users"))
-        .crossJoin(tv.agg(count(lit(1)).as("n_viewed")))
-        .crossJoin(tc.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(tp.agg(count(lit(1)).as("n_full_funnel")))
+        .crossJoin(broadcast(tv.agg(count(lit(1)).as("n_viewed"))))
+        .crossJoin(broadcast(tc.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_full_funnel"))))
     }),
 
     // event-time AS-OF attribution: each purchase → the latest click by

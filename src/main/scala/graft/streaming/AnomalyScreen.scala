@@ -22,11 +22,19 @@ object AnomalyScreen {
 
   /** Flag rows with |v − μ_key| > t·σ_key. `vCol` must be integer-valued
     * (cents); `stats` must be a [[graft.operators.Profile.groupStats]]
-    * frame (keyCol, n, mu, std). Output: the input columns plus `z`. */
+    * frame (keyCol, n, mu, std). Output: the input columns plus `z` (the
+    * one reserved output name — a stream already carrying `z` is
+    * rejected; the stats columns join under `__`-prefixed internal
+    * names, so streams may freely carry `mu`/`std`/`n`). */
   def flag(stream: DataFrame, stats: DataFrame, keyCol: String,
-      vCol: String, t: Double): DataFrame =
-    stream.join(broadcast(stats.drop("n")), Seq(keyCol))
-      .withColumn("z", (col(vCol).cast("double") - col("mu")) / col("std"))
+      vCol: String, t: Double): DataFrame = {
+    require(!stream.columns.contains("z"),
+      "AnomalyScreen.flag appends a `z` column; rename the stream's existing `z` first")
+    val s = stats.drop("n")
+      .withColumnRenamed("mu", "__mu").withColumnRenamed("std", "__std")
+    stream.join(broadcast(s), Seq(keyCol))
+      .withColumn("z", (col(vCol).cast("double") - col("__mu")) / col("__std"))
       .filter(abs(col("z")) > t)
-      .drop("mu", "std")
+      .drop("__mu", "__std")
+  }
 }
