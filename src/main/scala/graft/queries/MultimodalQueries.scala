@@ -47,6 +47,19 @@ object MultimodalQueries extends QueryFamily {
         Multimodal.syntheticMedia(Tables.documents(s, d)), 64, 8)
         .orderBy(col("doc_id"), col("frame_id"))),
 
+    // REAL codec roundtrip — no stub: text bytes → grayscale raster →
+    // actual PNG (ImageIO encode) → ImageIO.read decode → stats read
+    // sample-by-sample from the DECODED raster. The oracle recomputes
+    // the expected stats from the deterministic synthesis rule alone, so
+    // a hash match proves the engine's decode really ran and the PNG
+    // roundtrip is lossless. Narrow two-pass mapPartitions plumbing —
+    // the shape a fetched-payload corpus would use unchanged.
+    "mm_decode" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.encodeImages(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // content-hash dedup over the BINARY payload — the first pass of any
     // multimodal ingest (byte-identical re-crawls/re-uploads) and the
     // binary mirror of dd_exact_stats: hash the blob (the fixed-width
@@ -123,6 +136,33 @@ object MultimodalQueries extends QueryFamily {
          |FROM f, (SELECT unnest(range(0, 8)) AS i) r
          |WHERE i < n_frames
          |ORDER BY doc_id, frame_id""".stripMargin,
+    // the synthesis rule replayed in SQL: geometry w=1+nb%16,
+    // h=1+(nb//16)%16, pixel i = byte(i mod nb) pulled from the hex dump
+    // (same byte-level trick as mm_features_stub — no unicode==byte
+    // assumption). The engine's numbers come from the decoded PNG
+    // raster; equality IS the roundtrip proof.
+    "mm_decode" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, hx, nb,
+         |         CAST(1 + nb % 16 AS INT) AS width,
+         |         CAST(1 + (nb // 16) % 16 AS INT) AS height
+         |  FROM b),
+         |px AS (
+         |  SELECT doc_id, width, height,
+         |         ('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT AS v
+         |  FROM (SELECT doc_id, hx, nb, width, height,
+         |          unnest(range(0, CAST(width * height AS BIGINT))) AS i
+         |        FROM g) u)
+         |SELECT doc_id, width, height, width * height AS n_pixels,
+         |  CAST(SUM(v) AS BIGINT) AS px_sum,
+         |  CAST(COUNT(DISTINCT v) AS INT) AS n_distinct_px,
+         |  CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_px
+         |FROM px GROUP BY doc_id, width, height
+         |ORDER BY doc_id""".stripMargin,
     // md5(text) in DuckDB hashes the varchar's UTF-8 bytes — exactly the
     // engine's md5 over the binary payload (bytes = UTF-8 encoding of
     // text by construction in Multimodal.syntheticMedia)

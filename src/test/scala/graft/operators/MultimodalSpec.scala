@@ -39,6 +39,39 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(Multimodal.frameOffsets(0, 64, 4) === Seq.empty)
   }
 
+  test("real PNG roundtrip: decoded raster stats equal the synthesis rule") {
+    val s = spark
+    import s.implicits._
+    // "ab" → nb=2, w=3, h=1: pixels (a,b,a); "x"*20 → w=5, h=2
+    val docs = Seq((0L, "ab"), (1L, "x" * 20), (2L, "")).toDF("doc_id", "text")
+    val stats = Multimodal.decodeImageStats(Multimodal.encodeImages(docs))
+      .collect().sortBy(_.doc_id)
+    assert(stats.length === 2) // empty doc filtered, never a 0-px raster
+    val a = stats(0)
+    assert((a.width, a.height, a.n_pixels) === (3, 1, 3))
+    assert(a.px_sum === 'a'.toLong * 2 + 'b'.toLong)
+    assert(a.n_distinct_px === 2)
+    assert(a.mean_px === a.px_sum.toDouble / 3)
+    val b = stats(1)
+    assert((b.width, b.height, b.n_pixels) === (5, 2, 10))
+    assert(b.px_sum === 'x'.toLong * 10)
+    assert(b.n_distinct_px === 1)
+  }
+
+  test("decode is real: payloads are valid PNGs, garbage fails loudly") {
+    val s = spark
+    import s.implicits._
+    val pngs = Multimodal.encodeImages(
+      Seq((7L, "hello")).toDF("doc_id", "text")).collect()
+    // PNG magic in the actual payload — the codec really ran
+    assert(pngs.head.png.take(4).toSeq ===
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val garbage = Seq(ImageRow(8L, Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageStats(garbage).collect()
+    }
+  }
+
   test("declarative frameSample == frameOffsets on every payload length") {
     val s = spark
     import s.implicits._
