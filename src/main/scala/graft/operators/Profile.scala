@@ -164,26 +164,48 @@ object Profile {
 
   /** Exact median + median absolute deviation (the robust outlier screen:
     * unlike mean/stddev, MAD doesn't move when a feed drops a handful of
-    * garbage rows at 1e9×value) — two passes of distributed order
+    * garbage rows at 1e9×value) — in ONE pass of distributed order
     * statistics ([[OrderStats.withGlobalRank]]: range partition +
     * per-partition offsets, no single reducer, no full-column buffer).
-    * Median is the value at rank ⌈n/2⌉ of the value order (ties make the
-    * rank→value mapping deterministic without a tie-breaker column).
+    * Median is the value at rank r = ⌈n/2⌉ of the value order (ties make
+    * the rank→value mapping deterministic without a tie-breaker column).
+    *
+    * MAD without a second range exchange: the k-th smallest deviation
+    * |v−m| (k = r — same index) is the k smallest elements' maximum, and
+    * the k values closest to the median always form a CONTIGUOUS rank
+    * window containing rank r in the value order — so
+    * MAD = min over i ∈ [r−k+1, r] of max(m − v(i), v(i+k−1) − m),
+    * every term readable off the EXISTING ranks. (Windows not containing
+    * r never win: shifting a one-sided window toward r cannot increase
+    * its max deviation.) The pairing (v(i), v(i+k−1)) is one hash-keyed
+    * self-pairing of the ~n/2 rank-window rows + a map-side-combined
+    * global min — exact integers throughout, same value as ranking the
+    * deviation multiset directly (the oracle's formulation). Net plan:
+    * one range exchange + one window hash + one narrow keyed pairing —
+    * versus the previous two full OrderStats passes (two range-sampling
+    * scans, 4 full-data shuffles).
     *
     * `v` must be an integer column (cents). Output: one row
     * (n, median_c, mad_c) in the same integer units. */
   def medianMad(df: DataFrame, v: Column): DataFrame = {
-    def pickMedian(values: DataFrame, out: String): DataFrame = {
-      val ranked = OrderStats.withGlobalRank(values, Seq(col("__v")))
-      ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("__v").as(out), col("n"))
-    }
     val cents = df.select(v.cast("long").as("__v"))
-    val med = pickMedian(cents, "median_c")
-    val dev = cents.crossJoin(broadcast(med.select(col("median_c"))))
-      .select(abs(col("__v") - col("median_c")).as("__v"))
-    val mad = pickMedian(dev, "mad_c")
+    val ranked = OrderStats.withGlobalRank(cents, Seq(col("__v")))
+    val rk = expr("(n + 1) DIV 2") // r = k = median rank
+    val med = ranked.filter(col("rn") === rk)
+      .select(col("__v").as("median_c"), col("n"))
+    // pair v(i) (ranks 1..k, window lows) with v(i+k−1) (ranks k..2k−1,
+    // window highs) on the window index i; both sides are rank-filtered
+    // BEFORE the exchange, so only ~n/2 narrow rows shuffle per side
+    val lows = ranked.filter(col("rn") <= rk)
+      .select(col("rn").as("i"), col("__v").as("lo"))
+    val highs = ranked.filter(col("rn") >= rk && col("rn") <= rk * 2 - 1)
+      .select((col("rn") - rk + 1).as("i"), col("__v").as("hi"))
+    val mad = lows.join(highs, Seq("i"))
+      .crossJoin(broadcast(med.select(col("median_c"))))
+      .select(greatest(col("median_c") - col("lo"),
+        col("hi") - col("median_c")).as("cand"))
+      .agg(min(col("cand")).as("mad_c"))
     med.select(col("n"), col("median_c"))
-      .crossJoin(broadcast(mad.select(col("mad_c"))))
+      .crossJoin(broadcast(mad))
   }
 }

@@ -130,6 +130,23 @@ class PropertySpec extends GraftSparkSpec {
     assert(m.getInt(7) === 0) // gate rejects it
   }
 
+  test("medianMad window identity == brute-force rank median/MAD on arbitrary multisets") {
+    val s = spark
+    import s.implicits._
+    // heavy ties, negatives, skew — the shapes that break rank formulas
+    val valuesGen = Gen.listOfN(25, Gen.oneOf(
+      Gen.choose(-5L, 5L), Gen.const(0L), Gen.choose(-1000L, 1000L)))
+    (samples(valuesGen, 10) :+ List(42L) :+ List(7L, 7L)).foreach { vs =>
+      val got = graft.operators.Profile
+        .medianMad(vs.toDF("v"), col("v")).head()
+      val sorted = vs.sorted
+      val m = sorted((vs.size + 1) / 2 - 1)
+      val mad = vs.map(x => math.abs(x - m)).sorted.apply((vs.size + 1) / 2 - 1)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2))
+        === ((vs.size.toLong, m, mad)), s"values $vs")
+    }
+  }
+
   test("reaggregation algebra law: weekly-from-daily == weekly-from-rows") {
     // the rel_reaggregate contract generalized beyond the fixture: for
     // ANY (day, cents) multiset, rolling the daily rollup up to weeks
