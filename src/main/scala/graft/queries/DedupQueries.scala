@@ -124,6 +124,29 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))),
 
+    // the incremental-dedup story END-TO-END ON DISK: historical half of
+    // the corpus (even doc_ids) → MinHash band index → persisted as a
+    // bucketed-by-(band,bsig) parquet table → RELOADED from the catalog
+    // → the arriving batch (odd doc_ids) band-joins the reloaded index
+    // and exact-verifies with jaccard. Oracle = brute-force exact
+    // jaccard between the halves (the banding recall argument of
+    // dd_minhash: candidates are exact-verified, miss probability at the
+    // fixture's plant similarity ~2e-14). Bucketing is the 100 TB
+    // layout: the historical side sort-merges from its on-disk buckets
+    // without a shuffle; only the small batch exchanges.
+    "dd_index_persist" -> ((s, d) => {
+      import graft.streaming.StreamingDedup
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val (bands, shingles) = StreamingDedup.buildIndex(hist)
+      val reloaded = StreamingDedup.persistAndReload(bands,
+        "graft_band_index",
+        sys.props("java.io.tmpdir") + "/graft_band_index")
+      StreamingDedup.dedupBatch(batch, reloaded, shingles, Threshold)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     // leakage-safe train/val split: hash-split by near-dup CLUSTER
     // representative, not by document — a doc-grain split leaks val
     // answers into train through near-duplicates, the classic eval
@@ -284,6 +307,14 @@ object DedupQueries extends QueryFamily {
          |  WHERE len(a.sh) > 0 AND len(b.sh) > 0) p
          |WHERE containment >= $Threshold ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash" -> bruteForceJaccard,
+    // exact cross-half jaccard, presented (batch doc, historical dup)
+    "dd_index_persist" ->
+      s"""$shCte
+         |SELECT doc_id, dup_of, jaccard FROM (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) p
+         |WHERE jaccard >= $Threshold ORDER BY doc_id, dup_of""".stripMargin,
     "dd_simhash" -> simhashOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
@@ -26,6 +26,38 @@ object StreamingDedup {
     val sh = Dedup.shingleSets(historical)
     val bands = Dedup.bandTable(Dedup.minhashSignature(sh))
     (bands, sh)
+  }
+
+  /** Persist the band index as a BUCKETED parquet table — the on-disk
+    * form of the historical corpus index the scaladoc above promises.
+    * Bucketing by the join keys (band, bsig), sorted within buckets, is
+    * the layout that lets every later ingest batch sort-merge against
+    * the index WITHOUT shuffling the historical side: the table's
+    * bucketing IS its output partitioning, so only the (small) arriving
+    * batch exchanges. At 100 TB the index is written once per
+    * re-index cadence and `nBuckets` is sized to executor count; the
+    * incremental path never rewrites or reshuffles it. (`bucketBy`
+    * requires `saveAsTable` — bucket metadata lives in the session
+    * catalog; a warehouse deployment would use a shared metastore.) */
+  def persistIndex(bands: DataFrame, table: String, path: String,
+      nBuckets: Int = 8): Unit =
+    bands.write.format("parquet")
+      .bucketBy(nBuckets, "band", "bsig")
+      .sortBy("band", "bsig")
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Read a [[persistIndex]] table back, bucketing metadata intact. */
+  def reloadIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Write + read-back in one step (the e2e roundtrip the
+    * dd_index_persist query drives). */
+  def persistAndReload(bands: DataFrame, table: String, path: String,
+      nBuckets: Int = 8): DataFrame = {
+    persistIndex(bands, table, path, nBuckets)
+    reloadIndex(bands.sparkSession, table)
   }
 
   /** One batch of new docs against the index → (doc_id, dup_of, jaccard)

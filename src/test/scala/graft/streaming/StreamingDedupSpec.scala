@@ -53,6 +53,38 @@ class StreamingDedupSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("band index persists as a bucketed table and reloads intact") {
+    val s = spark
+    import s.implicits._
+    val historical = Seq(
+      (0L, base.mkString(" ")),
+      (2L, Seq("one", "two", "three", "four", "five", "six").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (bands, shingles) = StreamingDedup.buildIndex(historical)
+    val path = Files.createTempDirectory("graft-bandidx-").toString + "/t"
+    val reloaded = StreamingDedup.persistAndReload(
+      bands, "graft_band_index_spec", path, nBuckets = 4)
+    try {
+      // table carries the bucket spec (the no-shuffle-on-history layout)
+      val ddl = s.sql("DESCRIBE TABLE EXTENDED graft_band_index_spec")
+        .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+      assert(ddl.contains("Num Buckets=4"), ddl)
+      assert(ddl.contains("band") && ddl.contains("bsig"))
+      // roundtrip is lossless: same rows as the in-memory band table
+      assert(reloaded.collect().map(_.toSeq).toSet
+        === bands.collect().map(_.toSeq).toSet)
+      // dedup against the RELOADED index == against the in-memory one
+      val batch = Seq((100L, (base.init :+ "CHANGED").mkString(" ")))
+        .toDF("doc_id", "text")
+      val viaDisk = StreamingDedup.dedupBatch(batch, reloaded, shingles, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaMem = StreamingDedup.dedupBatch(batch, bands, shingles, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaDisk === viaMem)
+      assert(viaDisk.map(p => (p._1, p._2)) === Seq((100L, 0L)))
+    } finally s.sql("DROP TABLE IF EXISTS graft_band_index_spec")
+  }
+
   test("ingest contamination screen: stream batches score against the " +
     "static benchmark gram index (stream == batch)") {
     val s = spark
