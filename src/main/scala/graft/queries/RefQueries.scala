@@ -153,6 +153,29 @@ object RefQueries extends QueryFamily {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // the standard retention-matrix shape analysts read: the cohort
+    // matrix normalized by cohort size (= the offset-0 cell — every user
+    // is active in their own first week by construction). One broadcast
+    // self-join of the tiny |cohorts|-row offset-0 slice back onto the
+    // matrix; retention is one fixed double division of exact longs.
+    "ref_retention_rates" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val matrix = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = matrix.filter(col("week_offset") === 0)
+        .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+      matrix.join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          (col("n_users").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // first-order Markov model of the event stream: per-user transition
     // (previous event type → event type) counts and row-normalized
     // probabilities. Order is exact (µs, event_id) — the shared engine
@@ -401,6 +424,16 @@ object RefQueries extends QueryFamily {
         |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
         |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ref_retention_rates" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+        |m AS (SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
+        |      FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, n_users AS cohort_size FROM m WHERE week_offset = 0)
+        |SELECT m.cohort_wk, m.week_offset, m.n_users, sz.cohort_size,
+        |  CAST(m.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+        |FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk
+        |ORDER BY m.cohort_wk, m.week_offset""".stripMargin,
     "ref_markov_transitions" ->
       """WITH l AS (SELECT event_type,
         |             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
