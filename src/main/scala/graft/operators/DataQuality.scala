@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-contract audit — the nightly screen a training-data pipeline runs
+  * before promoting an ingest batch: null/domain/range shares, referential
+  * orphans, key uniqueness, each emitted as one
+  * `(check_name, n_rows, n_violations, violation_share)` row.
+  *
+  * Scale design (100 TB): every column-level check on the same table FUSES
+  * into one conditional-aggregation scan — adding a check adds a `sum(when)`
+  * to an existing pass, never a pass. Referential checks are keyed
+  * left-join counts against the parent's distinct keys (build side
+  * broadcastable for dimension parents). Uniqueness is one groupBy on the
+  * key — duplicates counted from the grouped frame, no DISTINCT-Expand.
+  * The audit result is a union of 1-row frames: driver-sized, no matter
+  * the corpus.
+  */
+object DataQuality {
+
+  /** One scan, many checks: each (name, violationCondition) becomes a
+    * conditional sum over a single pass of `df`. A null condition (e.g. a
+    * predicate over a null column) counts as non-violating, mirroring SQL
+    * CASE semantics on both engines. */
+  def columnChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "columnChecks needs at least one check")
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    one.select(
+      expr(s"stack(${checks.size}, $stacked) AS (check_name, n_violations)"),
+      col("n_rows"))
+      .select(col("check_name"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Referential orphans: child rows whose key has no match in `parent`
+    * (a null child key is an orphan — it references nothing). Total and
+    * orphan counts come out of the same joined pass. */
+  def fkCheck(name: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val p = parent.select(parentKey.as("__pk")).distinct()
+    child.select(childKey.as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Duplicate-key rows: n_rows minus distinct keys, read off one grouped
+    * frame (sum of per-key count-1 excesses). */
+  def uniqueCheck(name: String, df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("__k")).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("cnt") - lit(1L)), lit(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+
+  /** Union the per-check frames and attach the fixed-IEEE violation share
+    * (one double division of exact longs). */
+  def audit(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+      .withColumn("violation_share",
+        col("n_violations").cast("double") / col("n_rows").cast("double"))
+      .orderBy(col("check_name"))
+}

@@ -353,6 +353,60 @@ object RefQueries extends QueryFamily {
         .select(col("event_id"), col("user_id"),
           QueryFamily.dollars(col("c")).as("value"), col("z"))
         .orderBy(col("event_id"))),
+
+    // navigation path mining: every ordered 3-step event-type path a user
+    // walks (two keyed leads over the shared (µs, event_id) grain), counted
+    // corpus-wide and ranked most-walked-first. The grouped agg's output
+    // domain is bounded at |event_types|³ rows, so the final sort never
+    // sees the event stream's cardinality; the windows are per-user keyed.
+    "ref_path_trigrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .filter(col("step3").isNotNull)
+        .select(col("event_type").as("step1"), col("step2"), col("step3"))
+        .groupBy(col("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+    }),
+
+    // arrival-cadence profile: discrete p50/p90 of the per-user gap between
+    // consecutive events of the SAME type, computed from the (type, gap)
+    // value histogram — the grouped-quantile pattern that scales when the
+    // value domain compresses: the cumulative window runs over DISTINCT gap
+    // values per type, never the event stream (contrast OrderStats, which
+    // range-partitions when the domain doesn't compress). Rank semantics
+    // are explicit — smallest value whose cumulative count reaches
+    // ceil(p·N), with p·N evaluated in IEEE double on both engines — so
+    // nothing hinges on either engine's percentile_disc interpretation.
+    "ref_gap_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("nxt", lead(col("tus"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type"), (col("nxt") - col("tus")).as("gap_us"))
+      val hist = gaps.groupBy(col("event_type"), col("gap_us"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n_gaps", sum(col("cnt")).over(wt))
+      def q(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n_gaps")), col("gap_us")))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n_gaps")).as("n_gaps"),
+          q(0.5).as("p50_us"), q(0.9).as("p90_us"),
+          max(col("gap_us")).as("max_us"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -542,5 +596,32 @@ object RefQueries extends QueryFamily {
         |  (CAST(c AS DOUBLE) - mu) / std AS z
         |FROM j WHERE varn > 0 AND abs((CAST(c AS DOUBLE) - mu) / std) > 3
         |ORDER BY event_id""".stripMargin,
+    "ref_path_trigrams" ->
+      """WITH l AS (SELECT event_type AS step1,
+        |             lead(event_type, 1) OVER w AS step2,
+        |             lead(event_type, 2) OVER w AS step3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM l WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3""".stripMargin,
+    // identical histogram arithmetic as the Spark plan: cumulative count
+    // over distinct gap values, cut at the smallest value whose cumulative
+    // count reaches ceil(p*N) with p*N in IEEE double on both engines
+    "ref_gap_quantiles" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT event_type,
+        |        lead(tus) OVER (PARTITION BY user_id, event_type ORDER BY tus, event_id) - tus AS gap_us
+        |      FROM e),
+        |h AS (SELECT event_type, gap_us, COUNT(*) AS cnt FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, gap_us,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_gaps
+        |      FROM h)
+        |SELECT event_type, MAX(n_gaps) AS n_gaps,
+        |  MIN(CASE WHEN cum >= CEIL(0.5 * n_gaps) THEN gap_us END) AS p50_us,
+        |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
+        |  MAX(gap_us) AS max_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

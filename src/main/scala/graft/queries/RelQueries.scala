@@ -768,6 +768,34 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("segment"), col("event_type"))
     }),
+
+    // data-contract audit (DataQuality): the pre-promotion screen over an
+    // ingest batch — range/shape shares, referential orphans, key
+    // uniqueness. Same-table checks fuse into ONE conditional-agg scan
+    // (events is read once for both its checks); FK checks are keyed
+    // left-join counts; uniqueness reads duplicates off one grouped frame.
+    // The two range checks fire honestly on this corpus (value>200,
+    // short docs); the FK/unique checks prove clean — both outcomes are
+    // the audit's job to certify.
+    "rel_dq_audit" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val checks = Seq(
+        DataQuality.columnChecks(Tables.events(s, d), Seq(
+          "events_value_le_200_range" -> (col("value") > 200),
+          "events_props_k_present" ->
+            graft.functions.JsonFast.json_get(col("props"), "k").isNull)),
+        DataQuality.columnChecks(Tables.documents(s, d), Seq(
+          "documents_text_min_100" -> (length(col("text")) < 100))),
+        DataQuality.fkCheck("orders_custkey_fk_customer",
+          Tables.orders(s, d), col("o_custkey"),
+          Tables.customer(s, d), col("c_custkey")),
+        DataQuality.fkCheck("lineitem_orderkey_fk_orders",
+          Tables.lineitem(s, d), col("l_orderkey"),
+          Tables.orders(s, d), col("o_orderkey")),
+        DataQuality.uniqueCheck("customer_custkey_unique",
+          Tables.customer(s, d), col("c_custkey")))
+      DataQuality.audit(checks)
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1072,5 +1100,28 @@ object RelQueries extends QueryFamily {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE a.c_custkey < 300 AND levenshtein(a.c_name, b.c_name) <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical check arithmetic: conditional sums per table, left-join
+    // orphan counts, grouped-frame duplicate counts, one double division
+    "rel_dq_audit" ->
+      """WITH ev AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_k
+        |  FROM events),
+        |dc AS (SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS v FROM documents),
+        |fk1 AS (SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey),
+        |fk2 AS (SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo ON l.l_orderkey = oo.o_orderkey),
+        |uq AS (SELECT COUNT(*) AS n_rows, CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v FROM customer),
+        |u AS (
+        |  SELECT 'events_value_le_200_range' AS check_name, n_rows, v_range AS n_violations FROM ev
+        |  UNION ALL SELECT 'events_props_k_present', n_rows, v_k FROM ev
+        |  UNION ALL SELECT 'documents_text_min_100', n_rows, v FROM dc
+        |  UNION ALL SELECT 'orders_custkey_fk_customer', n_rows, v FROM fk1
+        |  UNION ALL SELECT 'lineitem_orderkey_fk_orders', n_rows, v FROM fk2
+        |  UNION ALL SELECT 'customer_custkey_unique', n_rows, v FROM uq)
+        |SELECT check_name, n_rows, n_violations,
+        |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_share
+        |FROM u ORDER BY check_name""".stripMargin,
   )
 }

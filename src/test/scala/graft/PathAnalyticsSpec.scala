@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+/** Hand-math golden tests for the navigation-path analytics registered in
+  * RefQueries (`ref_path_trigrams`, `ref_gap_quantiles`): a tiny events
+  * fixture written as parquet (the queries read via Tables.events, so the
+  * fixture goes through the same scan path as the driver's tables; ts is
+  * ns-since-epoch, the shared µs grain divides it down in-query). */
+class PathAnalyticsSpec extends GraftSparkSpec {
+
+  // (event_id, ts_ns, user_id, event_type): user 1 walks
+  // click→view→click→cart at µs 1..4; user 2 clicks twice (µs 1, 2) —
+  // too short for any trigram but contributing a same-type gap.
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-pathspec-").toString
+    val rows = Seq(
+      (0L, 1000L, 1L, "click", 1.0, "{}"),
+      (1L, 2000L, 1L, "view", 1.0, "{}"),
+      (2L, 3000L, 1L, "click", 1.0, "{}"),
+      (3L, 4000L, 1L, "cart", 1.0, "{}"),
+      (4L, 1000L, 2L, "click", 1.0, "{}"),
+      (5L, 2000L, 2L, "click", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("ref_path_trigrams counts every ordered 3-step path once") {
+    val out = SparkEntry.queries("ref_path_trigrams")(spark, dir).collect()
+    // user 1 contributes exactly two trigrams; user 2 none (2 events).
+    assert(out.toSeq === Seq(
+      Row("click", "view", "click", 1L),
+      Row("view", "click", "cart", 1L)))
+  }
+
+  test("ref_gap_quantiles cuts the gap histogram at ceil(p*N)") {
+    val out = SparkEntry.queries("ref_gap_quantiles")(spark, dir).collect()
+    // same-type gaps: click -> [2 µs (user 1: 1→3), 1 µs (user 2: 1→2)];
+    // view/cart are singletons per user → no gap rows at all.
+    // N=2: p50 rank ceil(1.0)=1 → smallest gap 1; p90 rank ceil(1.8)=2 → 2.
+    assert(out.toSeq === Seq(Row("click", 2L, 1L, 2L, 2L)))
+  }
+}
