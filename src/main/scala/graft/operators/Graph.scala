@@ -193,4 +193,61 @@ object Graph {
           lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
+
+  /** PageRank over an undirected edge list, in INTEGER fixed-point — the
+    * centrality pass a dedup pipeline runs over its dup graph to rank
+    * cluster hubs (the doc most-connected to near-duplicates is the
+    * template/boilerplate source; its satellites are the copies).
+    *
+    * Arithmetic is exact-integer by construction so the result is
+    * bit-identical in any engine (the reason PageRank is usually hard to
+    * oracle-check is float summation order; integers are
+    * order-independent): scores are billionths (init 1e9 per vertex ≙
+    * rank 1.0), each vertex sends `score DIV outdeg` along every
+    * out-edge, and the damped update is
+    * `150_000_000 + (Σ_in · 85) DIV 100` — the classic d=0.85 rule with
+    * the two divisions floored. The floor drops ≤ outdeg + 99 billionths
+    * of mass per vertex per round (≈1e-7 relative): immaterial for
+    * ranking, and a price identical on every engine. Overflow: a single
+    * vertex's Σ_in is bounded by the total mass N·1e9 (star-graph worst
+    * case), so ·85 stays under 2^63 for N up to ~1e8 vertices; a larger
+    * graph drops the fixed-point scale to 1e6 (same algorithm, 3 fewer
+    * guard digits).
+    *
+    * The symmetric closure means no dangling vertices (every vertex has
+    * an out-edge), so no dangling-mass term. A fixed `iters` rounds (not
+    * convergence detection) keeps the algorithm a pure function of the
+    * input — dup graphs are low-diameter, 5 rounds is plenty for a
+    * stable hub ordering.
+    *
+    * Plan at 100 TB: per round one keyed equi-join (out-edges ⋈ scores
+    * on the source id) and one id-keyed hash agg with map-side partial
+    * sums — the textbook distributed PageRank shape; nothing all-pairs,
+    * no driver-side state. The edge list is cached via `scope` (it is
+    * read every round); score lineage grows linearly in `iters`, which
+    * at 5 rounds needs no checkpoint (a 50-round run would
+    * `localCheckpoint` every ~10 like [[connectedComponents]]). */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    val sym = scope.track(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    val out = scope.track(sym.groupBy(col("a"))
+      .agg(count(lit(1)).as("outdeg"))
+      .select(col("a").as("id"), col("outdeg")))
+    var r = out.withColumn("score", lit(1000000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(r.select(col("id").as("a"), expr("score DIV outdeg").as("c")),
+          Seq("a"))
+        .groupBy(col("b")).agg(sum(col("c")).as("in_sum"))
+        .select(col("b").as("id"), col("in_sum"))
+      r = out.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit(150000000L) +
+            expr("coalesce(in_sum, 0) * 85 DIV 100")).as("score"))
+    }
+    r
+  }
 }

@@ -29,6 +29,17 @@ case class ImageRow(doc_id: Long, png: Array[Byte])
 case class ImageStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
     px_sum: Long, n_distinct_px: Int, mean_px: Double)
 
+/** One encoded audio payload (real RIFF/WAVE bytes). */
+case class WavRow(doc_id: Long, wav: Array[Byte])
+
+/** Sample statistics of DECODED audio — every field derived from the
+  * `AudioSystem` stream (format header + decoded PCM frames), never from
+  * the pre-encode bytes, so an oracle match proves the WAV parse really
+  * ran. Integer stats exact; `mean_sample` one fixed IEEE division. */
+case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+    sample_sum: Long, n_distinct: Int, mean_sample: Double,
+    duration_us: Long)
+
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted per partition.
@@ -38,10 +49,13 @@ case class ImageStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
   * per-partition setup cost amortized over the batch, streaming iterator,
   * no per-row codec init), deterministic output. The IMAGE modality runs
   * a REAL codec ([[encodeImages]]/[[decodeImageStats]]: actual PNG bytes
-  * through `javax.imageio`, which ships with the JDK). The audio/video
-  * feature path remains a clearly-marked byte-stat STUB ([[decodeStub]] —
-  * no audio/video codec ships in the JDK); swap it for an ffmpeg-class
-  * binding to productionize, nothing else changes.
+  * through `javax.imageio`, which ships with the JDK), and so does the
+  * AUDIO modality ([[encodeAudio]]/[[decodeAudioStats]]: actual RIFF/WAVE
+  * bytes through `javax.sound.sampled` — the JDK's PCM codec). The
+  * video / compressed-audio feature path remains a clearly-marked
+  * byte-stat STUB ([[decodeStub]] — no MP3/H.264-class codec ships in
+  * the JDK); swap it for an ffmpeg-class binding to productionize,
+  * nothing else changes.
   *
   * Scale notes: decode is embarrassingly parallel narrow work — the only
   * knobs that matter at 100 TB are input-split sizing (binary payloads →
@@ -183,6 +197,78 @@ object Multimodal {
         }
         ImageStats(r.doc_id, w, h, w * h, sum, nDistinct,
           sum.toDouble / (w * h))
+      }
+    }
+  }
+
+  /** REAL audio encode — no stub: each document's UTF-8 bytes become
+    * 8-bit unsigned PCM samples (mono, 8 kHz; sample i = byte i, the
+    * whole payload once) and are written as an actual RIFF/WAVE file via
+    * `javax.sound.sampled.AudioSystem` (ships with the JDK — zero
+    * external codec deps). Empty docs are filtered (no 0-sample clip).
+    * The synthesis rule is the oracle's contract: DuckDB recomputes the
+    * expected sample stats from the same rule, so [[decodeAudioStats]]
+    * matching it proves the WAV roundtrip.
+    *
+    * Per-partition shape mirrors [[encodeImages]]: mapPartitions
+    * amortizes writer lookup; the work is narrow (no shuffle). */
+  def encodeAudio(docs: DataFrame): Dataset[WavRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .filter(octet_length(col("bytes")) > 0)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 8, 1, /* signed = */ false, /* bigEndian = */ false)
+        rows.map { r =>
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(r.bytes), fmt, r.bytes.length.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          WavRow(r.doc_id, out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF/WAVE header (format, rate, channels — all read from the FILE,
+    * not assumed), then the PCM frames are streamed and summarized.
+    * 8-bit unsigned PCM is lossless, so against [[encodeAudio]] payloads
+    * the stats equal the synthesis rule's — exactly what the DuckDB
+    * oracle checks. A crawler corpus with real .wav payloads would feed
+    * this operator unchanged; compressed formats (MP3/AAC) would swap in
+    * an ffmpeg-class decoder at the same seam.
+    *
+    * Scale: embarrassingly parallel narrow work, one stream per row,
+    * no shuffle. Unparseable payloads fail loudly
+    * (UnsupportedAudioFileException) rather than emitting garbage. */
+  def decodeAudioStats(wavs: Dataset[WavRow]): Dataset[AudioStats] = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val buf = ais.readAllBytes()
+        val rate = fmt.getSampleRate.toInt
+        val seen = new Array[Boolean](256)
+        var sum = 0L
+        var nDistinct = 0
+        var i = 0
+        while (i < buf.length) {
+          val v = buf(i) & 0xFF
+          sum += v
+          if (!seen(v)) { seen(v) = true; nDistinct += 1 }
+          i += 1
+        }
+        AudioStats(r.doc_id, rate, buf.length.toLong, sum, nDistinct,
+          sum.toDouble / buf.length,
+          buf.length.toLong * 1000000L / rate)
       }
     }
   }

@@ -304,6 +304,135 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Product quantization (PQ), returned in the DEQUANTIZED double
+    * domain: the vector is split into `dim/subDim` subspaces, each
+    * subspace gets its own `ksub`-codeword k-means codebook, and every
+    * subvector snaps to its nearest codeword — so a vector compresses to
+    * one code PER SUBSPACE (4 bytes here vs 256 for float32: the 64×
+    * lever a billion-vector index lives on; SQ8's is only 4×).
+    * Reconstruction concatenates the chosen codewords.
+    *
+    * Training mirrors [[ivfTopK]]'s determinism recipe per subspace:
+    * evenly-strided init by vec_id rank, Lloyd refinement with
+    * per-dimension means in integer micros (order-independent long sums,
+    * one fixed double division), argmin by an L2² sequential fold with
+    * (dist, code) struct-MIN tie-breaks — every step bit-replicable in
+    * DuckDB. L2² of finite inputs cannot be NaN, so no sentinel is
+    * needed (unlike the cosine argmax in ivfTopK).
+    *
+    * Plan at 100 TB: subvector build and final reconstruction are
+    * vec_id-keyed aggs; codebooks are tiny ((dim/subDim)·ksub rows,
+    * broadcast everywhere); assignment is a broadcast join + map-side
+    * partial struct-MIN. Nothing shuffles the corpus more than the
+    * id-keyed explode/reassemble passes. */
+  def pqDequantized(vectors: DataFrame, subDim: Int = 16, ksub: Int = 16,
+      lloydIters: Int = 1, nRows: Option[Long] = None): DataFrame = {
+    val sv = vectors
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), expr(s"pos DIV $subDim").as("sub"), col("pos"), col("x"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+      .select(col("vec_id"), col("sub"),
+        transform(col("px"), p => p.getField("x")).as("sv"))
+    val n = nRows.getOrElse(vectors.count())
+    val stride = math.max(1L, n / ksub)
+    val samp = vectors.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(ksub)
+      // unpartitioned window over the ALREADY-LIMITED ≤ ksub sample rows
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("long"))
+      .select(col("vec_id"), col("code"))
+    var codebook = sv.join(samp, Seq("vec_id"))
+      .select(col("sub"), col("code"), col("sv").as("cw"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    def assign(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"),
+          struct(l2sq(col("sv"), col("cw")).as("dist"), col("code")).as("dc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(first(col("sv")).as("sv"), min(col("dc")).as("best"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("best.code").as("code"))
+    (1 to lloydIters).foreach { _ =>
+      codebook = assign(codebook)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("c"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("sm").cast("double") / col("c") / lit(1000000.0)).as("mm"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mm")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), p => p.getField("mm")).as("cw"))
+    }
+    assign(codebook)
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("scw"))
+      .select(col("vec_id"),
+        flatten(transform(col("scw"), p => p.getField("cw"))).as("qv"))
+  }
+
+  /** Top-k by ASYMMETRIC distance computation (ADC) — the defining PQ
+    * search mode: queries stay float-exact, corpus vectors are scored
+    * through their [[pqDequantized]] reconstructions (dot(query,
+    * concat(codewords)) ≡ the per-subspace LUT sum a PQ index
+    * evaluates). Per-query `recall_at_k` against the float-exact
+    * [[bruteForceTopK]] is the quantization-error contract. Scoring is
+    * brute-force-shaped BY DESIGN (the isolated PQ-error baseline, like
+    * [[sq8TopK]] for SQ8); [[pqIvfTopK]] is the scale registration. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      subDim: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val rec = pqDequantized(corpus, subDim, ksub, lloydIters)
+    val qs = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qa"))
+    val pairs = qs
+      .crossJoin(rec.select(col("vec_id").as("neighbor_id"), col("qv").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qa"), col("nv")).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  /** PQ codes UNDER the IVF cell layout — IVF-PQ, the composition a
+    * billion-vector index actually ships (coarse cells prune the scan,
+    * PQ codes shrink what a probed cell reads by 64×). Mirrors
+    * [[sq8IvfTopK]] exactly: the ENTIRE index pipeline runs in the
+    * reconstructed domain, and `recall_at_k` compares against the
+    * float-exact IVF path at the SAME layout params, isolating
+    * PQ-induced ranking error at fixed probe cost. Both pipelines are
+    * centroid-partitioned — nothing O(n²). */
+  def pqIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nProbe: Int, lloydIters: Int = 1): DataFrame = {
+    // NOT cached — same AQE ReusedExchange rationale as sq8IvfTopK
+    val rec = pqDequantized(corpus)
+      .select(col("vec_id"), col("qv").as("embedding"))
+    val qrec = rec.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val n = Some(corpus.count())
+    val approx = ivfTopK(rec, qrec, k, nCells, nProbe, lloydIters, nRows = n)
+      .withColumnRenamed("cosine", "qcos")
+    val exact = ivfTopK(corpus, queries, k, nCells, nProbe, lloydIters, nRows = n)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact but O(n²) — the capability baseline;
     * [[embeddingDupPairsLsh]] is the 100 TB plan. */

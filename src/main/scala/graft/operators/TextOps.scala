@@ -430,4 +430,63 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("dl"), col("score"))
   }
+
+  /** Bigram-LM quality screen (CCNet-shaped: score every document against
+    * an n-gram LM trained on the corpus itself, surface the worst k).
+    * The model is add-one-smoothed: p(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1 ·) + |V|), with c(w1 ·) the count of w1 as a bigram PREFIX
+    * and |V| the corpus vocabulary size. A document's score is its MEAN
+    * bigram probability — the monotone stand-in for perplexity that
+    * avoids ln(), which is not bit-portable across engines (same reason
+    * [[tfIdf]] uses rational idf). Low mean probability = "perplexing"
+    * text: the triage list a CCNet-style pipeline cuts or down-weights.
+    *
+    * Float determinism: each probability is ONE double division of exact
+    * BIGINT counts; the per-doc sum folds in bigram-POSITION order
+    * (array_sort(collect_list(struct(pos, p))) ↔ DuckDB
+    * list(p ORDER BY pos)); the mean is one further division. Bit-exact.
+    *
+    * Plan at 100 TB: the bigram and prefix tables are term-keyed hash
+    * aggs with map-side partials (the count step of any n-gram LM
+    * build); scoring re-joins the exploded bigram stream against them on
+    * their keys — every shuffle keyed, nothing all-pairs. |V| is a 1-row
+    * agg broadcast back. A web-scale build would prune the count tables
+    * (c2 ≥ 2 → back off to the unigram floor) exactly like the df ≥ 2
+    * pruning in Dedup.containment; kept exact here. */
+  def lmScore(docs: DataFrame, k: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)).as("bg")))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.bg").as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = t.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    val probs = bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + 1).cast("double") /
+          (col("c1") + col("vsz")).cast("double")).as("p"),
+        (col("c2") === 1).cast("int").as("novel"))
+    val agg = probs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("novel")).as("novel_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"), col("novel_bigrams"),
+        (col("psum") / col("n_bigrams").cast("double")).as("lm_score"))
+    val top = agg.orderBy(col("lm_score").asc, col("doc_id")).limit(k)
+    // rank over the already-limited k rows (bounded window)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("lm_score").asc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_bigrams"),
+        col("novel_bigrams"), col("lm_score"))
+  }
 }

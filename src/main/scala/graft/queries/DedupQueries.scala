@@ -124,6 +124,17 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))),
 
+    // PageRank over the near-dup graph (Graph.pageRank): integer
+    // fixed-point — exact-integer arithmetic makes the usually-
+    // unoracleable iteration bit-checkable. Hub docs (the boilerplate
+    // template a cluster copies from) rank highest.
+    "dd_pagerank" -> ((s, d) =>
+      Graph.pageRank(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("outdeg"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // the incremental-dedup story END-TO-END ON DISK: historical half of
     // the corpus (even doc_ids) → MinHash band index → persisted as a
     // bucketed-by-(band,bsig) parquet table → RELOADED from the catalog
@@ -212,6 +223,29 @@ object DedupQueries extends QueryFamily {
 
   /** Reachability via recursive CTE: cc(v) = min id reachable from v —
     * the same canonical label [[Graph.connectedComponents]] converges to. */
+  /** Unrolled (not recursive) PageRank: the same exact brute-force pair
+    * set, symmetric closure, then `iters` damped integer updates as
+    * chained CTEs — every op is BIGINT arithmetic, so Spark's iterative
+    * joins and this SQL agree bit-for-bit. */
+  private val pageRankOracle: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT o.id, o.outdeg,
+         |  CAST(150000000 + (COALESCE(m.in_sum, 0) * 85) // 100 AS BIGINT) AS score
+         |  FROM outd o LEFT JOIN (
+         |    SELECT sym.b AS id, CAST(SUM(p.score // p.outdeg) AS BIGINT) AS in_sum
+         |    FROM sym JOIN r${i - 1} p ON sym.a = p.id GROUP BY 1) m USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""$shCte,
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |sym AS (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
+       |outd AS (SELECT a AS id, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+       |r0 AS (SELECT id, outdeg, CAST(1000000000 AS BIGINT) AS score FROM outd),
+       |$steps
+       |SELECT id AS doc_id, outdeg, score FROM r$iters ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   private val dupClustersOracle: String = {
     val recCte = shCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$recCte,
@@ -316,6 +350,7 @@ object DedupQueries extends QueryFamily {
          |  FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) p
          |WHERE jaccard >= $Threshold ORDER BY doc_id, dup_of""".stripMargin,
     "dd_simhash" -> simhashOracle,
+    "dd_pagerank" -> pageRankOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,
     "dd_embedding" ->

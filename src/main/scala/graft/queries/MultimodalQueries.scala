@@ -60,6 +60,17 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // REAL audio codec roundtrip — the second modality off the stub:
+    // text bytes → 8-bit PCM samples → actual RIFF/WAVE (AudioSystem
+    // encode) → header parse + frame decode → stats from the DECODED
+    // stream. Oracle recomputes from the synthesis rule; equality
+    // proves the WAV parse ran and the PCM roundtrip is lossless.
+    "mm_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudioStats(
+        Multimodal.encodeAudio(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // content-hash dedup over the BINARY payload — the first pass of any
     // multimodal ingest (byte-identical re-crawls/re-uploads) and the
     // binary mirror of dd_exact_stats: hash the blob (the fixed-width
@@ -163,6 +174,28 @@ object MultimodalQueries extends QueryFamily {
          |  CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_px
          |FROM px GROUP BY doc_id, width, height
          |ORDER BY doc_id""".stripMargin,
+    // sample i = byte i (whole payload once, no padding — unlike the
+    // raster rule); rate fixed at 8 kHz so duration is the exact
+    // integer nb·1e6 // 8000. The engine's numbers come from the parsed
+    // WAV header + decoded frames; equality IS the roundtrip proof.
+    "mm_audio_decode" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |sm AS (
+         |  SELECT doc_id, nb,
+         |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT AS v
+         |  FROM (SELECT doc_id, hx, nb,
+         |          unnest(range(0, CAST(nb AS BIGINT))) AS i
+         |        FROM b) u)
+         |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(nb AS BIGINT) AS n_samples,
+         |  CAST(SUM(v) AS BIGINT) AS sample_sum,
+         |  CAST(COUNT(DISTINCT v) AS INT) AS n_distinct,
+         |  CAST(SUM(v) AS DOUBLE) / nb AS mean_sample,
+         |  CAST(nb AS BIGINT) * 1000000 // 8000 AS duration_us
+         |FROM sm GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
     // md5(text) in DuckDB hashes the varchar's UTF-8 bytes — exactly the
     // engine's md5 over the binary payload (bytes = UTF-8 encoding of
     // text by construction in Multimodal.syntheticMedia)

@@ -54,6 +54,24 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4, lloydIters = 1)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Product quantization, ADC search mode: queries float-exact, corpus
+    // scored through 4-byte/vector codes (64× compression vs SQ8's 4×),
+    // recall contract vs the float brute force. Brute-force-shaped BY
+    // DESIGN (isolated PQ-error baseline); sim_topk_pq_ivf is the scale
+    // registration.
+    "sim_topk_pq" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // IVF-PQ — the composition a billion-vector index ships: coarse
+    // cells prune the scan, PQ codes shrink what a probed cell reads.
+    // Recall contract vs float-exact IVF at the same layout params;
+    // centroid-partitioned on both pipelines, nothing O(n²).
+    "sim_topk_pq_ivf" -> ((s, d) =>
+      Similarity.pqIvfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
+        nCells = 16, nProbe = 4, lloydIters = 1)
+        .orderBy(col("query_id"), col("rank"))),
+
     // behavioral similarity search (the EDBT/ICDE time-series-similarity
     // shape on this engine's own domain): per-user hour-of-day activity
     // vectors → exact top-3 most-similar users per query user. Counts
@@ -216,6 +234,86 @@ object SimQueries extends QueryFamily {
        |  WHERE rank <= 3)""".stripMargin
   }
 
+  /** The PQ pipeline (16-dim subspaces, 16 codewords each, deterministic
+    * strided init → 1 Lloyd iteration in integer micros → final assign →
+    * codeword concatenation) as CTE clauses over `$base(vec_id, v)` — a
+    * bit-exact DuckDB replica of
+    * [[graft.operators.Similarity.pqDequantized]]. Emits `epq(vec_id,
+    * v)`. Subvectors are built by EXPLODING `v` (not list slicing) so a
+    * zero-length embedding vanishes here exactly as it does from the
+    * engine's posexplode. */
+  private def pqCtesSql(base: String): String = {
+    def assignSql(cb: String): String =
+      s"""SELECT vec_id, sub, sv, code FROM (
+         |  SELECT p.vec_id, p.sub, p.sv, c.code,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+         |      list_reduce(list_transform(p.sv, (x,i) -> (x - c.cw[i]) * (x - c.cw[i])), (a,b) -> a + b) ASC, c.code ASC) AS rn
+         |  FROM psub p JOIN $cb c USING (sub)) t WHERE rn = 1""".stripMargin
+    s"""psub AS (
+       |  SELECT vec_id, (i - 1) // 16 AS sub, list(x ORDER BY i) AS sv
+       |  FROM (SELECT vec_id, i, v[i] AS x FROM $base, UNNEST(range(1, len(v) + 1)) u(i)) z
+       |  GROUP BY 1, 2),
+       |pqpar AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM $base),
+       |pqsamp AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code
+       |  FROM $base, pqpar WHERE vec_id % stride = 0
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+       |pqcb0 AS (SELECT psub.sub, pqsamp.code, psub.sv AS cw FROM psub JOIN pqsamp USING (vec_id)),
+       |pqas0 AS (${assignSql("pqcb0")}),
+       |pqcb1 AS (
+       |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+       |    SELECT sub, code, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+       |    FROM (SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM pqas0) u
+       |    GROUP BY sub, code, pos) g
+       |  GROUP BY sub, code),
+       |pqasf AS (${assignSql("pqcb1")}),
+       |epq AS (
+       |  SELECT vec_id, flatten(list(cw ORDER BY sub)) AS v
+       |  FROM (SELECT a.vec_id, a.sub, c.cw FROM pqasf a JOIN pqcb1 c USING (sub, code)) j
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Bit-exact replica of [[graft.operators.Similarity.pqTopK]]: ADC —
+    * float queries scored against PQ-reconstructed corpus vectors, with
+    * the recall contract vs the float-exact brute-force top-k. */
+  private def pqOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pqCtesSql("ef")},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 5 = 0),
+       |p2 AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v")} AS qcos
+       |  FROM q CROSS JOIN epq c WHERE query_id <> c.vec_id),
+       |tk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
+       |  SELECT query_id, neighbor_id, qcos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM p2) r WHERE rank <= 3),
+       |ep AS (
+       |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q2.v", "c.v")} AS cosine
+       |  FROM (SELECT * FROM ef WHERE vec_id % 5 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
+       |etk AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ep) r WHERE rank <= 3),
+       |rec AS (SELECT tk.query_id, COUNT(etk.neighbor_id) AS n_hit
+       |        FROM tk LEFT JOIN etk USING (query_id, neighbor_id) GROUP BY tk.query_id)
+       |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+       |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin
+
+  /** Bit-exact replica of [[graft.operators.Similarity.pqIvfTopK]]: the
+    * PQ reconstruction feeds the identical IVF pipeline as the
+    * `sim_topk_ivf` oracle; recall joins the float-exact IVF top-k at
+    * the same layout params — nothing O(n²). */
+  private def pqIvfOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pqCtesSql("ef")},
+       |${ivfCtesSql("q", "epq", iters = 1)},
+       |${ivfCtesSql("x", "ef", iters = 1)},
+       |rec AS (SELECT qtk.query_id, COUNT(xtk.neighbor_id) AS n_hit
+       |        FROM qtk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY qtk.query_id)
+       |SELECT qtk.query_id, qtk.rank, qtk.neighbor_id, qtk.cosine AS qcos,
+       |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+       |FROM qtk JOIN rec USING (query_id) ORDER BY qtk.query_id, qtk.rank""".stripMargin
+
   private def ivfOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${ivfCtesSql("", "e")}
@@ -314,6 +412,8 @@ object SimQueries extends QueryFamily {
     "sim_topk_lsh" -> lshOracleSql,
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
+    "sim_topk_pq" -> pqOracleSql,
+    "sim_topk_pq_ivf" -> pqIvfOracleSql,
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (
         |  SELECT label, pos, CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros

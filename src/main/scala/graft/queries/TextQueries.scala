@@ -246,6 +246,13 @@ object TextQueries extends QueryFamily {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))),
 
+    // bigram-LM quality screen (CCNet-shaped): add-one-smoothed bigram
+    // probabilities from corpus-trained counts, per-doc mean folded in
+    // position order, worst-50 surfaced — the perplexity-style filter
+    // with ln() replaced by the monotone mean probability (bit-portable)
+    "txt_lm_score" -> ((s, d) =>
+      TextOps.lmScore(docs(s, d), 50).orderBy(col("rank"))),
+
     // out-of-vocabulary screen: token share outside the corpus top-1000
     // vocabulary, per declared language — the cheap quality proxy that
     // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
@@ -458,6 +465,28 @@ object TextQueries extends QueryFamily {
         |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |       doc_id, n_terms_hit, dl, score
+        |FROM top ORDER BY rank""".stripMargin,
+    // identical smoothed probabilities (one double division of exact
+    // BIGINT counts), per-doc sum via list_reduce over the bigrams
+    // SORTED BY POSITION (seedless first element == Spark's 0.0 + x:
+    // exact for the strictly positive probabilities here)
+    "txt_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM (SELECT unnest(toks) AS tok FROM t) u),
+        |pr AS (SELECT b.doc_id, b.pos,
+        |         CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vsz AS DOUBLE) AS p,
+        |         CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END AS novel
+        |       FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(novel) AS BIGINT) AS novel_bigrams,
+        |          list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |        FROM pr GROUP BY 1),
+        |top AS (SELECT * FROM agg ORDER BY lm_score ASC, doc_id LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lm_score ASC, doc_id) AS INT) AS rank,
+        |       doc_id, n_bigrams, novel_bigrams, lm_score
         |FROM top ORDER BY rank""".stripMargin,
     "txt_langid_confusion" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM (

@@ -60,4 +60,26 @@ class GraphSpec extends GraftSparkSpec {
   test("triangleStats: single disjoint edges are wedge-free, coeff NULL") {
     assert(tri(1L -> 2L, 5L -> 6L) === ((2L, 0L, 0L, None)))
   }
+
+  test("pageRank: integer damped updates on a path agree with hand math") {
+    // path 1-2-3, symmetric: outdeg 1,2,1. Round 1: contributions
+    // 1e9→2, 5e8→{1,3}, 1e9→2 → scores (575e6, 1850e6, 575e6).
+    // Round 2: 575e6→2, 925e6→{1,3}, 575e6→2 →
+    //   s1 = s3 = 15e7 + (925e6·85)//100 = 936_250_000
+    //   s2 = 15e7 + (1150e6·85)//100 = 1_127_500_000
+    val got = Graph.pageRank(edges(1L -> 2L, 2L -> 3L), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> ((1L, 936250000L)),
+      2L -> ((2L, 1127500000L)),
+      3L -> ((1L, 936250000L))))
+  }
+
+  test("pageRank: endpoint symmetry and hub dominance on a star") {
+    // star center 9 with 3 leaves: leaves identical, center highest
+    val got = Graph.pageRank(edges(9L -> 1L, 9L -> 2L, 9L -> 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(9L) > got(1L))
+  }
 }

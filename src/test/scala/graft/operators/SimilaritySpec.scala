@@ -75,6 +75,49 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(perQ.sum / perQ.size >= 0.8)
   }
 
+  test("PQ: singleton codebooks reproduce micro-rounded originals exactly") {
+    // 4 maximally-separated constant vectors, ksub=4 → stride 1, every
+    // vector is its own codeword; each subvector stays nearest its own
+    // codeword, and the singleton Lloyd mean is round(x·1e6)/1e6 — exact
+    // for these integer coordinates. Reconstruction == original.
+    val vs = spark.createDataFrame(
+      (0L until 4L).map(i => (i, Array.fill(8)((10f * (i + 1))))))
+      .toDF("vec_id", "embedding")
+    val rec = Similarity.pqDequantized(vs, subDim = 4, ksub = 4)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "xh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rec.length === 32) // 4 vectors x 8 dims: dimension preserved
+    rec.foreach { case (id, _, xh) => assert(xh === 10.0 * (id + 1)) }
+  }
+
+  test("PQ top-k: recall column consistent per query, codes not degenerate") {
+    val queries = vectors.filter(col("vec_id") % 5 === 0)
+    val r = Similarity.pqTopK(vectors, queries, 3, subDim = 4, ksub = 16)
+      .collect()
+    assert(r.length === 30) // 10 queries x k=3
+    val perQ = r.groupBy(_.getLong(0)).map { case (_, rows) =>
+      val rc = rows.map(_.getDouble(4)).distinct
+      assert(rc.length === 1)
+      rc.head
+    }
+    // 16 codewords per 4-dim subspace resolves 50 gaussians well enough
+    // that ADC ranking is far from random (recall floor is deliberately
+    // loose — the oracle gate checks exact values)
+    assert(perQ.sum / perQ.size >= 0.3)
+    r.foreach(row => assert(math.abs(row.getDouble(3)) <= 1.0000001))
+  }
+
+  test("IVF-PQ: k rows per query, recall within [0,1]") {
+    val queries = vectors.filter(col("vec_id") % 5 === 0)
+    val r = Similarity.pqIvfTopK(vectors, queries, 3, nCells = 4, nProbe = 2)
+      .collect()
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length === 3))
+    r.foreach(row => {
+      val rc = row.getDouble(4)
+      assert(rc >= 0.0 && rc <= 1.0)
+    })
+  }
+
   test("LSH top-k results are a subset of brute-force rankings' candidates" +
     " and identical vectors always collide") {
     val dup = spark.createDataFrame(Seq(

@@ -201,4 +201,26 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(math.abs(rows(1)._5 - score(1.0, 3.0)) < 1e-12)
     assert(rows(0)._5 > rows(1)._5) // higher tf at equal dl ranks first
   }
+
+  test("lmScore: smoothed bigram mean probability agrees with hand math") {
+    // corpus: "a b a b" + "a b c" + one-token doc (no bigrams, dropped).
+    // bigram counts: "a b"=3, "b a"=1, "b c"=1; prefix counts: a·=3, b·=2;
+    // vocabulary {a,b,c,z} → |V|=4.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z"))).toDF("doc_id", "text")
+    val rows = TextOps.lmScore(docs, 10).orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._2).toSeq === Seq(2L, 1L)) // doc 3 has no bigrams
+    // doc1: p(ab)=4/7, p(ba)=2/6, p(ab)=4/7 → mean ((4/7)+(2/6)+(4/7))/3
+    val d1 = (4.0 / 7 + 2.0 / 6 + 4.0 / 7) / 3
+    // doc2: p(ab)=4/7, p(bc)=2/6 → mean; lower → ranked first (worst)
+    val d2 = (4.0 / 7 + 2.0 / 6) / 2
+    assert(rows(0)._5 === d2 && rows(1)._5 === d1)
+    assert(d2 < d1)
+    // novel bigrams (corpus count 1): doc1 has "b a"; doc2 has "b c"
+    assert(rows.map(_._4).toSeq === Seq(1L, 1L))
+    assert(rows.map(_._3).toSeq === Seq(2L, 3L)) // n_bigrams
+  }
 }
