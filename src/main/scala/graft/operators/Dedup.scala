@@ -414,4 +414,73 @@ object Dedup {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") > 1)
+
+  /** Winnowing fingerprint near-dup pairs — the MOSS document-
+    * fingerprinting algorithm (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * hash every token k-gram, slide a w-hash window over the hash
+    * sequence, select each window's MINIMUM (rightmost on ties). The
+    * winnowing guarantee: any run of ≥ w+k−1 tokens shared by two
+    * documents contributes at least one IDENTICAL selected fingerprint
+    * to both — substring-level detection (what [[passageDups]]'s
+    * aligned chunks only approximate) at an expected 2/(w+1) of the
+    * k-gram fingerprints.
+    *
+    * Every step is integer-exact and cross-engine portable: k-gram hash
+    * = top 40 bits of md5 (the portable-hash trick of
+    * [[simhashSignature]]); the (min hash, rightmost position)
+    * selection rule is ONE BIGINT window-MIN over the encoding
+    * h·2²³ + (2²³−1 − pos) — lexicographic argmin without a struct
+    * aggregate, positions bounded at 8M k-grams/doc (40+23 = 63 bits,
+    * no overflow). Pair overlap = |shared| / min(|A|,|B|), one double
+    * division of exact counts. The 40-bit space makes cross-doc hash
+    * collisions ~10⁻¹² per candidate pair — a deterministic, declared
+    * screen (identical in the oracle), not silent error.
+    *
+    * Plan at 100 TB: narrow per-doc generate, ONE doc-keyed window
+    * (never global), fingerprint-keyed equi-join with df ≥ 2 pruning
+    * (pure optimization — a shared fingerprint has df ≥ 2 by
+    * definition, so the pruned plan is result-identical) — the exact
+    * shuffle shape of [[passageDups]] with provable substring recall. */
+  def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val kgrams = docs
+      .select(col("doc_id"), posexplode(
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ",
+              (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "kg")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(kg), 1, 10), 16, 10) AS BIGINT)").as("h"))
+    val key = col("h") * lit(8388608L) + (lit(8388607L) - col("pos"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = scope.track(kgrams
+      .withColumn("selkey", min(key).over(win))
+      .withColumn("mx", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("mx") - (w - 1)) // complete windows only
+      .select(col("doc_id"), expr("selkey DIV 8388608").as("fp"))
+      .distinct())
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("fp"))
+    val shared = fps.join(hot, Seq("fp"))
+    val pairs = shared.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(shared.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("nfp_a"), col("nfp_b"),
+        (col("n_shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")).cast("double")).as("overlap"))
+  }
 }

@@ -431,6 +431,35 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("dl"), col("score"))
   }
 
+  /** Feature-hashed document vectors (the hashing trick, Weinberger et
+    * al., ICML'09): token t adds sign(t) ∈ {+1, −1} to coordinate
+    * h(t) mod dim — a fixed-width, vocabulary-free document embedding
+    * from one narrow pass + one doc-keyed agg, the classic cheap
+    * vectorization before a learned encoder exists (and the bridge from
+    * the text family into the ANN surface: output is the standard
+    * (vec_id, embedding) shape every [[Similarity]] operator consumes).
+    * Hash = top 40 bits of md5 (cross-engine portable, as in
+    * [[Dedup.winnowingPairs]]); sign = parity of the next bit; counts
+    * are exact integers, so the vectors — and every cosine over them —
+    * replicate bit-for-bit in the oracle.
+    *
+    * Plan at 100 TB: explode → (doc, coord)-keyed agg with map-side
+    * partials → doc-keyed assembly; no joins, vocabulary state O(dim)
+    * per doc regardless of corpus vocabulary (the point of the trick). */
+  def hashVectors(docs: DataFrame, dim: Int = 32): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 10), 16, 10) AS BIGINT)").as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).cast("int").as("j"),
+        expr(s"CAST(CASE WHEN (h DIV $dim) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)").as("s"))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("s")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("embedding"))
+
   /** Bigram-LM quality screen (CCNet-shaped: score every document against
     * an n-gram LM trained on the corpus itself, surface the worst k).
     * The model is add-one-smoothed: p(w2|w1) = (c(w1 w2) + 1) /

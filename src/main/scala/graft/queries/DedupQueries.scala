@@ -124,6 +124,15 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))),
 
+    // winnowing fingerprints (MOSS, SIGMOD'03): window-min-selected
+    // k-gram hashes guarantee any shared ≥ w+k-1-token run yields an
+    // identical fingerprint in both docs — substring-level detection at
+    // ~2/(w+1) fingerprint density. One doc-keyed window + a
+    // fingerprint-keyed equi-join; all-integer, bit-exact.
+    "dd_winnowing" -> ((s, d) =>
+      Dedup.winnowingPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // PageRank over the near-dup graph (Graph.pageRank): integer
     // fixed-point — exact-integer arithmetic makes the usually-
     // unoracleable iteration bit-checkable. Hub docs (the boilerplate
@@ -350,6 +359,27 @@ object DedupQueries extends QueryFamily {
          |  FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) p
          |WHERE jaccard >= $Threshold ORDER BY doc_id, dup_of""".stripMargin,
     "dd_simhash" -> simhashOracle,
+    // identical 40-bit md5 k-gram hashes, identical BIGINT window-min
+    // encoding (the df>=2 prune in the engine is result-neutral — a
+    // shared fingerprint has df>=2 by definition, so the oracle skips it)
+    "dd_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |kg AS (SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 10))::BIGINT AS h
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3) u),
+        |sel AS (SELECT doc_id, pos,
+        |          MIN(h * 8388608 + (8388607 - pos)) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+        |          MAX(pos) OVER (PARTITION BY doc_id) AS mx
+        |        FROM kg),
+        |fps AS (SELECT DISTINCT doc_id, selkey // 8388608 AS fp FROM sel WHERE pos <= mx - 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+        |  CAST(p.n_shared AS DOUBLE) / LEAST(ca.nfp, cb.nfp) AS overlap
+        |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

@@ -72,6 +72,16 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4, lloydIters = 1)
         .orderBy(col("query_id"), col("rank"))),
 
+    // feature-hashed document similarity: the hashing-trick vectors
+    // (TextOps.hashVectors — vocabulary-free 32-dim signed counts)
+    // bridge documents into the ANN surface; exact top-3 per query doc.
+    // Integer counts → bit-replicable cosines, like sim_behavior_topk.
+    "sim_doc_hash_topk" -> ((s, d) => {
+      val vecs = graft.operators.TextOps.hashVectors(Tables.documents(s, d))
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 50), K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // behavioral similarity search (the EDBT/ICDE time-series-similarity
     // shape on this engine's own domain): per-user hour-of-day activity
     // vectors → exact top-3 most-similar users per query user. Counts
@@ -386,6 +396,25 @@ object SimQueries extends QueryFamily {
         |        FROM tk LEFT JOIN etk USING (query_id, neighbor_id) GROUP BY tk.query_id)
         |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
         |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin,
+    // identical 40-bit md5 token hashes (coord = h mod 32, sign = parity
+    // of the next bit), vectors via a docs×coords grid left-joined to
+    // the signed counts; cosine/rank mirrors the brute-force oracle
+    "sim_doc_hash_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT AS h FROM tok),
+         |cj AS (SELECT doc_id, CAST(h % 32 AS INT) AS j, CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hs),
+         |cnt AS (SELECT doc_id, j, CAST(SUM(s) AS BIGINT) AS c FROM cj GROUP BY 1, 2),
+         |docsl AS (SELECT DISTINCT doc_id FROM documents),
+         |grid AS (SELECT d.doc_id, CAST(r.i AS INT) AS j FROM docsl d, (SELECT unnest(range(0, 32)) AS i) r),
+         |v AS (SELECT g.doc_id AS vec_id, list(CAST(COALESCE(cnt.c, 0) AS DOUBLE) ORDER BY g.j) AS v
+         |      FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.j = g.j GROUP BY 1),
+         |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosineSql("q.v", "b.v")} AS cosine
+         |      FROM v q CROSS JOIN v b WHERE q.vec_id < 50 AND q.vec_id <> b.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM p) r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // dense 24-dim hour vectors via a users×hours grid left-joined to the
     // (user, hour) counts; the cosine/rank shape mirrors the brute-force
     // oracle exactly

@@ -85,6 +85,24 @@ object BehaviorStream {
       .groupBy(window(col("ts"), windowLen), col("topic"), col("value"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Extension — SLIDING-window trending services: every `slide`, the
+    * count of each service over the trailing `windowLen` (each event
+    * lands in windowLen/slide overlapping windows — Spark expands the
+    * window assignment, the aggregation state stays
+    * (windows × services)-bounded, and the watermark closes windows for
+    * Append-mode emission). The monitoring view behind any "trending
+    * now" panel; downstream rank-within-window is a bounded window over
+    * the already-tiny aggregate. Same stream==batch law as every
+    * aggregate here: the identical expression computes on a static frame
+    * (StreamingSpec asserts equality). */
+  def trendingServices(msgs: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "5 minutes"): DataFrame =
+    msgs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide),
+        graft.operators.Behavior.serviceOf(col("topic")).as("service"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** T4 extension — sessionization with a dynamic gap: `session_window`
     * merges events within `gap` into one session per user. Works in both
     * batch and streaming (state: one open session per user). */

@@ -122,4 +122,33 @@ class DedupSpec extends GraftSparkSpec {
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
     assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("winnowing: shared >= w+k-1-token run guarantees a shared fingerprint") {
+    // k=3, w=4: the guarantee threshold is a 6-token shared run. Doc 11
+    // embeds doc 10's 8-token run behind different prefixes; doc 12 is
+    // disjoint content.
+    val run = Seq("one", "two", "three", "four", "five", "six", "seven", "eight")
+    val wdocs = spark.createDataFrame(Seq(
+      10L -> (Seq("p1", "p2") ++ run).mkString(" "),
+      11L -> (Seq("q1", "q2", "q3") ++ run ++ Seq("q4")).mkString(" "),
+      12L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(wdocs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // the embedded-run pair is found, the disjoint doc pairs with no one
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((10L, 11L)))
+    val (_, _, nShared, overlap) = pairs.head
+    assert(nShared >= 1L)
+    assert(overlap > 0.0 && overlap <= 1.0)
+  }
+
+  test("winnowing: identical docs share every fingerprint (overlap 1.0)") {
+    val txt = base.mkString(" ")
+    val wdocs = spark.createDataFrame(Seq(20L -> txt, 21L -> txt))
+      .toDF("doc_id", "text")
+    val p = Dedup.winnowingPairs(wdocs, minShared = 1).collect()
+    assert(p.length === 1)
+    assert(p.head.getDouble(5) === 1.0)
+    assert(p.head.getLong(3) === p.head.getLong(4)) // nfp_a == nfp_b
+  }
 }

@@ -202,6 +202,34 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(rows(0)._5 > rows(1)._5) // higher tf at equal dl ranks first
   }
 
+  test("hashVectors match an independent JVM reimplementation") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "dog"),
+      (3L, "the the the"))).toDF("doc_id", "text")
+    val dim = 8
+    def hash40(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    def expected(text: String): Seq[Double] = {
+      val v = new Array[Long](dim)
+      text.split(" ").foreach { t =>
+        val h = hash40(t)
+        v((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+      v.map(_.toDouble).toSeq
+    }
+    val got = TextOps.hashVectors(docs, dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) === expected("the cat sat on the mat"))
+    assert(got(2L) === expected("dog"))
+    assert(got(3L) === expected("the the the"))
+    // repeated token accumulates: doc 3 is 3x the single-"the" vector
+    assert(got(3L).map(math.abs).sum === 3.0)
+  }
+
   test("lmScore: smoothed bigram mean probability agrees with hand math") {
     // corpus: "a b a b" + "a b c" + one-token doc (no bigrams, dropped).
     // bigram counts: "a b"=3, "b a"=1, "b c"=1; prefix counts: a·=3, b·=2;

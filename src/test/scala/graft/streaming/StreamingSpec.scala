@@ -72,6 +72,45 @@ class StreamingSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-window trending services == batch; events span overlapping windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val data = Seq(("svc1_clicks", "7", "2024-01-01 10:07:00"),
+      ("svc1_clicks", "8", "2024-01-01 10:08:00"),
+      ("svc2_user", "1", "2024-01-01 10:12:00"))
+      .map { case (t, v, ts) => (t, v, java.sql.Timestamp.valueOf(ts)) }
+
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val msgs = input.toDF().toDF("topic", "value", "ts")
+    val q = BehaviorStream.trendingServices(msgs)
+      .writeStream.queryName("trend_test").outputMode("complete")
+      .format("memory").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT window.start, service, cnt FROM trend_test")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      val exp = BehaviorStream.trendingServices(
+        data.toDF("topic", "value", "ts"))
+        .select(col("window.start"), col("service"), col("cnt"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === exp) // stream == batch
+      // 10-min window sliding 5: the 10:07/10:08 events land in BOTH the
+      // 10:00 and the 10:05 window (2 each); 10:12 in 10:05 and 10:10
+      val svc1 = got.filter(_._2 == "svc1")
+      assert(svc1.map(_._1) ===
+        Set("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+      assert(svc1.forall(_._3 === 2L))
+      assert(got.count(_._2 == "svc2") === 2)
+    } finally q.stop()
+  }
+
   test("session_window sessionization merges events within the gap (batch mode)") {
     val s = spark
     import s.implicits._
