@@ -417,11 +417,13 @@ object Similarity {
     * centroid-partitioned — nothing O(n²). */
   def pqIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nProbe: Int, lloydIters: Int = 1): DataFrame = {
-    // NOT cached — same AQE ReusedExchange rationale as sq8IvfTopK
-    val rec = pqDequantized(corpus)
+    // NOT cached — same AQE ReusedExchange rationale as sq8IvfTopK.
+    // One count action serves the PQ stride AND both IVF inits (the
+    // reconstructed view is row-for-row the raw corpus).
+    val n = Some(corpus.count())
+    val rec = pqDequantized(corpus, nRows = n)
       .select(col("vec_id"), col("qv").as("embedding"))
     val qrec = rec.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val n = Some(corpus.count())
     val approx = ivfTopK(rec, qrec, k, nCells, nProbe, lloydIters, nRows = n)
       .withColumnRenamed("cosine", "qcos")
     val exact = ivfTopK(corpus, queries, k, nCells, nProbe, lloydIters, nRows = n)

@@ -124,6 +124,29 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))),
 
+    // soft dedup: down-WEIGHT near-dup clusters instead of dropping
+    // (keep every doc, weight 1/cluster_size — each cluster contributes
+    // unit mass, so the weighted corpus equals the hard-dedup corpus in
+    // expectation while keeping intra-cluster variation). Reported at
+    // the cluster-size grain: every stat exact integer + ONE double
+    // division, over the bounded |distinct sizes| rows.
+    "dd_soft_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cc = Graph.dupClusters(
+        Dedup.ppjoinPairs(docs, Threshold)
+          .select(col("doc_a"), col("doc_b")))
+      docs.select(col("doc_id"))
+        .join(cc.select(col("doc_id"), col("cluster_size")),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("cluster_size"), col("n_docs"),
+          expr("n_docs DIV cluster_size").as("n_clusters"),
+          (lit(1.0) / col("cluster_size").cast("double")).as("weight_per_doc"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // winnowing fingerprints (MOSS, SIGMOD'03): window-min-selected
     // k-gram hashes guarantee any shared ≥ w+k-1-token run yields an
     // identical fingerprint in both docs — substring-level detection at
@@ -255,7 +278,9 @@ object DedupQueries extends QueryFamily {
        |SELECT id AS doc_id, outdeg, score FROM r$iters ORDER BY score DESC, doc_id""".stripMargin
   }
 
-  private val dupClustersOracle: String = {
+  /** Shared recursive-reachability cluster CTEs (t, s, p, e, reach, lab,
+    * sz) — prefix for every oracle needing near-dup cluster labels. */
+  private val clusterCtes: String = {
     val recCte = shCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$recCte,
        |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -265,9 +290,20 @@ object DedupQueries extends QueryFamily {
        |          UNION
        |          SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id),
        |lab AS (SELECT id, MIN(r) AS cc FROM reach GROUP BY id),
-       |sz AS (SELECT cc, COUNT(*) AS cluster_size FROM lab GROUP BY cc)
-       |SELECT lab.id AS doc_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY doc_id""".stripMargin
+       |sz AS (SELECT cc, COUNT(*) AS cluster_size FROM lab GROUP BY cc)""".stripMargin
   }
+
+  private val dupClustersOracle: String =
+    s"""$clusterCtes
+       |SELECT lab.id AS doc_id, lab.cc, sz.cluster_size FROM lab JOIN sz USING (cc) ORDER BY doc_id""".stripMargin
+
+  private val softDedupOracle: String =
+    s"""$clusterCtes,
+       |sized AS (SELECT d.doc_id, COALESCE(q.cluster_size, 1) AS k
+       |          FROM documents d LEFT JOIN (SELECT lab.id, sz.cluster_size FROM lab JOIN sz USING (cc)) q ON q.id = d.doc_id)
+       |SELECT k AS cluster_size, COUNT(*) AS n_docs, COUNT(*) // k AS n_clusters,
+       |  CAST(1 AS DOUBLE) / k AS weight_per_doc
+       |FROM sized GROUP BY k ORDER BY k""".stripMargin
 
   /** End-to-end clean pass: exact survivors (min doc_id per md5 group),
     * recursive-CTE reachability among THEM, keep ids that are their own
@@ -381,6 +417,7 @@ object DedupQueries extends QueryFamily {
         |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
+    "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,
     "dd_embedding" ->
