@@ -440,7 +440,15 @@ object Dedup {
     * (never global), fingerprint-keyed equi-join with df ≥ 2 pruning
     * (pure optimization — a shared fingerprint has df ≥ 2 by
     * definition, so the pruned plan is result-identical) — the exact
-    * shuffle shape of [[passageDups]] with provable substring recall. */
+    * shuffle shape of [[passageDups]] with provable substring recall.
+    * The join cost is Σ df² over selected fingerprints; a web corpus
+    * has hot boilerplate fingerprints (headers, licenses) that
+    * degenerate it, and the standard production escape (MOSS does the
+    * same) is an UPPER df cap — drop fingerprints appearing in more
+    * than ~0.1% of documents, which only suppresses matches every
+    * pipeline wants suppressed. Not applied here (the fixture has no
+    * such boilerplate; max df is single digits) so the oracle stays an
+    * exact mirror. */
   def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2,
       scope: CacheScope = CacheScope.ambient): DataFrame = {

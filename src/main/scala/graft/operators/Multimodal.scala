@@ -40,6 +40,17 @@ case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
     sample_sum: Long, n_distinct: Int, mean_sample: Double,
     duration_us: Long)
 
+/** One encoded multi-frame payload (real multi-page TIFF bytes). */
+case class TiffRow(doc_id: Long, tiff: Array[Byte])
+
+/** Statistics of a DECODED frame sequence — frame count from the
+  * container directory, pixel stats from the decoded rasters, and
+  * first/last-frame sums proving FRAME ORDER survived the roundtrip.
+  * Integer stats exact; `mean_px` one fixed IEEE division. */
+case class VideoStats(doc_id: Long, n_frames: Int, px_sum: Long,
+    n_distinct_px: Int, mean_px: Double, first_frame_sum: Long,
+    last_frame_sum: Long)
+
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted per partition.
@@ -49,12 +60,16 @@ case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
   * per-partition setup cost amortized over the batch, streaming iterator,
   * no per-row codec init), deterministic output. The IMAGE modality runs
   * a REAL codec ([[encodeImages]]/[[decodeImageStats]]: actual PNG bytes
-  * through `javax.imageio`, which ships with the JDK), and so does the
-  * AUDIO modality ([[encodeAudio]]/[[decodeAudioStats]]: actual RIFF/WAVE
-  * bytes through `javax.sound.sampled` — the JDK's PCM codec). The
-  * video / compressed-audio feature path remains a clearly-marked
-  * byte-stat STUB ([[decodeStub]] — no MP3/H.264-class codec ships in
-  * the JDK); swap it for an ffmpeg-class binding to productionize,
+  * through `javax.imageio`, which ships with the JDK), so does the
+  * AUDIO modality ([[encodeAudio]]/[[decodeAudioStats]]: actual
+  * RIFF/WAVE bytes through `javax.sound.sampled` — the JDK's PCM
+  * codec), and the VIDEO-CONTAINER shape runs real too
+  * ([[encodeVideo]]/[[decodeVideoStats]]: multi-page TIFF through the
+  * JDK's TIFF plugin — container directory walk + ordered per-frame
+  * raster decode, the access pattern a frame-sampling pipeline is made
+  * of). Only compressed-codec decode (MP3/H.264) remains the declared
+  * byte-stat STUB ([[decodeStub]] — no such codec ships in the JDK);
+  * swap in an ffmpeg-class binding at the same seam to productionize,
   * nothing else changes.
   *
   * Scale notes: decode is embarrassingly parallel narrow work — the only
@@ -269,6 +284,104 @@ object Multimodal {
         AudioStats(r.doc_id, rate, buf.length.toLong, sum, nDistinct,
           sum.toDouble / buf.length,
           buf.length.toLong * 1000000L / rate)
+      }
+    }
+  }
+
+  /** REAL multi-frame encode — the video-container shape without an
+    * external codec: each document becomes a MULTI-PAGE TIFF (the JDK's
+    * `javax.imageio` TIFF plugin, JDK 9+; lossless 8-bit grayscale) of
+    * up to `maxFrames` 4×4 frames, pixel i of frame f =
+    * byte((f·16 + i) mod nb). A real video pipeline differs only in the
+    * codec behind the same seam (frame directory + per-frame decode);
+    * the container parse, ordered frame iteration, and per-frame raster
+    * work — the parts Spark plumbing is responsible for — are identical
+    * and REAL here. */
+  def encodeVideo(docs: DataFrame, maxFrames: Int = 8): Dataset[TiffRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .filter(octet_length(col("bytes")) > 0)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val nb = r.bytes.length
+          val nf = math.min(maxFrames, (nb + 15) / 16)
+          val w = javax.imageio.ImageIO
+            .getImageWritersByFormatName("tiff").next()
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          w.setOutput(ios)
+          w.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var i = 0
+            while (i < 16) {
+              img.getRaster.setSample(i % 4, i / 4, 0,
+                r.bytes((f * 16 + i) % nb) & 0xFF)
+              i += 1
+            }
+            w.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          w.endWriteSequence()
+          ios.close()
+          w.dispose()
+          TiffRow(r.doc_id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL multi-frame decode: the TIFF reader walks the container's
+    * image directory (`getNumImages(true)` — frame count read from the
+    * FILE), decodes every frame raster in order, and summarizes.
+    * `first_frame_sum`/`last_frame_sum` prove the frame ORDER survived
+    * the roundtrip, not just the multiset of pixels. Lossless 8-bit
+    * grayscale, so against [[encodeVideo]] payloads the stats equal the
+    * synthesis rule's — what the DuckDB oracle checks. Narrow
+    * mapPartitions work, one reader per row, no shuffle. */
+  def decodeVideoStats(tiffs: Dataset[TiffRow]): Dataset[VideoStats] = {
+    val spark = tiffs.sparkSession
+    import spark.implicits._
+    tiffs.mapPartitions { rows =>
+      rows.map { r =>
+        val rd = javax.imageio.ImageIO
+          .getImageReadersByFormatName("tiff").next()
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.tiff)), false, true)
+        val nf = rd.getNumImages(true)
+        require(nf > 0, s"doc ${r.doc_id}: no frames in container")
+        val seen = new Array[Boolean](256)
+        var sum = 0L
+        var nDistinct = 0
+        var firstSum = 0L
+        var lastSum = 0L
+        var f = 0
+        while (f < nf) {
+          val img = rd.read(f)
+          var frameSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = img.getRaster.getSample(x, y, 0)
+              frameSum += v
+              if (!seen(v)) { seen(v) = true; nDistinct += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          sum += frameSum
+          if (f == 0) firstSum = frameSum
+          if (f == nf - 1) lastSum = frameSum
+          f += 1
+        }
+        rd.dispose()
+        VideoStats(r.doc_id, nf, sum, nDistinct,
+          sum.toDouble / (nf * 16), firstSum, lastSum)
       }
     }
   }

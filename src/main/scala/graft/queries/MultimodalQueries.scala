@@ -71,6 +71,18 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // REAL multi-frame container roundtrip — the video shape: payload
+    // bytes → up to 8 4×4 frames → actual MULTI-PAGE TIFF (ImageIO
+    // sequence write) → container-directory walk + ordered per-frame
+    // decode → stats from the DECODED rasters, incl. first/last frame
+    // sums proving frame ORDER survived. Oracle recomputes from the
+    // synthesis rule; only compressed-codec decode stays stubbed.
+    "mm_video_decode" -> ((s, d) =>
+      Multimodal.decodeVideoStats(
+        Multimodal.encodeVideo(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // content-hash dedup over the BINARY payload — the first pass of any
     // multimodal ingest (byte-identical re-crawls/re-uploads) and the
     // binary mirror of dd_exact_stats: hash the blob (the fixed-width
@@ -196,6 +208,27 @@ object MultimodalQueries extends QueryFamily {
          |  CAST(SUM(v) AS DOUBLE) / nb AS mean_sample,
          |  CAST(nb AS BIGINT) * 1000000 // 8000 AS duration_us
          |FROM sm GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+    // frame f pixel i = byte((f*16 + i) mod nb), nf = min(8, ceil(nb/16));
+    // first/last frame sums pin the decoded frame ORDER to the rule
+    "mm_video_decode" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |g AS (SELECT doc_id, hx, nb, LEAST(8, (nb + 15) // 16) AS nf FROM b),
+         |px AS (
+         |  SELECT doc_id, nf, i,
+         |         ('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT AS v
+         |  FROM (SELECT doc_id, hx, nb, nf,
+         |          unnest(range(0, CAST(nf * 16 AS BIGINT))) AS i
+         |        FROM g) u)
+         |SELECT doc_id, CAST(nf AS INT) AS n_frames,
+         |  CAST(SUM(v) AS BIGINT) AS px_sum,
+         |  CAST(COUNT(DISTINCT v) AS INT) AS n_distinct_px,
+         |  CAST(SUM(v) AS DOUBLE) / (nf * 16) AS mean_px,
+         |  CAST(SUM(CASE WHEN i < 16 THEN v ELSE 0 END) AS BIGINT) AS first_frame_sum,
+         |  CAST(SUM(CASE WHEN i >= (nf - 1) * 16 THEN v ELSE 0 END) AS BIGINT) AS last_frame_sum
+         |FROM px GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
     // md5(text) in DuckDB hashes the varchar's UTF-8 bytes — exactly the
     // engine's md5 over the binary payload (bytes = UTF-8 encoding of
     // text by construction in Multimodal.syntheticMedia)

@@ -76,6 +76,50 @@ class MultimodalSpec extends GraftSparkSpec {
       (20L, 'x'.toLong * 20, 1))
   }
 
+  test("real multi-page TIFF roundtrip: frame count, order, and stats") {
+    val s = spark
+    import s.implicits._
+    // "ab" → nb=2, nf=1 (one padded frame, bytes wrap: a b a b ...);
+    // "x"*40 → nf=3 (40 bytes → frames 0,1 full, frame 2 wraps)
+    val docs = Seq((0L, "ab"), (1L, "x" * 40), (2L, "")).toDF("doc_id", "text")
+    val stats = Multimodal.decodeVideoStats(Multimodal.encodeVideo(docs))
+      .collect().sortBy(_.doc_id)
+    assert(stats.length === 2) // empty doc filtered
+    val a = stats(0)
+    assert(a.n_frames === 1)
+    assert(a.px_sum === ('a'.toLong + 'b'.toLong) * 8) // 16 px wrapping "ab"
+    assert(a.n_distinct_px === 2)
+    assert(a.first_frame_sum === a.px_sum) // single frame
+    assert(a.last_frame_sum === a.px_sum)
+    val b = stats(1)
+    assert(b.n_frames === 3)
+    assert(b.px_sum === 'x'.toLong * 48)
+    assert(b.n_distinct_px === 1)
+    assert(b.mean_px === 'x'.toDouble)
+  }
+
+  test("video decode is real: payloads are valid TIFFs, order is decoded") {
+    val s = spark
+    import s.implicits._
+    // 32 distinct bytes → 2 frames with different sums; order must hold
+    val txt = (0 until 32).map(i => ('A' + i % 26).toChar).mkString
+    val rows = Multimodal.encodeVideo(Seq((7L, txt)).toDF("doc_id", "text"))
+      .collect()
+    // TIFF magic (big- or little-endian) in the actual payload
+    val magic = rows.head.tiff.take(2).map(_.toChar).mkString
+    assert(magic === "MM" || magic === "II")
+    val st = Multimodal.decodeVideoStats(
+      Seq(TiffRow(7L, rows.head.tiff)).toDS()).head()
+    val bytes = txt.getBytes("UTF-8").map(_ & 0xFF)
+    assert(st.first_frame_sum === bytes.take(16).map(_.toLong).sum)
+    assert(st.last_frame_sum === bytes.drop(16).map(_.toLong).sum)
+    assert(st.first_frame_sum !== st.last_frame_sum)
+    val garbage = Seq(TiffRow(8L, Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoStats(garbage).collect()
+    }
+  }
+
   test("audio decode is real: payloads are valid WAVs, garbage fails loudly") {
     val s = spark
     import s.implicits._
