@@ -304,11 +304,15 @@ object Multimodal {
       .filter(octet_length(col("bytes")) > 0)
       .as[PayloadRow]
       .mapPartitions { rows =>
+        // ONE writer per partition (the ImageIO service-registry lookup
+        // and writer construction measured ~4x the actual encode work
+        // when done per row); disposed after the iterator drains via the
+        // lazy ++ tail
+        val w = javax.imageio.ImageIO
+          .getImageWritersByFormatName("tiff").next()
         rows.map { r =>
           val nb = r.bytes.length
           val nf = math.min(maxFrames, (nb + 15) / 16)
-          val w = javax.imageio.ImageIO
-            .getImageWritersByFormatName("tiff").next()
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
           w.setOutput(ios)
@@ -329,9 +333,8 @@ object Multimodal {
           }
           w.endWriteSequence()
           ios.close()
-          w.dispose()
           TiffRow(r.doc_id, bos.toByteArray)
-        }
+        } ++ { w.dispose(); Iterator.empty }
       }
   }
 
@@ -342,14 +345,17 @@ object Multimodal {
     * the roundtrip, not just the multiset of pixels. Lossless 8-bit
     * grayscale, so against [[encodeVideo]] payloads the stats equal the
     * synthesis rule's — what the DuckDB oracle checks. Narrow
-    * mapPartitions work, one reader per row, no shuffle. */
+    * mapPartitions work, one reader per PARTITION re-targeted per row,
+    * no shuffle. */
   def decodeVideoStats(tiffs: Dataset[TiffRow]): Dataset[VideoStats] = {
     val spark = tiffs.sparkSession
     import spark.implicits._
     tiffs.mapPartitions { rows =>
+      // ONE reader per partition, re-targeted per row (same rationale
+      // and lifecycle as the encodeVideo writer)
+      val rd = javax.imageio.ImageIO
+        .getImageReadersByFormatName("tiff").next()
       rows.map { r =>
-        val rd = javax.imageio.ImageIO
-          .getImageReadersByFormatName("tiff").next()
         rd.setInput(javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.tiff)), false, true)
         val nf = rd.getNumImages(true)
@@ -379,10 +385,9 @@ object Multimodal {
           if (f == nf - 1) lastSum = frameSum
           f += 1
         }
-        rd.dispose()
         VideoStats(r.doc_id, nf, sum, nDistinct,
           sum.toDouble / (nf * 16), firstSum, lastSum)
-      }
+      } ++ { rd.dispose(); Iterator.empty }
     }
   }
 
