@@ -75,6 +75,20 @@ class GraphSpec extends GraftSparkSpec {
       3L -> ((1L, 936250000L))))
   }
 
+  test("pageRank: scores follow a vertex relabeling exactly") {
+    // integer arithmetic means relabeling vertices (id -> 7·id + 3)
+    // permutes scores bit-for-bit — no positional or ordering dependence
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 4L, 5L -> 6L)
+    val base = Graph.pageRank(edges(es: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mapped = Graph.pageRank(
+      edges(es.map { case (a, b) => (7 * a + 3) -> (7 * b + 3) }: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base.map { case (id, s) => (7 * id + 3) -> s } === mapped)
+    // damped-update mass bounds: every score within [0.15e9, N*1e9]
+    assert(base.values.forall(s => s >= 150000000L && s <= 6000000000L))
+  }
+
   test("pageRank: endpoint symmetry and hub dominance on a star") {
     // star center 9 with 3 leaves: leaves identical, center highest
     val got = Graph.pageRank(edges(9L -> 1L, 9L -> 2L, 9L -> 3L))
