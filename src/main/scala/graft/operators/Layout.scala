@@ -71,4 +71,33 @@ object Layout {
         min(col("xr")).as("x_min"), max(col("xr")).as("x_max"),
         min(col("yr")).as("y_min"), max(col("yr")).as("y_max"))
   }
+
+  /** Incremental maintenance of a PARTITIONED aggregate table via
+    * dynamic partition overwrite — the daily-warehouse-merge pattern: an
+    * initial build writes history partitions, each later merge
+    * recomputes ONLY the touched partitions and `INSERT OVERWRITE`s
+    * exactly those directories (`partitionOverwriteMode=dynamic`:
+    * untouched partitions are left byte-identical on disk — LayoutSpec
+    * asserts their files don't change). At 100 TB this is the
+    * difference between an O(day) nightly merge and an O(history)
+    * recompute; the observable contract — maintained table ==
+    * full recompute — is exactly what the oracle checks.
+    *
+    * The conf flip is scoped to the write and restored after, so
+    * callers' sessions keep their own overwrite semantics. The initial
+    * build passes `dynamic = false` (STATIC overwrite truncates the
+    * whole table, clearing stale partitions from any previous run);
+    * merges pass `dynamic = true`. */
+  def overwritePartitions(df: DataFrame, path: String, partCol: String,
+      dynamic: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, if (dynamic) "dynamic" else "static")
+    try df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -413,6 +413,34 @@ object RelQueries extends QueryFamily {
           (abs(col("approx_users") - col("exact_users")) <=
             lit(0.15) * col("exact_users")).as("within_3rsd"))),
 
+    // incremental maintenance of a partitioned daily aggregate — the
+    // nightly-merge pattern END-TO-END ON DISK: history partitions
+    // written once (static overwrite clears stale state), then the last
+    // day's delta recomputed and merged via DYNAMIC partition overwrite
+    // (only that partition's directory is replaced — LayoutSpec asserts
+    // untouched partition files stay byte-identical), then the
+    // maintained table is READ BACK. Oracle = the full recompute: the
+    // maintained-equals-recomputed contract that makes an O(day)
+    // nightly merge safe at 100 TB.
+    "rel_incremental_agg" -> ((s, d) => {
+      import graft.operators.Layout
+      val daily = Tables.events(s, d)
+        .groupBy(
+          date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("ct"))
+      val lastDay = daily.agg(max(col("day"))).head().getString(0)
+      val path = sys.props("java.io.tmpdir") + "/graft_daily_agg"
+      Layout.overwritePartitions(daily.filter(col("day") < lastDay),
+        path, "day", dynamic = false)
+      Layout.overwritePartitions(daily.filter(col("day") === lastDay),
+        path, "day")
+      s.read.parquet(path)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("cnt"), dollars(col("ct")).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // -- events: JSON + event-time (ns) -------------------------------
     // day kept as 'yyyy-MM-dd' string: DATE columns round-trip through
     // parquet/pandas with engine-specific physical types and break the
@@ -889,6 +917,10 @@ object RelQueries extends QueryFamily {
     "rel_nations_union" ->
       """SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey""",
     "rel_daily_events" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // full recompute — equality proves the on-disk history + dynamic-
+    // partition-overwrite delta merge reproduces it exactly
+    "rel_incremental_agg" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "rel_range_join" ->
       """WITH iv AS (SELECT CAST(i AS INT) AS interval_id, 19723 + 2*CAST(i AS BIGINT) AS lo, 19723 + 2*CAST(i AS BIGINT) + 3 AS hi FROM (SELECT unnest(range(0, 14)) AS i) r),

@@ -34,4 +34,27 @@ class LayoutSpec extends GraftSparkSpec {
       .collect()
     sortedExt.foreach(r => assert(r.getInt(2) - r.getInt(1) === 63))
   }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    Layout.overwritePartitions(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("p", "v"),
+      path, "p", dynamic = false)
+    def partFiles(p: String): Set[String] =
+      new java.io.File(s"$path/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.length).toSet
+    val aBefore = partFiles("a")
+    // merge a delta touching ONLY partition b
+    Layout.overwritePartitions(Seq(("b", 9L)).toDF("p", "v"), path, "p")
+    // untouched partition's files are byte-identical (same names+sizes —
+    // a rewrite would mint new part-file UUIDs); a static overwrite
+    // would have DELETED partition a entirely
+    assert(partFiles("a") === aBefore)
+    val rows = s.read.parquet(path).select(col("p").cast("string"), col("v"))
+      .as[(String, Long)].collect().toSet
+    assert(rows === Set(("a", 1L), ("a", 2L), ("b", 9L)))
+  }
 }
