@@ -76,6 +76,9 @@ object SimQueries extends QueryFamily {
     // (TextOps.hashVectors — vocabulary-free 32-dim signed counts)
     // bridge documents into the ANN surface; exact top-3 per query doc.
     // Integer counts → bit-replicable cosines, like sim_behavior_topk.
+    // Query side bounded (doc_id < 50); at scale the same (vec_id,
+    // embedding) frame feeds lshTopK/ivfTopK unchanged — the bucketed
+    // paths are the 100 TB registration, this is their exact baseline.
     "sim_doc_hash_topk" -> ((s, d) => {
       val vecs = graft.operators.TextOps.hashVectors(Tables.documents(s, d))
       Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 50), K)
