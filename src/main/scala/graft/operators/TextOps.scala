@@ -431,6 +431,44 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("dl"), col("score"))
   }
 
+  /** The Gopher-rules quality battery (Rae et al. 2021, §A1.1 — the
+    * canonical LLM-data document filter set), extending
+    * [[qualityFeatures]]' minimal gate with the symbol / alphabetic /
+    * ellipsis rules: token count and mean word length in range,
+    * fraction of words containing an alphabetic character ≥ 0.8,
+    * ellipsis-ended word fraction < 0.3, #/$ symbol-to-word ratio
+    * < 0.1, and ≥ 2 marker stopwords. Every feature is exact-integer or
+    * ONE double division; the regexes stay in the Java∩RE2 subset
+    * ([[scrubPii]]'s portability rule), so the whole battery replicates
+    * bit-for-bit in the oracle. Narrow per-row work — at 100 TB this is
+    * scan-dominated streaming arithmetic, the cheapest filter class a
+    * pipeline has. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / n.cast("double")
+    val ellipsisFrac = size(filter(toks,
+      t => t.endsWith("...") || t.endsWith("…")))
+      .cast("double") / n.cast("double")
+    val nSymbols = length(col("text")) -
+      length(translate(col("text"), "#$", ""))
+    val symbolRatio = nSymbols.cast("double") / n.cast("double")
+    val stopHits = markerCount(col("text"))
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      alphaFrac.as("alpha_word_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      symbolRatio.as("symbol_word_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      (n.between(20, 100000) && meanLen.between(3.0, 10.0) &&
+        alphaFrac > 0.8 && ellipsisFrac < 0.3 && symbolRatio < 0.1 &&
+        stopHits >= 2).cast("int").as("passes_gopher"))
+  }
+
   /** Feature-hashed document vectors (the hashing trick, Weinberger et
     * al., ICML'09): token t adds sign(t) ∈ {+1, −1} to coordinate
     * h(t) mod dim — a fixed-width, vocabulary-free document embedding

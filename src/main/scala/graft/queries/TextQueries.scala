@@ -246,6 +246,13 @@ object TextQueries extends QueryFamily {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))),
 
+    // the full Gopher-rules document-filter battery (symbol / alpha /
+    // ellipsis rules on top of txt_quality's minimal gate): narrow
+    // per-row arithmetic, Java∩RE2 regex subset, exact integers + one
+    // division per feature
+    "txt_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(docs(s, d)).orderBy(col("doc_id"))),
+
     // bigram-LM quality screen (CCNet-shaped): add-one-smoothed bigram
     // probabilities from corpus-trained counts, per-doc mean folded in
     // position order, worst-50 surfaced — the perplexity-style filter
@@ -466,6 +473,20 @@ object TextQueries extends QueryFamily {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |       doc_id, n_terms_hit, dl, score
         |FROM top ORDER BY rank""".stripMargin,
+    "txt_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_word_frac,
+        |  CAST(len(list_filter(toks, t -> ends_with(t, '...') OR ends_with(t, '…'))) AS DOUBLE) / len(toks) AS ellipsis_frac,
+        |  CAST(length(text) - length(replace(replace(text, '#', ''), '$', '')) AS DOUBLE) / len(toks) AS symbol_word_ratio,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS BIGINT) AS stop_hits
+        |FROM t)
+        |SELECT f.*, CAST(n_tokens BETWEEN 20 AND 100000 AND mean_token_len BETWEEN 3.0 AND 10.0
+        |  AND alpha_word_frac > 0.8 AND ellipsis_frac < 0.3 AND symbol_word_ratio < 0.1
+        |  AND stop_hits >= 2 AS INT) AS passes_gopher
+        |FROM f ORDER BY doc_id""".stripMargin,
     // identical smoothed probabilities (one double division of exact
     // BIGINT counts), per-doc sum via list_reduce over the bigrams
     // SORTED BY POSITION (seedless first element == Spark's 0.0 + x:

@@ -202,6 +202,34 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(rows(0)._5 > rows(1)._5) // higher tf at equal dl ranks first
   }
 
+  test("gopherRules: each rule fires on its designed violation") {
+    // 10 tokens x 3 = 30 tokens, mean word length 4.8, two stopword
+    // hits per repeat ("the", "a") — passes every rule
+    val base = Array.fill(3)(
+      "the quick brown foxes jumped over a sleepy gigantic hound")
+      .mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, base),                                   // clean: passes
+      (2L, "tiny doc"),                             // too few tokens
+      (3L, base + " " + Array.fill(12)("####$$$$").mkString(" ")), // symbols
+      (4L, base.split(" ").zipWithIndex                            // ellipses
+        .map { case (t, i) => if (i % 2 == 0) t + "..." else t }
+        .mkString(" ")),
+      (5L, base.split(" ").map(t => t + "9999999999").mkString(" ")) // long words
+      )).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(7)).toMap
+    assert(got === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+    // spot-check features on the clean doc
+    val clean = TextOps.gopherRules(docs).filter(col("doc_id") === 1).head()
+    assert(clean.getLong(1) === 30L)   // n_tokens
+    assert(clean.getDouble(2) === 4.8) // mean_token_len
+    assert(clean.getDouble(3) === 1.0) // alpha_word_frac
+    assert(clean.getDouble(4) === 0.0) // ellipsis_frac
+    assert(clean.getDouble(5) === 0.0) // symbol_word_ratio
+    assert(clean.getLong(6) === 6L)    // stop_hits
+  }
+
   test("hashVectors match an independent JVM reimplementation") {
     val docs = spark.createDataFrame(Seq(
       (1L, "the cat sat on the mat"),
