@@ -521,6 +521,22 @@ object TextOps {
     * (c2 ≥ 2 → back off to the unigram floor) exactly like the df ≥ 2
     * pruning in Dedup.containment; kept exact here. */
   def lmScore(docs: DataFrame, k: Int): DataFrame = {
+    val top = lmScoreAll(docs).orderBy(col("lm_score").asc, col("doc_id"))
+      .limit(k)
+    // rank over the already-limited k rows (bounded window)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("lm_score").asc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_bigrams"),
+        col("novel_bigrams"), col("lm_score"))
+  }
+
+  /** Per-document mean smoothed bigram probability for EVERY document
+    * (the scoring pass of [[lmScore]] without the worst-k cut) —
+    * (doc_id, n_bigrams, novel_bigrams, lm_score). Feeds the CCNet
+    * head/middle/tail bucketing, which slices the whole corpus by LM
+    * score rather than surfacing a triage list. */
+  def lmScoreAll(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val bg = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
@@ -548,12 +564,6 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x).as("psum"))
       .select(col("doc_id"), col("n_bigrams"), col("novel_bigrams"),
         (col("psum") / col("n_bigrams").cast("double")).as("lm_score"))
-    val top = agg.orderBy(col("lm_score").asc, col("doc_id")).limit(k)
-    // rank over the already-limited k rows (bounded window)
-    top.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("lm_score").asc, col("doc_id"))).cast("int"))
-      .select(col("rank"), col("doc_id"), col("n_bigrams"),
-        col("novel_bigrams"), col("lm_score"))
+    agg
   }
 }

@@ -260,6 +260,23 @@ object TextQueries extends QueryFamily {
     "txt_lm_score" -> ((s, d) =>
       TextOps.lmScore(docs(s, d), 50).orderBy(col("rank"))),
 
+    // CCNet's actual output shape: the whole corpus sliced into
+    // head/middle/tail terciles by LM score (not just a worst-k triage
+    // list). Global rank via OrderStats.withGlobalRank (range-
+    // partitioned two-pass — no single-reducer window over the corpus);
+    // bucket = (3·(rn−1)) DIV n is exact integer arithmetic.
+    "txt_ccnet_buckets" -> ((s, d) => {
+      val ranked = graft.operators.OrderStats.withGlobalRank(
+        TextOps.lmScoreAll(docs(s, d)),
+        Seq(col("lm_score"), col("doc_id")))
+      ranked.select(expr("(3 * (rn - 1)) DIV n").as("bucket"), col("lm_score"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score")).as("lo_score"),
+          max(col("lm_score")).as("hi_score"))
+        .orderBy(col("bucket"))
+    }),
+
     // out-of-vocabulary screen: token share outside the corpus top-1000
     // vocabulary, per declared language — the cheap quality proxy that
     // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
@@ -285,6 +302,24 @@ object TextQueries extends QueryFamily {
   )
 
   private val nToks = "len(string_split(text, ' '))"
+
+  /** Shared bigram-LM CTEs (t, b, c2, c1, v, pr, agg) — agg emits
+    * (doc_id, n_bigrams, novel_bigrams, lm_score), the DuckDB replica of
+    * [[graft.operators.TextOps.lmScoreAll]]. */
+  private val lmCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM (SELECT unnest(toks) AS tok FROM t) u),
+      |pr AS (SELECT b.doc_id, b.pos,
+      |         CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vsz AS DOUBLE) AS p,
+      |         CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END AS novel
+      |       FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(novel) AS BIGINT) AS novel_bigrams,
+      |          list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+      |        FROM pr GROUP BY 1)""".stripMargin
   private val markers = "['the','a','of','and','is','to','in']"
   private val markerCnt =
     s"len(list_filter(string_split(text, ' '), t -> list_contains($markers, t)))"
@@ -492,23 +527,22 @@ object TextQueries extends QueryFamily {
     // SORTED BY POSITION (seedless first element == Spark's 0.0 + x:
     // exact for the strictly positive probabilities here)
     "txt_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
-        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
-        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM (SELECT unnest(toks) AS tok FROM t) u),
-        |pr AS (SELECT b.doc_id, b.pos,
-        |         CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vsz AS DOUBLE) AS p,
-        |         CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END AS novel
-        |       FROM b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(novel) AS BIGINT) AS novel_bigrams,
-        |          list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS lm_score
-        |        FROM pr GROUP BY 1),
+      s"""$lmCtes,
         |top AS (SELECT * FROM agg ORDER BY lm_score ASC, doc_id LIMIT 50)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lm_score ASC, doc_id) AS INT) AS rank,
         |       doc_id, n_bigrams, novel_bigrams, lm_score
         |FROM top ORDER BY rank""".stripMargin,
+    // identical scores, tercile by exact integer (3·(rn−1)) // n over
+    // the same (lm_score, doc_id) total order
+    "txt_ccnet_buckets" ->
+      s"""$lmCtes,
+        |r AS (SELECT doc_id, lm_score,
+        |        ROW_NUMBER() OVER (ORDER BY lm_score, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM agg)
+        |SELECT (3 * (rn - 1)) // n AS bucket, COUNT(*) AS n_docs,
+        |  MIN(lm_score) AS lo_score, MAX(lm_score) AS hi_score
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_langid_confusion" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM (
          |  SELECT lang, CASE WHEN $nToks = 0 THEN 'und' WHEN CAST($markerCnt AS DOUBLE) / $nToks >= 0.02 THEN 'en' ELSE 'und' END AS predicted
