@@ -124,12 +124,60 @@ object Similarity {
     // the double cosine kernel on both sides
     val corpusD = corpus.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-
-    // deterministic init: evenly-strided sample by vec_id rank. `nRows`
-    // lets a caller that already knows the corpus size (sq8IvfTopK: the
-    // quantized view is row-for-row the raw table) skip an extra count
-    // action over a derived pipeline.
+    // `nRows` lets a caller that already knows the corpus size
+    // (sq8IvfTopK: the quantized view is row-for-row the raw table) skip
+    // an extra count action over a derived pipeline.
     val n = nRows.getOrElse(corpus.count())
+    val centroids = ivfCentroids(corpusD, nCells, lloydIters, n)
+    val assigned = ivfAssign(corpusD, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+    val probes = ivfProbes(queries, centroids, nProbe)
+    val pairs = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qv"), col("nv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Nearest-centroid assignment: argmax-by-(sim desc, cell asc) as a
+    * lexicographic struct MIN — a partial-aggregating hash agg (map-side
+    * combine collapses the nCells-wide candidate rows BEFORE the shuffle)
+    * instead of a window sort that would shuffle all |corpus|·nCells
+    * rows. (-sim) ASC == sim DESC exactly: IEEE negation is lossless, and
+    * the cell id breaks ties identically to the window's ORDER BY.
+    *
+    * NaN guard: a zero-norm vector (e.g. a centroid whose every
+    * coordinate quantizes to 0 micros) makes cosine 0/0 = NaN, and the
+    * two engines would then DISAGREE on this argmax — Spark's struct MIN
+    * orders NaN largest (never picked), DuckDB's ORDER BY cosine DESC
+    * ranks NaN first (always picked). Coalescing NaN to a -2.0 sentinel
+    * (below any real cosine) on BOTH sides makes them identical: a
+    * NaN-cosine cell loses everywhere, and an all-NaN row falls back to
+    * the lowest cell id. No-op for non-degenerate input. */
+  private def ivfAssign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct((-nanvl(cosineSeq(col("v"), col("cv")), lit(-2.0))).as("negsim"),
+          col("cell")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), min(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
+
+  /** Coarse-quantizer training over `corpusD(vec_id, v)`: deterministic
+    * evenly-strided init by vec_id rank, then `lloydIters` rounds of
+    * Lloyd refinement with per-cell, per-dimension means in integer
+    * micros — sum(round(x·1e6)) is an exact long (order-independent), and
+    * the final (sum/count)/1e6 double division is a fixed IEEE sequence.
+    * The centroid lineage appears in several downstream branches (next
+    * iteration, final assign, query probes); AQE's ReusedExchange already
+    * dedupes the identical aggregation subtrees within one execution, so
+    * no checkpoint/cache is needed (measured: eager localCheckpoint per
+    * iteration was ~20% SLOWER than letting exchange reuse handle it). */
+  private def ivfCentroids(corpusD: DataFrame, nCells: Int, lloydIters: Int,
+      n: Long): DataFrame = {
     val stride = math.max(1L, n / nCells)
     var centroids = corpusD
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -139,41 +187,8 @@ object Similarity {
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1))
       .select(col("cell"), col("cv"))
-
-    // argmax-by-(sim desc, cell asc) as a lexicographic struct MIN — a
-    // partial-aggregating hash agg (map-side combine collapses the
-    // nCells-wide candidate rows BEFORE the shuffle) instead of a window
-    // sort that would shuffle all |corpus|·nCells rows. (-sim) ASC ==
-    // sim DESC exactly: IEEE negation is lossless, and the cell id breaks
-    // ties identically to the window's ORDER BY.
-    //
-    // NaN guard: a zero-norm vector (e.g. a centroid whose every
-    // coordinate quantizes to 0 micros) makes cosine 0/0 = NaN, and the
-    // two engines would then DISAGREE on this argmax — Spark's struct MIN
-    // orders NaN largest (never picked), DuckDB's ORDER BY cosine DESC
-    // ranks NaN first (always picked). Coalescing NaN to a -2.0 sentinel
-    // (below any real cosine) on BOTH sides makes them identical: a
-    // NaN-cosine cell loses everywhere, and an all-NaN row falls back to
-    // the lowest cell id. No-op for non-degenerate input.
-    def assign(points: DataFrame, cents: DataFrame): DataFrame =
-      points.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"),
-          struct((-nanvl(cosineSeq(col("v"), col("cv")), lit(-2.0))).as("negsim"),
-            col("cell")).as("sc"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"), min(col("sc")).as("best"))
-        .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
-
-    // Lloyd refinement: per-cell, per-dimension mean in integer micros —
-    // sum(round(x·1e6)) is an exact long (order-independent), and the
-    // final (sum/count)/1e6 double division is a fixed IEEE sequence.
-    // The centroid lineage appears in several downstream branches (next
-    // iteration, final assign, query probes); AQE's ReusedExchange already
-    // dedupes the identical aggregation subtrees within one execution, so
-    // no checkpoint/cache is needed (measured: eager localCheckpoint per
-    // iteration was ~20% SLOWER than letting exchange reuse handle it).
     (1 to lloydIters).foreach { _ =>
-      centroids = assign(corpusD, centroids)
+      centroids = ivfAssign(corpusD, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(round(col("x") * 1000000).cast("long")).as("s"),
@@ -185,28 +200,23 @@ object Similarity {
         .select(col("cell"),
           transform(col("pm"), p => p.getField("m")).as("cv"))
     }
-    val assigned = assign(corpusD, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+    centroids
+  }
 
-    // queries probe their nProbe nearest cells
+  /** Each query's `nProbe` nearest cells (centroids broadcast): emits
+    * `(query_id, qv, cell)` with the double-cast query vector carried
+    * along for downstream scoring. */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
-    val probes = queries.select(col("vec_id").as("query_id"),
+    queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => x.cast("double")).as("qv"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
         cosineSeq(col("qv"), col("cv")).as("sim"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-
-    val pairs = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSeq(col("qv"), col("nv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** SQ8 scalar quantization, returned in the DEQUANTIZED double domain:
@@ -409,24 +419,51 @@ object Similarity {
 
   /** PQ codes UNDER the IVF cell layout — IVF-PQ, the composition a
     * billion-vector index actually ships (coarse cells prune the scan,
-    * PQ codes shrink what a probed cell reads by 64×). Mirrors
-    * [[sq8IvfTopK]] exactly: the ENTIRE index pipeline runs in the
-    * reconstructed domain, and `recall_at_k` compares against the
-    * float-exact IVF path at the SAME layout params, isolating
-    * PQ-induced ranking error at fixed probe cost. Both pipelines are
-    * centroid-partitioned — nothing O(n²). */
+    * PQ codes shrink what a probed cell reads by 64×). FAISS-faithful
+    * IVFADC: ONE coarse quantizer is Lloyd-trained on the RAW corpus and
+    * its cell assignment + query probe list are SHARED by both pipelines
+    * — the approx side scores probed cells through the PQ
+    * reconstructions (ADC: float query × coded neighbor, like
+    * [[pqTopK]]), the exact side scores the same probed cells
+    * float-exact. `recall_at_k` therefore isolates PURE PQ scoring error:
+    * identical cells scanned, only the neighbor representation differs.
+    * (Earlier rounds trained a second quantizer on the reconstructed
+    * vectors, so cell-layout divergence leaked into the contract.)
+    * Both pipelines are centroid-partitioned — nothing O(n²). */
   def pqIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nProbe: Int, lloydIters: Int = 1): DataFrame = {
     // NOT cached — same AQE ReusedExchange rationale as sq8IvfTopK.
-    // One count action serves the PQ stride AND both IVF inits (the
-    // reconstructed view is row-for-row the raw corpus).
-    val n = Some(corpus.count())
-    val rec = pqDequantized(corpus, nRows = n)
-      .select(col("vec_id"), col("qv").as("embedding"))
-    val qrec = rec.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val approx = ivfTopK(rec, qrec, k, nCells, nProbe, lloydIters, nRows = n)
-      .withColumnRenamed("cosine", "qcos")
-    val exact = ivfTopK(corpus, queries, k, nCells, nProbe, lloydIters, nRows = n)
+    // One count action serves the PQ stride AND the single IVF init.
+    val n = corpus.count()
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = ivfCentroids(corpusD, nCells, lloydIters, n)
+    val assigned = ivfAssign(corpusD, centroids)
+    val probes = ivfProbes(queries, centroids, nProbe)
+    // PQ codes live UNDER the shared layout: reconstruction joined to the
+    // raw-corpus cell assignment by vec_id (an id-keyed equi-join — the
+    // on-disk analogue is simply storing the code in the cell's bucket)
+    val assignedRec = assigned.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(pqDequantized(corpus, nRows = Some(n))
+        .select(col("vec_id").as("neighbor_id"), col("qv").as("nv")),
+        Seq("neighbor_id"))
+    def rankTopK(pairs: DataFrame, score: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    val approx = rankTopK(
+      probes.join(assignedRec, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSeq(col("qv"), col("nv")).as("qcos")), "qcos")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"))
+    val exact = rankTopK(
+      probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("cell")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSeq(col("qv"), col("nv")).as("cosine")), "cosine")
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))

@@ -65,8 +65,9 @@ object SimQueries extends QueryFamily {
 
     // IVF-PQ — the composition a billion-vector index ships: coarse
     // cells prune the scan, PQ codes shrink what a probed cell reads.
-    // Recall contract vs float-exact IVF at the same layout params;
-    // centroid-partitioned on both pipelines, nothing O(n²).
+    // FAISS-faithful IVFADC: ONE raw-corpus-trained coarse quantizer
+    // shared by both pipelines, so the recall contract isolates pure
+    // PQ scoring error; centroid-partitioned, nothing O(n²).
     "sim_topk_pq_ivf" -> ((s, d) =>
       Similarity.pqIvfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         nCells = 16, nProbe = 4, lloydIters = 1)
@@ -312,20 +313,36 @@ object SimQueries extends QueryFamily {
        |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
        |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin
 
-  /** Bit-exact replica of [[graft.operators.Similarity.pqIvfTopK]]: the
-    * PQ reconstruction feeds the identical IVF pipeline as the
-    * `sim_topk_ivf` oracle; recall joins the float-exact IVF top-k at
-    * the same layout params — nothing O(n²). */
+  /** Bit-exact replica of [[graft.operators.Similarity.pqIvfTopK]],
+    * FAISS-faithful IVFADC: ONE coarse quantizer trained on the raw
+    * vectors (`ivfCtesSql("x", "ef")` — its `xaf` assignment and
+    * `xprobes` probe list are shared), the approx side re-scoring the
+    * SAME probed cells through the PQ reconstructions (`epq` joined by
+    * vec_id), the exact side being `xtk` itself. Identical cells
+    * scanned on both sides → recall isolates pure PQ scoring error.
+    * A vector the PQ explode drops (empty embedding) vanishes from the
+    * approx side via the inner `epq` join, exactly as the engine's
+    * id-keyed reconstruction join drops it. Nothing O(n²). */
   private def pqIvfOracleSql: String =
     s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${pqCtesSql("ef")},
-       |${ivfCtesSql("q", "epq", iters = 1)},
        |${ivfCtesSql("x", "ef", iters = 1)},
-       |rec AS (SELECT qtk.query_id, COUNT(xtk.neighbor_id) AS n_hit
-       |        FROM qtk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY qtk.query_id)
-       |SELECT qtk.query_id, qtk.rank, qtk.neighbor_id, qtk.cosine AS qcos,
+       |apair AS (
+       |  SELECT pr.query_id, af.vec_id AS neighbor_id,
+       |    ${cosineSql("eq.v", "pq.v")} AS qcos
+       |  FROM xprobes pr
+       |  JOIN xaf af ON af.cell = pr.cell AND af.vec_id <> pr.query_id
+       |  JOIN epq pq ON pq.vec_id = af.vec_id
+       |  JOIN ef eq ON eq.vec_id = pr.query_id),
+       |atk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
+       |  SELECT query_id, neighbor_id, qcos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM apair) r WHERE rank <= 3),
+       |rec AS (SELECT atk.query_id, COUNT(xtk.neighbor_id) AS n_hit
+       |        FROM atk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY atk.query_id)
+       |SELECT atk.query_id, atk.rank, atk.neighbor_id, atk.qcos,
        |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
-       |FROM qtk JOIN rec USING (query_id) ORDER BY qtk.query_id, qtk.rank""".stripMargin
+       |FROM atk JOIN rec USING (query_id) ORDER BY atk.query_id, atk.rank""".stripMargin
 
   private def ivfOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
