@@ -516,10 +516,14 @@ object TextOps {
     * Plan at 100 TB: the bigram and prefix tables are term-keyed hash
     * aggs with map-side partials (the count step of any n-gram LM
     * build); scoring re-joins the exploded bigram stream against them on
-    * their keys — every shuffle keyed, nothing all-pairs. |V| is a 1-row
-    * agg broadcast back. A web-scale build would prune the count tables
-    * (c2 ≥ 2 → back off to the unigram floor) exactly like the df ≥ 2
-    * pruning in Dedup.containment; kept exact here. */
+    * their keys as SHUFFLE_HASH joins, pinned in code (not prose): a
+    * web-corpus bigram vocabulary does not broadcast, and shuffle-hash
+    * beats sort-merge here because the pre-aggregated count side (one
+    * row per distinct term) builds the hash map while the fat exploded
+    * stream probes without either side sorting. Only |V| — a 1-row
+    * agg — broadcasts back. A web-scale build would additionally prune
+    * the count tables (c2 ≥ 2 → back off to the unigram floor) exactly
+    * like the df ≥ 2 pruning in Dedup.containment; kept exact here. */
   def lmScore(docs: DataFrame, k: Int): DataFrame = {
     val top = lmScoreAll(docs).orderBy(col("lm_score").asc, col("doc_id"))
       .limit(k)
@@ -531,10 +535,14 @@ object TextOps {
         col("novel_bigrams"), col("lm_score"))
   }
 
-  /** Per-document mean smoothed bigram probability for EVERY document
-    * (the scoring pass of [[lmScore]] without the worst-k cut) —
-    * (doc_id, n_bigrams, novel_bigrams, lm_score). Feeds the CCNet
-    * head/middle/tail bucketing, which slices the whole corpus by LM
+  /** Per-document mean smoothed bigram probability — the scoring pass
+    * of [[lmScore]] without the worst-k cut —
+    * (doc_id, n_bigrams, novel_bigrams, lm_score). Covers every document
+    * that HAS a bigram: docs with fewer than 2 tokens have no bigrams,
+    * hence no defined mean, and are excluded (so the CCNet terciles
+    * bucket only scoreable docs — callers wanting whole-corpus coverage
+    * left-join this back to the doc spine with a sentinel). Feeds the
+    * CCNet head/middle/tail bucketing, which slices the corpus by LM
     * score rather than surfacing a triage list. */
   def lmScoreAll(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -549,7 +557,13 @@ object TextOps {
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = t.select(explode(col("toks")).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
-    val probs = bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+    // shuffle-hash pinned: the count tables are the LM's vocabulary —
+    // at corpus scale they don't broadcast, and they're pre-aggregated
+    // (one row per key) so they hash-build without a sort while the
+    // exploded stream probes. AQE would silently broadcast them at
+    // fixture scale, hiding the scale plan the scaladoc documents.
+    val probs = bg.join(c2.hint("shuffle_hash"), Seq("bg"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("pos"),
         ((col("c2") + 1).cast("double") /
