@@ -29,6 +29,19 @@ case class ImageRow(doc_id: Long, png: Array[Byte])
 case class ImageStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
     px_sum: Long, n_distinct_px: Int, mean_px: Double)
 
+/** Roundtrip statistics of a LOSSY (JPEG) codec. Unlike [[ImageStats]],
+  * the pixel plane cannot be oracle-exact — JPEG quantization error is
+  * codec-implementation-specific — so the exactness contract splits:
+  * `width`/`height`/`n_pixels` come from the DECODED header (dimensions
+  * survive lossy compression exactly, so an oracle match still proves a
+  * real parse ran), `redecode_identical` proves decoding the same bytes
+  * twice yields the identical raster (determinism), and
+  * `max_abs_err`/`err_sum` (decoded vs pre-encode raster) carry the loss
+  * as DATA for the ScalaTest tolerance bound — they stay out of the
+  * oracle-hashed projection. */
+case class JpegStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
+    redecode_identical: Boolean, max_abs_err: Int, err_sum: Long)
+
 /** One encoded audio payload (real RIFF/WAVE bytes). */
 case class WavRow(doc_id: Long, wav: Array[Byte])
 
@@ -67,10 +80,12 @@ case class VideoStats(doc_id: Long, n_frames: Int, px_sum: Long,
   * ([[encodeVideo]]/[[decodeVideoStats]]: multi-page TIFF through the
   * JDK's TIFF plugin — container directory walk + ordered per-frame
   * raster decode, the access pattern a frame-sampling pipeline is made
-  * of). Only compressed-codec decode (MP3/H.264) remains the declared
-  * byte-stat STUB ([[decodeStub]] — no such codec ships in the JDK);
-  * swap in an ffmpeg-class binding at the same seam to productionize,
-  * nothing else changes.
+  * of), and the LOSSY-codec path runs real too ([[jpegRoundtrip]]:
+  * actual JPEG bytes through the JDK JPEG codec, with the
+  * exact/tolerance contract split lossy compression forces). Only
+  * MP3/H.264 decode remains the declared byte-stat STUB ([[decodeStub]]
+  * — no such codec ships in the JDK); swap in an ffmpeg-class binding
+  * at the same seam to productionize, nothing else changes.
   *
   * Scale notes: decode is embarrassingly parallel narrow work — the only
   * knobs that matter at 100 TB are input-split sizing (binary payloads →
@@ -389,6 +404,82 @@ object Multimodal {
           sum.toDouble / (nf * 16), firstSum, lastSum)
       } ++ { rd.dispose(); Iterator.empty }
     }
+  }
+
+  /** REAL lossy-codec roundtrip — JPEG, the one compressed image codec
+    * the JDK ships: the same grayscale raster rule as [[encodeImages]]
+    * is encoded through the JDK JPEG writer at an EXPLICIT `quality`
+    * (default write param left to float would vary across JDK builds),
+    * decoded back with `ImageIO.read`, then decoded a SECOND time to
+    * prove the decode is deterministic. What survives lossy
+    * roundtripping splits the contract (see [[JpegStats]]): dimensions
+    * are exact (oracle-checked against the geometry rule — a match
+    * still proves a real JPEG parse, since they're read from the
+    * decoded image), pixel error is bounded, not zero (asserted with a
+    * stated tolerance in MultimodalSpec, carried here as data). This
+    * shrinks the declared-stub caveat to codecs the JDK genuinely lacks
+    * (MP3/H.264).
+    *
+    * Scale: single narrow mapPartitions pass — encode and both decodes
+    * happen row-local, nothing shuffles; ONE writer per partition
+    * re-targeted per row (same lifecycle as [[encodeVideo]]'s). */
+  def jpegRoundtrip(docs: DataFrame, quality: Float = 0.9f): Dataset[JpegStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .filter(octet_length(col("bytes")) > 0)
+      .as[PayloadRow]
+      .mapPartitions { rows =>
+        val w = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        rows.map { r =>
+          val nb = r.bytes.length
+          val (wid, hei) = imageGeometry(nb)
+          val img = new java.awt.image.BufferedImage(
+            wid, hei, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < wid * hei) {
+            img.getRaster.setSample(i % wid, i / wid, 0, r.bytes(i % nb) & 0xFF)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          w.setOutput(ios)
+          val p = w.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(quality)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close()
+          val jpeg = bos.toByteArray
+
+          def decodePlane(): (Int, Int, Array[Int]) = {
+            val d = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            require(d != null,
+              s"doc ${r.doc_id}: payload is not a decodable JPEG")
+            val plane = new Array[Int](d.getWidth * d.getHeight)
+            var k = 0
+            while (k < plane.length) {
+              plane(k) = d.getRaster.getSample(k % d.getWidth, k / d.getWidth, 0)
+              k += 1
+            }
+            (d.getWidth, d.getHeight, plane)
+          }
+          val (dw, dh, plane1) = decodePlane()
+          val (_, _, plane2) = decodePlane()
+          var maxErr = 0
+          var errSum = 0L
+          var k = 0
+          while (k < plane1.length && k < wid * hei) {
+            val e = math.abs(plane1(k) - (r.bytes(k % nb) & 0xFF))
+            if (e > maxErr) maxErr = e
+            errSum += e
+            k += 1
+          }
+          JpegStats(r.doc_id, dw, dh, dw * dh,
+            java.util.Arrays.equals(plane1, plane2), maxErr, errSum)
+        } ++ { w.dispose(); Iterator.empty }
+      }
   }
 
   /** Evenly-spaced n-byte "frame" offsets for a payload — the frame-sample

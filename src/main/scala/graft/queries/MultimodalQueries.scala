@@ -83,6 +83,20 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // REAL lossy-codec roundtrip — JPEG, the one compressed codec in the
+    // JDK: raster → actual JPEG encode (explicit quality) → ImageIO.read
+    // ×2. Lossy pixels can't hash-match an oracle, so the projection
+    // keeps only what lossy compression preserves exactly: dimensions
+    // (read from the DECODED image — matching the geometry rule proves a
+    // real JPEG parse) and the re-decode determinism flag. The pixel
+    // error bound is asserted with a stated tolerance in MultimodalSpec.
+    "mm_jpeg_decode" -> ((s, d) =>
+      Multimodal.jpegRoundtrip(Tables.documents(s, d))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("redecode_identical"))
+        .orderBy(col("doc_id"))),
+
     // content-hash dedup over the BINARY payload — the first pass of any
     // multimodal ingest (byte-identical re-crawls/re-uploads) and the
     // binary mirror of dd_exact_stats: hash the blob (the fixed-width
@@ -186,6 +200,18 @@ object MultimodalQueries extends QueryFamily {
          |  CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_px
          |FROM px GROUP BY doc_id, width, height
          |ORDER BY doc_id""".stripMargin,
+    // the geometry rule replayed in SQL; TRUE is the determinism
+    // expectation — the engine side computes the flag by comparing two
+    // independent decodes of the same JPEG bytes, so a nondeterministic
+    // (or failed) decode desyncs the hash immediately
+    "mm_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + nb % 16 AS INT) AS width,
+        |  CAST(1 + (nb // 16) % 16 AS INT) AS height,
+        |  CAST((1 + nb % 16) * (1 + (nb // 16) % 16) AS INT) AS n_pixels,
+        |  TRUE AS redecode_identical
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents) b
+        |WHERE nb > 0 ORDER BY doc_id""".stripMargin,
     // sample i = byte i (whole payload once, no padding — unlike the
     // raster rule); rate fixed at 8 kHz so duration is the exact
     // integer nb·1e6 // 8000. The engine's numbers come from the parsed

@@ -58,6 +58,36 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(b.n_distinct_px === 1)
   }
 
+  test("real JPEG roundtrip: dims exact, decode deterministic, loss bounded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "ab"), (1L, "x" * 20), (2L, ""),
+      (3L, "The quick brown fox jumps over the lazy dog 0123456789"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal.jpegRoundtrip(docs).collect().sortBy(_.doc_id)
+    assert(stats.length === 3) // empty doc filtered
+    // dimensions survive lossy compression EXACTLY (read from the
+    // decoded image, so this also proves the parse ran)
+    assert((stats(0).width, stats(0).height) === (3, 1))
+    assert((stats(1).width, stats(1).height) === (5, 2))
+    stats.foreach { st =>
+      assert(st.n_pixels === st.width * st.height)
+      assert(st.redecode_identical, s"doc ${st.doc_id}: nondeterministic decode")
+      // stated tolerance: JDK JPEG at quality 0.9 on 8-bit grayscale —
+      // per-pixel error under half the dynamic range, mean under 1/8th
+      assert(st.max_abs_err <= 128,
+        s"doc ${st.doc_id}: max_abs_err ${st.max_abs_err}")
+      assert(st.err_sum.toDouble / st.n_pixels <= 32.0,
+        s"doc ${st.doc_id}: mean err ${st.err_sum.toDouble / st.n_pixels}")
+    }
+    // a constant image compresses losslessly even through JPEG's DCT:
+    // doc 1 is all 'x' — zero error pins the error metric itself
+    assert(stats(1).max_abs_err === 0 && stats(1).err_sum === 0L)
+    // JPEG magic in the actual payload would be checked here, but the
+    // operator is single-pass; garbage-in instead: a non-JPEG byte blob
+    // can't reach decode because the operator encodes its own input
+  }
+
   test("real WAV roundtrip: decoded sample stats equal the synthesis rule") {
     val s = spark
     import s.implicits._
