@@ -24,11 +24,18 @@ import org.apache.spark.sql.SparkSession
   *      its best-of exceeds 3x the prior round's value (read from
   *      BENCH_PRIOR.json in the working directory when present). Bounded
   *      retries mean a real regression still surfaces; a stall does not.
-  *   3. Per-run times of queries whose merged runs disagreed are emitted
-  *      as a SECOND short JSON line AFTER the main artifact line —
-  *      the driver captures a bounded TAIL of stdout, so the detail that
-  *      makes stall-vs-regression decidable always survives truncation
-  *      (round 7 lost it by putting the detail first on one long line).
+  *   3. Per-run times of queries whose merged runs disagreed (plus any
+  *      exception messages) are emitted as a SECOND short JSON line
+  *      AFTER the main artifact line — the driver captures a bounded
+  *      TAIL of stdout, so the detail that makes stall-vs-regression
+  *      decidable always survives truncation (round 7 lost it by
+  *      putting the detail first on one long line).
+  *
+  * Output is three JSON lines: (1) the full artifact with the per-query
+  * map (time-ascending, so truncation eats only cheap queries), (2) the
+  * anomaly/error detail, (3) an ULTRA-SHORT scalars-only total line —
+  * last so a consumer that JSON-parses the final line of a bounded tail
+  * always succeeds.
   */
 object Bench {
   /** Prior-round per-query seconds, parsed from BENCH_PRIOR.json if the
@@ -75,7 +82,12 @@ object Bench {
     // merged per-query run times across both passes (insertion order =
     // alphabetical, the order the artifact reports)
     val allRuns = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    val failed = scala.collection.mutable.Set[String]()
+    // name -> first exception message. A query is only REPORTED failed
+    // (-1.0) when it has NO successful runs at all: a query that measured
+    // cleanly in pass 0 and threw in pass 1 (transient host/FS hiccup)
+    // keeps its valid pass-0 best-of, and the error message still
+    // surfaces on the detail line.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // pass 0: alphabetical, warmup + 2 timed runs (+ up to 2 retries);
     // pass 1: reverse-alphabetical, warmup + 1 timed run (+ up to 1
     // retry). The warmup each pass repopulates the per-query caches that
@@ -100,12 +112,16 @@ object Bench {
         val budget = if (pass == 0) 4 else 2
         while (stallSuspect && runs.size < budget) runs += timedRun()
         allRuns(name) = allRuns.getOrElse(name, Nil) ++ runs.toList
-      } catch { case _: Throwable => failed += name }
+      } catch {
+        case e: Throwable => errors.getOrElseUpdate(name,
+          (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(120))
+      }
       finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
     }
     val results = selected.map { case (name, _) =>
       val rs = allRuns.getOrElse(name, Nil)
-      if (failed(name) || rs.isEmpty) (name, -1.0, List.empty[Double])
+      if (rs.isEmpty) (name, -1.0, List.empty[Double])
       else (name, rs.min, rs)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -136,7 +152,15 @@ object Bench {
         "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val wall = (System.nanoTime() - harnessT0) / 1e9
-    println(s"""{"anomalous_runs":$perRun,"wall":${fmt(wall)},"sf":"$sfDir",$onlyTag"value":${fmt(total)}}""")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"anomalous_runs":$perRun,"errors":$errJson,"wall":${fmt(wall)},"sf":"$sfDir",$onlyTag"value":${fmt(total)}}""")
+    // THIRD, ULTRA-SHORT final line (~80 chars): guaranteed to be the
+    // last line of the bounded stdout tail AND short enough that a JSON
+    // parse of that last line always succeeds outright, even though the
+    // full queries map above exceeds the tail. Scalars only.
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","unit":"sec","value":${fmt(total)},"n_queries":${results.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }
