@@ -194,6 +194,66 @@ object Graph {
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
 
+  /** k-core of an undirected graph (Seidman 1983): the maximal subgraph
+    * in which every vertex has degree ≥ k, via the standard distributed
+    * peel — each round recomputes degrees over the SURVIVING edge set
+    * and drops every vertex below k at once (whole layers per round, so
+    * rounds needed = the graph's peel depth, which for the dense
+    * near-clique clusters of a dup graph is 2-3). Returns
+    * (id, core_degree): the members of the k-core with their degree
+    * INSIDE it — the exact dense-boilerplate-core vs sparse-periphery
+    * split that [[pageRank]] hub scores only approximate (a template
+    * copied pairwise sits in a high core; chains of borderline matches
+    * peel away).
+    *
+    * Plan at 100 TB: per round one id-keyed hash agg with map-side
+    * partials (degrees) + two anti-joins keyed on the dropped set —
+    * nothing all-pairs, no driver-side state beyond the 1-bit
+    * converged flag. `localCheckpoint` truncates per-round lineage and
+    * the previous round's blocks are released eagerly (the
+    * [[connectedComponents]] lifecycle). Termination: fixed point — a
+    * round that would drop nothing — capped at `maxIter` with the same
+    * observable-warning contract as CC. Peel is monotone (the surviving
+    * edge set only shrinks), so extra rounds past convergence are no-ops
+    * — the property that lets the DuckDB oracle unroll a fixed depth. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 40,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, "edge list needs (src, dst) columns")
+    require(k >= 1, "k-core needs k >= 1")
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    var sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var liveCkpt = sym
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // degrees over the current survivors; symmetric closure makes the
+      // out-degree of `a` the full undirected degree
+      val drop = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("a").as("v"))
+      if (drop.isEmpty) converged = true
+      else {
+        val next = sym
+          .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        releaseCheckpoint(liveCkpt)
+        liveCkpt = next
+        sym = next
+        iter += 1
+      }
+    }
+    val finalCkpt = liveCkpt
+    scope.onRelease(() => releaseCheckpoint(finalCkpt))
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore hit maxIter=$maxIter without converging; " +
+          "the returned subgraph may still contain sub-k vertices")
+    sym.groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("id"), col("core_degree"))
+  }
+
   /** PageRank over an undirected edge list, in INTEGER fixed-point — the
     * centrality pass a dedup pipeline runs over its dup graph to rank
     * cluster hubs (the doc most-connected to near-duplicates is the

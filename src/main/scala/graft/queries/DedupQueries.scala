@@ -156,6 +156,19 @@ object DedupQueries extends QueryFamily {
       Dedup.winnowingPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // k-core of the near-dup graph (Graph.kCore, k=2): the exact
+    // dense-core vs periphery split — vertices with only one near-dup
+    // partner peel away, pairwise-similar cliques survive with their
+    // in-core degree. All-integer peel → bit-checkable against the
+    // unrolled-peel oracle (peel is monotone, so the oracle's fixed
+    // unroll depth past convergence is a no-op).
+    "dd_kcore" -> ((s, d) =>
+      Graph.kCore(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")), k = 2)
+        .select(col("id").as("doc_id"), col("core_degree"))
+        .orderBy(col("doc_id"))),
+
     // PageRank over the near-dup graph (Graph.pageRank): integer
     // fixed-point — exact-integer arithmetic makes the usually-
     // unoracleable iteration bit-checkable. Hub docs (the boilerplate
@@ -251,6 +264,32 @@ object DedupQueries extends QueryFamily {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
        |  FROM cv a JOIN cv b ON a.c = b.c AND a.cval = b.cval AND a.doc_id < b.doc_id) p
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Unrolled (not recursive) k-core peel: the same exact brute-force
+    * pair set, symmetric closure, then `depth` peel rounds as chained
+    * CTEs — each keeps only edges whose BOTH endpoints have current
+    * degree ≥ k. Peel is monotone, so any depth ≥ the fixture's peel
+    * depth (2 here; 16 unrolled) yields the exact k-core the engine's
+    * converged iteration returns — pure integer arithmetic, bit-exact. */
+  private val kCoreOracle: String = {
+    val k = 2
+    val depth = 16
+    // AS MATERIALIZED is load-bearing: each step reads its predecessor
+    // THREE times (edge list + two degree subqueries), and DuckDB
+    // inlines plain CTEs — 3^16 expansions exhausts file handles on the
+    // base scan. Materialization makes the unroll linear.
+    val steps = (1 to depth).map { i =>
+      s"""kc$i AS MATERIALIZED (SELECT a, b FROM kc${i - 1}
+         |  WHERE a IN (SELECT a FROM kc${i - 1} GROUP BY a HAVING COUNT(*) >= $k)
+         |    AND b IN (SELECT a FROM kc${i - 1} GROUP BY a HAVING COUNT(*) >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""$shCte,
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |kc0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
+       |$steps
+       |SELECT a AS doc_id, COUNT(*) AS core_degree FROM kc$depth GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
   /** Reachability via recursive CTE: cc(v) = min id reachable from v —
@@ -417,6 +456,7 @@ object DedupQueries extends QueryFamily {
         |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
+    "dd_kcore" -> kCoreOracle,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

@@ -96,4 +96,31 @@ class GraphSpec extends GraftSparkSpec {
     assert(got(1L) === got(2L) && got(2L) === got(3L))
     assert(got(9L) > got(1L))
   }
+
+  private def coreOf(k: Int, pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.kCore(edges(pairs: _*), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant chain peels away, triangle core survives with deg 2") {
+    // triangle {1,2,3} with a tail 3-4-5: k=2 peels 5, then 4, leaving
+    // the triangle — a MULTI-ROUND peel (depth 2), each member at deg 2
+    val got = coreOf(2, 1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the max degree empties the graph; k=1 keeps all") {
+    val es = Seq(1L -> 2L, 2L -> 3L)
+    assert(coreOf(5, es: _*) === Map.empty)
+    assert(coreOf(1, es: _*) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("kCore: deep peel — a long path under k=2 erodes from both ends") {
+    // path 1-2-...-12 has no 2-core at all, but needs ~6 peel rounds to
+    // discover it (each round only exposes the next layer of endpoints)
+    val path = (1L until 12L).map(i => i -> (i + 1))
+    assert(coreOf(2, path: _*) === Map.empty)
+    // a cycle, by contrast, IS its own 2-core (no endpoint to start from)
+    val cycle = path :+ (12L -> 1L)
+    assert(coreOf(2, cycle: _*) === (1L to 12L).map(_ -> 2L).toMap)
+  }
 }
