@@ -22,9 +22,22 @@ object DataQuality {
   /** One scan, many checks: each (name, violationCondition) becomes a
     * conditional sum over a single pass of `df`. A null condition (e.g. a
     * predicate over a null column) counts as non-violating, mirroring SQL
-    * CASE semantics on both engines. */
+    * CASE semantics on both engines.
+    *
+    * Check names are constrained to `[A-Za-z0-9_]+` and may not be
+    * `n_rows`: the names are interpolated into the stack(...) expression
+    * and used as agg aliases, so a quote/backtick would break the
+    * expression and the reserved name would collide with the row-count
+    * alias — both rejected loudly here instead of failing obscurely (or
+    * silently misparsing) downstream. */
   def columnChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "columnChecks needs at least one check")
+    checks.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"check name '$n' must match [A-Za-z0-9_]+ (it is interpolated " +
+          "into a stack() expression and used as an agg alias)")
+      require(n != "n_rows", "check name 'n_rows' collides with the row-count alias")
+    }
     val aggs = count(lit(1)).as("n_rows") +:
       checks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
     val one = df.agg(aggs.head, aggs.tail: _*)

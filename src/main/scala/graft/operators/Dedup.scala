@@ -431,7 +431,9 @@ object Dedup {
     * selection rule is ONE BIGINT window-MIN over the encoding
     * h·2²³ + (2²³−1 − pos) — lexicographic argmin without a struct
     * aggregate, positions bounded at 8M k-grams/doc (40+23 = 63 bits,
-    * no overflow). Pair overlap = |shared| / min(|A|,|B|), one double
+    * no overflow; the bound is ENFORCED — an oversized doc raises
+    * rather than silently corrupting its fingerprints).
+    * Pair overlap = |shared| / min(|A|,|B|), one double
     * division of exact counts. The 40-bit space makes cross-doc hash
     * collisions ~10⁻¹² per candidate pair — a deterministic, declared
     * screen (identical in the oracle), not silent error.
@@ -461,7 +463,16 @@ object Dedup {
             i => concat_ws(" ",
               (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "kg")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"),
+        // ENFORCED bound, not just documented: the 63-bit encoding below
+        // is only injective for pos ≤ 2²³−1; a longer document would
+        // silently corrupt the window-min selection, so it fails loudly
+        // here instead (a 100 TB corpus would pre-chunk such outliers)
+        when(col("pos") <= lit(8388607),
+          col("pos")).otherwise(raise_error(concat(
+            lit("winnowingPairs: doc "), col("doc_id"),
+            lit(" has > 8388607 k-grams; the 63-bit window-min encoding "
+              + "would corrupt its fingerprints")))).as("pos"),
         expr("CAST(conv(substring(md5(kg), 1, 10), 16, 10) AS BIGINT)").as("h"))
     val key = col("h") * lit(8388608L) + (lit(8388607L) - col("pos"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

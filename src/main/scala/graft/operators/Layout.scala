@@ -83,21 +83,17 @@ object Layout {
     * recompute; the observable contract — maintained table ==
     * full recompute — is exactly what the oracle checks.
     *
-    * The conf flip is scoped to the write and restored after, so
-    * callers' sessions keep their own overwrite semantics. The initial
-    * build passes `dynamic = false` (STATIC overwrite truncates the
-    * whole table, clearing stale partitions from any previous run);
-    * merges pass `dynamic = true`. */
+    * The overwrite mode rides the DataFrameWriter itself
+    * (`option("partitionOverwriteMode", ...)` — the per-write override
+    * the DataSource contract defines), NOT a session-conf flip: two
+    * concurrent writes on one SparkSession can't race each other into
+    * the wrong overwrite semantics, and the caller's session conf is
+    * never touched. The initial build passes `dynamic = false` (STATIC
+    * overwrite truncates the whole table, clearing stale partitions
+    * from any previous run); merges pass `dynamic = true`. */
   def overwritePartitions(df: DataFrame, path: String, partCol: String,
-      dynamic: Boolean = true): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, if (dynamic) "dynamic" else "static")
-    try df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+      dynamic: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy(partCol).parquet(path)
 }

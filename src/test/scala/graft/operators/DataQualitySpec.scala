@@ -33,6 +33,18 @@ class DataQualitySpec extends GraftSparkSpec {
     assert(out.toSeq === Seq(Row("v_over_1", 2L, 1L)))
   }
 
+  test("columnChecks rejects injectable and reserved check names loudly") {
+    val df = spark.createDataFrame(Seq((1L, 5.0))).toDF("id", "v")
+    // a quote would break the interpolated stack() expression; a
+    // backtick the agg alias; n_rows collides with the count alias
+    for (bad <- Seq("x'y", "x`y", "n_rows", "a b")) {
+      val e = intercept[IllegalArgumentException] {
+        DataQuality.columnChecks(df, Seq(bad -> (col("v") > 1)))
+      }
+      assert(e.getMessage.contains(bad) || bad == "n_rows")
+    }
+  }
+
   test("fkCheck counts orphans (null keys included) out of one joined pass") {
     val out = DataQuality.fkCheck("fk", child, col("fk"), parent, col("pk"))
       .collect()
