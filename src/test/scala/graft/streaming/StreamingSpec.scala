@@ -299,4 +299,56 @@ class StreamingSpec extends GraftSparkSpec {
     assert(out.schema.fieldNames.toSeq === Seq("topic", "value"))
     assert(out.schema.fields.forall(_.dataType.typeName == "string"))
   }
+
+  test("streaming incremental agg: maintained partitioned table == batch " +
+    "recompute after every micro-batch; re-applied batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_agg").toString + "/table"
+    val input = MemoryStream[(String, String, Long)]
+    val rows = input.toDF().toDF("day", "event_type", "cents")
+    val q = IncrementalAgg.maintainDailyAgg(rows, path).start()
+
+    def maintained() = s.read.parquet(path)
+      .select(col("day").cast("string"), col("event_type"), col("cnt"), col("ct"))
+    def recompute(data: Seq[(String, String, Long)]) =
+      data.toDF("day", "event_type", "cents")
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("ct"))
+    def assertEqual(data: Seq[(String, String, Long)]): Unit = {
+      val want = recompute(data)
+      assert(maintained().exceptAll(want).count() === 0)
+      assert(want.exceptAll(maintained()).count() === 0)
+    }
+    val b1 = Seq(("2024-01-01", "click", 100L), ("2024-01-01", "view", 50L),
+      ("2024-01-02", "click", 70L))
+    val b2 = Seq(("2024-01-02", "click", 30L), ("2024-01-03", "view", 9L))
+    try {
+      // batch 1: two days
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assertEqual(b1)
+      // batch 2: one existing day (merge must SUM, not replace) + one new
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assertEqual(b1 ++ b2)
+      // the day-01 partition was untouched by batch 2
+      assert(maintained().filter(col("day") === "2024-01-01").count() === 2)
+    } finally q.stop()
+
+    // idempotence: re-applying an already-committed batch id is a no-op
+    // (the foreachBatch re-delivery case)
+    IncrementalAgg.applyBatch(
+      Seq(("2024-01-03", "view", 999L)).toDF("day", "event_type", "cents"),
+      path, batchId = 1L)
+    assertEqual(b1 ++ b2)
+    // a NEW batch id still applies
+    val b3 = Seq(("2024-01-03", "view", 999L))
+    IncrementalAgg.applyBatch(b3.toDF("day", "event_type", "cents"),
+      path, batchId = 99L)
+    assertEqual(b1 ++ b2 ++ b3)
+  }
 }
