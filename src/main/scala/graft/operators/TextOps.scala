@@ -580,4 +580,70 @@ object TextOps {
         (col("psum") / col("n_bigrams").cast("double")).as("lm_score"))
     agg
   }
+
+  /** Kneser-Ney-smoothed bigram LM score — the smoothing CCNet-class
+    * filters actually ship (Chen & Goodman 1999, absolute discounting
+    * with continuation probabilities) in EXACT RATIONAL integer form,
+    * upgrading [[lmScoreAll]]'s add-one model while staying
+    * bit-replicable in DuckDB. With fixed discount D = 3/4:
+    *
+    *   p_KN(w2|w1) = (c(w1w2) − 3/4)/c(w1·)
+    *               + (3/4)·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * Scoring the training corpus on itself means every scored bigram has
+    * c ≥ 1, so the max(·,0) clamp is vacuous and the whole expression
+    * reduces to ONE exact integer numerator and denominator:
+    *
+    *   p = ((4·c2 − 3)·T + 3·n1p·ncont) / (4·c1·T),  T = N1+(··)
+    *
+    * — a single double division per bigram (the [[tfIdf]] rational
+    * trick), then the same position-ordered per-doc mean fold as
+    * [[lmScoreAll]]. `n_singletons` counts c2 = 1 bigrams (the mass the
+    * discount redistributes — KN's continuation counts are BUILT from
+    * these). Overflow bound: 4·c2·T < 2⁶³ requires c2·T ≲ 2.3e18;
+    * a web corpus near that bound drops to the double-division form
+    * (losing bit-replicability, not correctness).
+    *
+    * Plan at 100 TB: four term-keyed count tables (bigram, prefix,
+    * distinct-continuation, distinct-predecessor) — the prefix pair
+    * merges into ONE w1-keyed frame before scoring, so the exploded
+    * bigram stream re-joins on exactly three keys (w1w2, w1, w2), each
+    * pinned shuffle_hash for the same reason as [[lmScoreAll]]; only
+    * the 1-row type count broadcasts. */
+  def lmScoreKnAll(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // N1+(w1·): distinct continuations of w1 = type count per prefix
+    val n1p = c2t.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))
+    // N1+(·w2): distinct predecessors of w2
+    val nc = c2t.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val nt = c2t.agg(count(lit(1)).as("ntypes"))
+    val w1stats = c1.join(n1p.hint("shuffle_hash"), Seq("w1"))
+    val probs = bg
+      .join(c2t.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(w1stats.hint("shuffle_hash"), Seq("w1"))
+      .join(nc.hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"), col("pos"),
+        (((lit(4L) * col("c2") - 3L) * col("ntypes") +
+          lit(3L) * col("n1p") * col("ncont")).cast("double") /
+          (lit(4L) * col("c1") * col("ntypes")).cast("double")).as("p"),
+        (col("c2") === 1).cast("int").as("singleton"))
+    probs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("singleton")).as("n_singletons"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_singletons"),
+        (col("psum") / col("n_bigrams").cast("double")).as("lm_kn_score"))
+  }
 }

@@ -277,6 +277,33 @@ object TextQueries extends QueryFamily {
         .orderBy(col("bucket"))
     }),
 
+    // Kneser-Ney upgrade of the LM screen (Chen & Goodman's absolute
+    // discounting with continuation probabilities, D=3/4) in exact
+    // rational integer form — worst-50 triage list, like txt_lm_score
+    "txt_lm_kn" -> ((s, d) => {
+      val all = TextOps.lmScoreKnAll(docs(s, d))
+        .orderBy(col("lm_kn_score").asc, col("doc_id")).limit(50)
+      all.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lm_kn_score").asc, col("doc_id"))).cast("int"))
+        .select(col("rank"), col("doc_id"), col("n_bigrams"),
+          col("n_singletons"), col("lm_kn_score"))
+    }),
+
+    // CCNet terciles re-derived over the KN score — same bucketing
+    // machinery as txt_ccnet_buckets, better-calibrated score underneath
+    "txt_ccnet_kn_buckets" -> ((s, d) => {
+      val ranked = graft.operators.OrderStats.withGlobalRank(
+        TextOps.lmScoreKnAll(docs(s, d)),
+        Seq(col("lm_kn_score"), col("doc_id")))
+      ranked.select(expr("(3 * (rn - 1)) DIV n").as("bucket"), col("lm_kn_score"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_kn_score")).as("lo_score"),
+          max(col("lm_kn_score")).as("hi_score"))
+        .orderBy(col("bucket"))
+    }),
+
     // out-of-vocabulary screen: token share outside the corpus top-1000
     // vocabulary, per declared language — the cheap quality proxy that
     // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
@@ -320,6 +347,26 @@ object TextQueries extends QueryFamily {
       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(novel) AS BIGINT) AS novel_bigrams,
       |          list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS lm_score
       |        FROM pr GROUP BY 1)""".stripMargin
+  /** Kneser-Ney CTE prefix: the exact rational form of
+    * [[graft.operators.TextOps.lmScoreKnAll]] — every count BIGINT, one
+    * double division per bigram, position-ordered per-doc fold. */
+  private val knCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      |n1p AS (SELECT w1, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+      |nc AS (SELECT w2, COUNT(*) AS ncont FROM c2 GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS ntypes FROM c2),
+      |pr AS (SELECT b.doc_id, b.pos,
+      |         CAST((4 * c2.c2 - 3) * nt.ntypes + 3 * n1p.n1p * nc.ncont AS DOUBLE) /
+      |         CAST(4 * c1.c1 * nt.ntypes AS DOUBLE) AS p,
+      |         CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END AS singleton
+      |       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN n1p USING (w1) JOIN nc USING (w2) CROSS JOIN nt),
+      |kagg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(singleton) AS BIGINT) AS n_singletons,
+      |           list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS lm_kn_score
+      |         FROM pr GROUP BY 1)""".stripMargin
   private val markers = "['the','a','of','and','is','to','in']"
   private val markerCnt =
     s"len(list_filter(string_split(text, ' '), t -> list_contains($markers, t)))"
@@ -542,6 +589,22 @@ object TextQueries extends QueryFamily {
         |      FROM agg)
         |SELECT (3 * (rn - 1)) // n AS bucket, COUNT(*) AS n_docs,
         |  MIN(lm_score) AS lo_score, MAX(lm_score) AS hi_score
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical exact-rational KN probabilities; same fold discipline
+    "txt_lm_kn" ->
+      s"""$knCtes,
+        |top AS (SELECT * FROM kagg ORDER BY lm_kn_score ASC, doc_id LIMIT 50)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lm_kn_score ASC, doc_id) AS INT) AS rank,
+        |       doc_id, n_bigrams, n_singletons, lm_kn_score
+        |FROM top ORDER BY rank""".stripMargin,
+    "txt_ccnet_kn_buckets" ->
+      s"""$knCtes,
+        |r AS (SELECT doc_id, lm_kn_score,
+        |        ROW_NUMBER() OVER (ORDER BY lm_kn_score, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM kagg)
+        |SELECT (3 * (rn - 1)) // n AS bucket, COUNT(*) AS n_docs,
+        |  MIN(lm_kn_score) AS lo_score, MAX(lm_kn_score) AS hi_score
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_langid_confusion" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM (

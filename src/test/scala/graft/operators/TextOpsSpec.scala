@@ -279,4 +279,24 @@ class TextOpsSpec extends GraftSparkSpec {
     assert(rows.map(_._4).toSeq === Seq(1L, 1L))
     assert(rows.map(_._3).toSeq === Seq(2L, 3L)) // n_bigrams
   }
+
+  test("lmScoreKnAll: exact-rational Kneser-Ney agrees with hand math") {
+    // corpus: one doc "a b a b". Bigram types: (a,b) c=2, (b,a) c=1 →
+    // T=2 types; c1: a·=2, b·=1; N1+(a·)=1, N1+(b·)=1; N1+(·b)=1,
+    // N1+(·a)=1. With D=3/4:
+    //   p(b|a) = ((4·2−3)·2 + 3·1·1) / (4·2·2) = 13/16
+    //   p(a|b) = ((4·1−3)·2 + 3·1·1) / (4·1·2) = 5/8
+    // doc mean over positions (ab, ba, ab) = (13/16 + 5/8 + 13/16)/3
+    val docs = spark.createDataFrame(Seq((1L, "a b a b")))
+      .toDF("doc_id", "text")
+    val r = TextOps.lmScoreKnAll(docs).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L) // n_bigrams
+    assert(r(0).getLong(2) === 1L) // n_singletons: (b,a) only
+    assert(r(0).getDouble(3) === (13.0 / 16 + 5.0 / 8 + 13.0 / 16) / 3)
+    // discounting sanity vs add-one: every KN prob here exceeds its
+    // add-one counterpart would for a 2-token vocab — and the discount
+    // means probabilities never reach the raw MLE c2/c1
+    assert(r(0).getDouble(3) < (2.0 / 2 + 1.0 / 1 + 2.0 / 2) / 3)
+  }
 }
