@@ -36,6 +36,21 @@ import org.apache.spark.sql.SparkSession
   * anomaly/error detail, (3) an ULTRA-SHORT scalars-only total line —
   * last so a consumer that JSON-parses the final line of a bounded tail
   * always succeeds.
+  *
+  * Deadline defense (round 9 lost its ENTIRE artifact to the driver's
+  * timeout — rc=124, SIGTERM mid-run, nothing on stdout): two layers.
+  *   1. An internal wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`,
+  *      default 2400 s — under any plausible driver timeout). When the
+  *      budget is exceeded, measurement STOPS — remaining queries and
+  *      retries are skipped — and the three artifact lines are emitted
+  *      with `"partial":true` plus an `n_unmeasured` count, so a slow
+  *      host degrades to a partial artifact instead of no artifact.
+  *   2. A PROVISIONAL artifact line (same schema, flagged
+  *      `"provisional_pass":0`) printed the moment pass 0 completes, and
+  *      flushed — so even a hard external SIGTERM during pass 1 leaves
+  *      one complete parseable line on stdout. The final three lines
+  *      print later and supersede it for any consumer that reads the
+  *      LAST parseable line of the tail.
   */
 object Bench {
   /** Prior-round per-query seconds, parsed from BENCH_PRIOR.json if the
@@ -94,52 +109,80 @@ object Bench {
     // clearCache() released, so every timed run is warm-cache (the
     // methodology of every prior round's artifact; cold timings measured
     // ~4x higher on the cache-heavy dd_ queries and are not comparable).
-    for (pass <- 0 to 1;
-         (name, fn) <- if (pass == 0) selected else selected.reverse) {
-      try {
-        fn(spark, sfDir).count() // warmup: codegen + JIT + cache fill
-        def timedRun(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val runs = scala.collection.mutable.ArrayBuffer(timedRun())
-        if (pass == 0) runs += timedRun()
-        def best: Double = (runs ++ allRuns.getOrElse(name, Nil)).min
-        def stallSuspect: Boolean =
-          runs.max > 2.0 * best ||
-            prior.get(name).exists(p => p > 0 && best > 3.0 * p)
-        val budget = if (pass == 0) 4 else 2
-        while (stallSuspect && runs.size < budget) runs += timedRun()
-        allRuns(name) = allRuns.getOrElse(name, Nil) ++ runs.toList
-      } catch {
-        case e: Throwable => errors.getOrElseUpdate(name,
-          (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(120))
-      }
-      finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
-    }
-    val results = selected.map { case (name, _) =>
-      val rs = allRuns.getOrElse(name, Nil)
-      if (rs.isEmpty) (name, -1.0, List.empty[Double])
-      else (name, rs.min, rs)
-    }
+    // internal deadline, kept under the driver's kill timeout so the
+    // artifact always prints from inside the JVM (see scaladoc)
+    val wallBudgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2400.0)
+    def wallS: Double = (System.nanoTime() - harnessT0) / 1e9
+    def overBudget: Boolean = wallS > wallBudgetS
+    var truncated = false
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def currentResults: Seq[(String, Double, List[Double])] =
+      selected.map { case (name, _) =>
+        val rs = allRuns.getOrElse(name, Nil)
+        if (rs.isEmpty) (name, -1.0, List.empty[Double])
+        else (name, rs.min, rs)
+      }
+    // line-1 builder, shared by the provisional pass-0 emission and the
+    // final artifact (the only difference is the extra flag fields)
+    def artifactLine(extraFields: String): String = {
+      val results = currentResults
+      val qs = results.sortBy(_._2).map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag$extraFields"queries":$qs,"value":${fmt(total)}}"""
+    }
+    for (pass <- 0 to 1) {
+      for ((name, fn) <- if (pass == 0) selected else selected.reverse) {
+        if (overBudget) truncated = true
+        else try {
+          fn(spark, sfDir).count() // warmup: codegen + JIT + cache fill
+          def timedRun(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val runs = scala.collection.mutable.ArrayBuffer(timedRun())
+          if (pass == 0 && !overBudget) runs += timedRun()
+          def best: Double = (runs ++ allRuns.getOrElse(name, Nil)).min
+          def stallSuspect: Boolean =
+            runs.max > 2.0 * best ||
+              prior.get(name).exists(p => p > 0 && best > 3.0 * p)
+          val budget = if (pass == 0) 4 else 2
+          while (stallSuspect && runs.size < budget && !overBudget) runs += timedRun()
+          allRuns(name) = allRuns.getOrElse(name, Nil) ++ runs.toList
+        } catch {
+          case e: Throwable => errors.getOrElseUpdate(name,
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(120))
+        }
+        finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
+      }
+      if (pass == 0) {
+        // deadline insurance: one complete parseable line on stdout the
+        // moment pass 0 is done, before pass 1 risks the driver timeout
+        println(artifactLine(s""""provisional_pass":0,${if (truncated) "\"partial\":true," else ""}"""))
+        System.out.flush()
+      }
+    }
+    val results = currentResults
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
+    // a deadline-truncated run is labelled so its partial total can't be
+    // mistaken for a full benchmark artifact; unmeasured != failed
+    val nUnmeasured = results.count(r => r._3.isEmpty && !errors.contains(r._1))
+    val partialTag = if (truncated) s""""partial":true,"n_unmeasured":$nUnmeasured,""" else ""
     // The consumer keeps only a bounded TAIL of stdout (~2000 chars —
     // observed in BENCH_r07.json) and the full-registry queries map is
-    // ~3500 chars, so the map's HEAD is always truncated away. Emit the
-    // map sorted by ASCENDING time: the entries that get cut are the
-    // cheapest sub-second queries, and the slow queries that dominate the
-    // total — the ones any regression read needs — always survive at the
-    // end of the line, right before "value". JSON maps carry no key-order
-    // semantics; this only controls what truncation keeps.
-    val qs = results.sortBy(_._2).map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // a filtered run is labelled as such so its partial total can't be
-    // mistaken for (or overwrite) a full benchmark artifact
-    val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag"queries":$qs,"value":${fmt(total)}}""")
+    // ~3500 chars, so the map's HEAD is always truncated away.
+    // artifactLine emits the map sorted by ASCENDING time: the entries
+    // that get cut are the cheapest sub-second queries, and the slow
+    // queries that dominate the total — the ones any regression read
+    // needs — always survive at the end of the line, right before
+    // "value". JSON maps carry no key-order semantics; this only
+    // controls what truncation keeps.
+    println(artifactLine(partialTag))
     // SECOND, SHORT line: per-run detail for queries whose merged runs
     // disagreed by >2x (a stall or a bimodal plan), harness wall seconds
     // (warmups + all runs of both passes + retries — wall >> value is the
@@ -154,13 +197,13 @@ object Bench {
     val wall = (System.nanoTime() - harnessT0) / 1e9
     val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"anomalous_runs":$perRun,"errors":$errJson,"wall":${fmt(wall)},"sf":"$sfDir",$onlyTag"value":${fmt(total)}}""")
+    println(s"""{"anomalous_runs":$perRun,"errors":$errJson,"wall":${fmt(wall)},"sf":"$sfDir",$onlyTag$partialTag"value":${fmt(total)}}""")
     // THIRD, ULTRA-SHORT final line (~80 chars): guaranteed to be the
     // last line of the bounded stdout tail AND short enough that a JSON
     // parse of that last line always succeeds outright, even though the
     // full queries map above exceeds the tail. Scalars only.
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","unit":"sec","value":${fmt(total)},"n_queries":${results.size},"n_failed":$nFailed}""")
+    println(s"""{"metric":"total","unit":"sec",$partialTag"value":${fmt(total)},"n_queries":${results.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }

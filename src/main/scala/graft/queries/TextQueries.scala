@@ -304,6 +304,31 @@ object TextQueries extends QueryFamily {
         .orderBy(col("bucket"))
     }),
 
+    // WHOLE-corpus CCNet bucketing: CCNet keeps everything it buckets,
+    // so the tercile table must also cover documents that have no bigram
+    // at all (< 2 tokens — unscoreable by a bigram LM). Left-join the KN
+    // scores back to the doc spine; unscored docs land in sentinel
+    // bucket -1 with NULL score bounds, scoreable docs keep exactly the
+    // txt_ccnet_kn_buckets terciles. Plan at 100 TB: the spine join is
+    // doc_id-keyed (the same key the score agg already shuffled on);
+    // everything else is the bucketing machinery above.
+    "txt_ccnet_full" -> ((s, d) => {
+      val ranked = graft.operators.OrderStats.withGlobalRank(
+        TextOps.lmScoreKnAll(docs(s, d)),
+        Seq(col("lm_kn_score"), col("doc_id")))
+        .select(col("doc_id"), col("lm_kn_score"),
+          expr("(3 * (rn - 1)) DIV n").as("bucket"))
+      docs(s, d).select(col("doc_id"))
+        .join(ranked, Seq("doc_id"), "left")
+        .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
+          col("lm_kn_score"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_kn_score")).as("lo_score"),
+          max(col("lm_kn_score")).as("hi_score"))
+        .orderBy(col("bucket"))
+    }),
+
     // out-of-vocabulary screen: token share outside the corpus top-1000
     // vocabulary, per declared language — the cheap quality proxy that
     // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
@@ -606,6 +631,20 @@ object TextQueries extends QueryFamily {
         |SELECT (3 * (rn - 1)) // n AS bucket, COUNT(*) AS n_docs,
         |  MIN(lm_kn_score) AS lo_score, MAX(lm_kn_score) AS hi_score
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // whole-corpus coverage: LEFT JOIN back to the documents spine, the
+    // unscoreable (< 2 token) docs take sentinel bucket -1 / NULL bounds
+    "txt_ccnet_full" ->
+      s"""$knCtes,
+        |r AS (SELECT doc_id, lm_kn_score,
+        |        ROW_NUMBER() OVER (ORDER BY lm_kn_score, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM kagg),
+        |j AS (SELECT d.doc_id, r.lm_kn_score,
+        |        COALESCE((3 * (r.rn - 1)) // r.n, -1) AS bucket
+        |      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id)
+        |SELECT bucket, COUNT(*) AS n_docs, MIN(lm_kn_score) AS lo_score,
+        |  MAX(lm_kn_score) AS hi_score
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_langid_confusion" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM (
          |  SELECT lang, CASE WHEN $nToks = 0 THEN 'und' WHEN CAST($markerCnt AS DOUBLE) / $nToks >= 0.02 THEN 'en' ELSE 'und' END AS predicted
