@@ -502,4 +502,72 @@ object Dedup {
         (col("n_shared").cast("double") /
           least(col("nfp_a"), col("nfp_b")).cast("double")).as("overlap"))
   }
+
+  /** Exact-substring duplication coverage (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — the
+    * ExactSubstr method), re-expressed distributively at token grain.
+    * Lee et al. build one corpus-wide suffix array and excise every
+    * byte span ≥ 50 tokens that recurs anywhere in the corpus; a suffix
+    * array is inherently a single sorted global structure, so the
+    * Spark-native equivalent works from the identity that defines the
+    * covered set instead:
+    *
+    *   a token lies in some corpus-repeated span of length ≥ L
+    *   ⇔ it is covered by some length-L shingle that recurs in the
+    *     corpus (count ≥ 2, within- OR cross-document — same as the
+    *     suffix-array formulation, which is position-blind).
+    *
+    * (⇐ a recurring L-shingle IS a repeated span of length L; ⇒ every
+    * token of a repeated span of length s ≥ L sits inside one of its
+    * s−L+1 L-windows, each of which recurs wherever the span does.)
+    * So the covered set — and therefore the per-document excision
+    * accounting this operator reports — is EXACT, not an approximation;
+    * only the maximal-span COUNT can differ from byte-grain ExactSubstr
+    * when two repeated spans abut within L tokens and merge.
+    *
+    * Per document: the recurring-shingle start positions, sorted, merge
+    * into maximal covered runs (break when the gap between consecutive
+    * starts exceeds L — intervals [p, p+L−1] overlap or touch up to
+    * that); emits (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac)
+    * for documents with at least one covered token.
+    *
+    * Plan at 100 TB: shingle fingerprints are md5-keyed (bounded key
+    * width regardless of span text); the recurrence table is ONE
+    * fp-keyed agg with map-side partials, probed back by the shingle
+    * stream as a shuffle-hash join (count side is pre-aggregated, the
+    * stream side is fat — same rationale as TextOps.lmScore); the span
+    * merge is a doc-keyed window, never global. Hot boilerplate
+    * fingerprints (licenses, headers) fatten the probe join's matched
+    * stream, not a build-side hash map — no df cap needed, unlike
+    * [[winnowingPairs]]' pair join, because coverage never materializes
+    * pairs (Σ df, not Σ df²). */
+  def exactSubstrCoverage(docs: DataFrame, L: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val sh = docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(when(size(toks) >= L,
+          transform(sequence(lit(0), size(toks) - L),
+            i => md5(concat_ws(" ",
+              (0 until L).map(j => element_at(toks, i + j + 1)): _*))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "fp")))
+    val hot = sh.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("fp"))
+    val dup = sh.join(hot.hint("shuffle_hash"), Seq("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("sid"))
+      .agg((max(col("pos")) + L - min(col("pos"))).as("covered"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("covered")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
 }

@@ -156,6 +156,15 @@ object DedupQueries extends QueryFamily {
       Dedup.winnowingPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact-substring duplication coverage (Lee et al. ExactSubstr,
+    // ACL'22) at L=16 token grain: per-document accounting of the spans
+    // a suffix-array excision pass would remove — exact by the
+    // L-shingle covering identity (see Dedup.exactSubstrCoverage), no
+    // suffix array and no global structure needed.
+    "dd_substring" -> ((s, d) =>
+      Dedup.exactSubstrCoverage(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // k-core of the near-dup graph (Graph.kCore, k=2): the exact
     // dense-core vs periphery split — vertices with only one near-dup
     // partner peel away, pairwise-similar cliques survive with their
@@ -455,6 +464,27 @@ object DedupQueries extends QueryFamily {
         |  CAST(p.n_shared AS DOUBLE) / LEAST(ca.nfp, cb.nfp) AS overlap
         |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // identical md5 L-gram fingerprints, identical gap-merge (break at
+    // gap > L) — the covered-token identity makes this exact, so the
+    // oracle mirrors the whole computation
+    "dd_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, len(toks) AS n_tokens, i - 1 AS pos,
+        |         md5(array_to_string(toks[i:i+15], ' ')) AS fp
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 14)) AS i FROM t WHERE len(toks) >= 16) u),
+        |hot AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM sh GROUP BY 1) g WHERE c >= 2),
+        |d AS (SELECT sh.doc_id, sh.n_tokens, sh.pos FROM sh JOIN hot USING (fp)),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16 THEN 1 ELSE 0 END AS brk
+        |      FROM d),
+        |s AS (SELECT doc_id, n_tokens, pos,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM m),
+        |sp AS (SELECT doc_id, n_tokens, sid, MAX(pos) + 16 - MIN(pos) AS covered
+        |       FROM s GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens, COUNT(*) AS n_dup_spans,
+        |  CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(covered) AS DOUBLE) / n_tokens AS dup_frac
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
     "dd_kcore" -> kCoreOracle,
     "dd_soft_dedup" -> softDedupOracle,

@@ -116,6 +116,17 @@ object MultimodalQueries extends QueryFamily {
           sum(col("n_copies") - 1).as("n_dup_blobs"),
           max(col("n_copies")).as("max_copies"))
         .orderBy(col("mime"))),
+
+    // perceptual near-dup over REAL decoded rasters: dHash (8×8 grid,
+    // 56 row-difference bits) computed from the ImageIO-decoded PNG,
+    // then Hamming-banded pair generation (4×14-bit pigeonhole — recall
+    // 1.0 for distance ≤ 3) with exact bit_count verification. The
+    // oracle replays the synthesis rule + the same grid arithmetic from
+    // the raw bytes, so a hash match proves the engine's hash came off a
+    // real decode. Bridges the multimodal family into the dedup family.
+    "mm_phash_dup" -> ((s, d) =>
+      Multimodal.phashDupPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
   )
 
   private val mimeSql =
@@ -266,5 +277,26 @@ object MultimodalQueries extends QueryFamily {
          |SELECT mime, CAST(SUM(n_copies) AS BIGINT) AS n_blobs, COUNT(*) AS n_unique,
          |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_blobs, MAX(n_copies) AS max_copies
          |FROM g GROUP BY mime ORDER BY mime""".stripMargin,
+    // dHash replayed from the synthesis rule + identical nearest-
+    // neighbor grid arithmetic (x = gx·w DIV 8, y = gy·h DIV 8, pixel
+    // p = byte(p mod nb)); the banding in the engine is a pure
+    // optimization with recall 1.0 at distance ≤ 3, so the oracle's
+    // all-pairs exact filter is result-identical
+    "mm_phash_dup" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |g AS (SELECT doc_id, hx, nb, 1 + nb % 16 AS w, 1 + (nb // 16) % 16 AS h FROM b),
+        |bits AS (
+        |  SELECT doc_id, CAST(gy * 7 + gx AS INT) AS idx,
+        |    ('0x' || substr(hx, CAST(2 * ((((gy*h)//8)*w + (gx*w)//8) % nb) + 1 AS INT), 2))::INT AS v0,
+        |    ('0x' || substr(hx, CAST(2 * ((((gy*h)//8)*w + (((gx+1)*w)//8)) % nb) + 1 AS INT), 2))::INT AS v1
+        |  FROM g, (SELECT unnest(range(0, 8)) AS gy) yy, (SELECT unnest(range(0, 7)) AS gx) xx),
+        |ph AS (SELECT doc_id, CAST(SUM(CASE WHEN v1 > v0 THEN 1::BIGINT << CAST(idx AS INT) ELSE 0::BIGINT END) AS BIGINT) AS phash
+        |       FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
