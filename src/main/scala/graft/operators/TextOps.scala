@@ -611,21 +611,8 @@ object TextOps {
     * pinned shuffle_hash for the same reason as [[lmScoreAll]]; only
     * the 1-row type count broadcasts. */
   def lmScoreKnAll(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bg = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => struct(element_at(col("toks"), i + 1).as("w1"),
-            element_at(col("toks"), i + 2).as("w2")))).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-    val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    // N1+(w1·): distinct continuations of w1 = type count per prefix
-    val n1p = c2t.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))
-    // N1+(·w2): distinct predecessors of w2
-    val nc = c2t.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
-    val nt = c2t.agg(count(lit(1)).as("ntypes"))
-    val w1stats = c1.join(n1p.hint("shuffle_hash"), Seq("w1"))
+    val bg = knBigrams(docs)
+    val (c2t, w1stats, nc, nt) = knTables(docs)
     val probs = bg
       .join(c2t.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(w1stats.hint("shuffle_hash"), Seq("w1"))
@@ -645,5 +632,80 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x).as("psum"))
       .select(col("doc_id"), col("n_bigrams"), col("n_singletons"),
         (col("psum") / col("n_bigrams").cast("double")).as("lm_kn_score"))
+  }
+
+  /** Positioned bigram stream (doc_id, pos, w1, w2) — the shared front of
+    * every bigram-LM pass. Narrow generate; docs under 2 tokens vanish. */
+  def knBigrams(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+  }
+
+  /** The Kneser-Ney count tables of a training corpus —
+    * (bigram counts c2t, prefix stats c1⋈N1+(w1·), distinct-predecessor
+    * counts N1+(·w2), 1-row type count N1+(··)). Extracted so a STATIC
+    * model can be built once (train corpus) and scored against
+    * repeatedly (ingest stream / held-out docs) — the production layout:
+    * at 100 TB the four tables persist term-keyed and every scoring pass
+    * probes them shuffle-hash, exactly as [[lmScoreKnAll]] does. */
+  def knTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bg = knBigrams(docs)
+    val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // N1+(w1·): distinct continuations of w1 = type count per prefix
+    val n1p = c2t.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))
+    // N1+(·w2): distinct predecessors of w2
+    val nc = c2t.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val nt = c2t.agg(count(lit(1)).as("ntypes"))
+    (c2t, c1.join(n1p.hint("shuffle_hash"), Seq("w1")), nc, nt)
+  }
+
+  /** Score documents against a FIXED KN model (the [[knTables]] of a
+    * training corpus the scored docs need not belong to) — the quality
+    * screen a CCNet-class pipeline runs at INGEST, where arriving text
+    * contains bigrams the model never saw. Known bigrams (c(w1w2) ≥ 1 in
+    * the model) take the exact-rational KN probability of
+    * [[lmScoreKnAll]]; novel ones are COUNTED, not scored (their KN mass
+    * is a backoff the screen reports as novelty instead of folding into
+    * the mean — novelty rate is itself the stronger OOD signal). Emits
+    * (doc_id, n_bigrams, n_known, n_novel, lm_kn_score) with a NULL
+    * score for all-novel docs; the per-doc fold runs in bigram-position
+    * order over known bigrams only (collect_list skips the `when`'s
+    * nulls), so it stays bit-replicable.
+    *
+    * Plan at 100 TB: three left shuffle-hash probes against the model
+    * tables + the 1-row type-count broadcast — identical shuffle shape
+    * to [[lmScoreKnAll]]; model size never rides on corpus size. */
+  def knScreen(docs: DataFrame, c2t: DataFrame, w1stats: DataFrame,
+      nc: DataFrame, nt: DataFrame): DataFrame = {
+    val bg = knBigrams(docs)
+    val scored = bg
+      .join(c2t.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(w1stats.hint("shuffle_hash"), Seq("w1"), "left")
+      .join(nc.hint("shuffle_hash"), Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"), col("pos"),
+        col("c2").isNotNull.cast("int").as("known"),
+        when(col("c2").isNotNull,
+          ((lit(4L) * col("c2") - 3L) * col("ntypes") +
+            lit(3L) * col("n1p") * col("ncont")).cast("double") /
+            (lit(4L) * col("c1") * col("ntypes")).cast("double")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("known")).as("n_known"),
+        aggregate(
+          transform(array_sort(collect_list(
+            when(col("p").isNotNull, struct(col("pos"), col("p"))))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("n_bigrams") - col("n_known")).as("n_novel"),
+        when(col("n_known") > 0,
+          col("psum") / col("n_known").cast("double")).as("lm_kn_score"))
   }
 }

@@ -329,6 +329,20 @@ object TextQueries extends QueryFamily {
         .orderBy(col("bucket"))
     }),
 
+    // KN screen against a FIXED model (train/score split: even doc_ids
+    // train the count tables, odd doc_ids are scored as if arriving at
+    // ingest) — the batch law behind streaming.QualityScreen, and the
+    // one bigram-LM query where NOVEL bigrams genuinely occur: known
+    // bigrams take the exact-rational KN probability, novel ones are
+    // counted as the novelty signal, all-novel docs score NULL.
+    "txt_kn_screen" -> ((s, d) => {
+      val model = graft.streaming.QualityScreen.buildModel(
+        docs(s, d).filter(col("doc_id") % 2 === 0))
+      graft.streaming.QualityScreen.scoreBatch(
+        docs(s, d).filter(col("doc_id") % 2 === 1), model)
+        .orderBy(col("doc_id"))
+    }),
+
     // out-of-vocabulary screen: token share outside the corpus top-1000
     // vocabulary, per declared language — the cheap quality proxy that
     // needs no LM. Vocabulary cut is deterministic ((cnt DESC, term)
@@ -631,6 +645,34 @@ object TextQueries extends QueryFamily {
         |SELECT (3 * (rn - 1)) // n AS bucket, COUNT(*) AS n_docs,
         |  MIN(lm_kn_score) AS lo_score, MAX(lm_kn_score) AS hi_score
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // train/score split replayed: even-doc count tables, odd docs LEFT
+    // JOINed against them — known bigrams take the exact rational KN
+    // probability, the fold covers known bigrams only (FILTER)
+    "txt_kn_screen" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tt WHERE len(toks) >= 2) u),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY 1),
+        |n1p AS (SELECT w1, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+        |nc AS (SELECT w2, COUNT(*) AS ncont FROM c2 GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS ntypes FROM c2),
+        |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 1),
+        |sb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM st WHERE len(toks) >= 2) u),
+        |pr AS (SELECT sb.doc_id, sb.pos,
+        |         CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS known,
+        |         CASE WHEN c2.c2 IS NOT NULL THEN
+        |           CAST((4 * c2.c2 - 3) * nt.ntypes + 3 * n1p.n1p * nc.ncont AS DOUBLE) /
+        |           CAST(4 * c1.c1 * nt.ntypes AS DOUBLE) END AS p
+        |       FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |         LEFT JOIN n1p USING (w1) LEFT JOIN nc USING (w2) CROSS JOIN nt)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(known) AS BIGINT) AS n_known,
+        |  CAST(COUNT(*) - SUM(known) AS BIGINT) AS n_novel,
+        |  CASE WHEN SUM(known) > 0 THEN
+        |    list_reduce(list(p ORDER BY pos) FILTER (WHERE p IS NOT NULL), (a, b) -> a + b) / CAST(SUM(known) AS DOUBLE)
+        |  END AS lm_kn_score
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // whole-corpus coverage: LEFT JOIN back to the documents spine, the
     // unscoreable (< 2 token) docs take sentinel bucket -1 / NULL bounds
     "txt_ccnet_full" ->
