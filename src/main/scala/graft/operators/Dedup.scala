@@ -541,16 +541,20 @@ object Dedup {
     * stream, not a build-side hash map — no df cap needed, unlike
     * [[winnowingPairs]]' pair join, because coverage never materializes
     * pairs (Σ df, not Σ df²). */
-  def exactSubstrCoverage(docs: DataFrame, L: Int = 16): DataFrame = {
+  def exactSubstrCoverage(docs: DataFrame, L: Int = 16,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val sh = docs
+    // cached: the shingle stream feeds BOTH the recurrence agg and the
+    // probe side of the join back — without the cache the md5-per-window
+    // generate (the dominant cost) runs twice
+    val sh = scope.track(docs
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         posexplode(when(size(toks) >= L,
           transform(sequence(lit(0), size(toks) - L),
             i => md5(concat_ws(" ",
               (0 until L).map(j => element_at(toks, i + j + 1)): _*))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "fp")))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "fp"))))
     val hot = sh.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("fp"))
     val dup = sh.join(hot.hint("shuffle_hash"), Seq("fp"))
