@@ -634,6 +634,78 @@ object TextOps {
         (col("psum") / col("n_bigrams").cast("double")).as("lm_kn_score"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al., ACL'16) — the iterative
+    * merge loop that [[bpePairCounts]] is round 0 of: per round, count
+    * adjacent symbol pairs across the corpus (weighted by word
+    * frequency, overlapping occurrences counted as they appear — the
+    * reference get_stats semantics), pick the most frequent pair
+    * (ties broken (count DESC, left, right) — deterministic in both
+    * engines' binary collation), and merge it greedily leftmost
+    * non-overlapping in every word. Returns the merge table
+    * (round, left_sym, right_sym, merged, pair_count) — the artifact a
+    * tokenizer build persists.
+    *
+    * Greedy application without a per-row UDF: each word is kept as a
+    * TWO-space-separated symbol string ("␣␣a␣␣b␣␣…"), and merge (a,b) is
+    * ONE `replace(seq, " a  b ", " ab ")` — the single boundary space on
+    * each side of the pattern means adjacent occurrences ("a b a b")
+    * still match back-to-back after the first replacement consumes the
+    * shared separator's first space, so left-to-right non-overlapping
+    * `replace` (identical semantics in Spark and DuckDB) IS the exact
+    * greedy BPE merge step; the remaining + replacement boundary spaces
+    * reassemble the two-space separators invariant.
+    *
+    * Plan at 100 TB: the corpus collapses to the DISTINCT-WORD frame
+    * with frequencies FIRST (the classic BPE training trick — state is
+    * vocabulary-sized, not corpus-sized, and only that frame iterates);
+    * each round is one symbol-pair-keyed agg with map-side partials +
+    * a 1-ROW driver collect (the chosen merge — bounded by construction)
+    * + one narrow replace; per-round cache/unpersist keeps lineage flat.
+    * Sennrich's incremental-pair-update optimization is a sequential
+    * data structure; the recount-per-round form is the distributed
+    * equivalent and keeps every round embarrassingly parallel. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var seqs = words.select(
+      concat(lit("  "),
+        array_join(expr("regexp_extract_all(word, '.', 0)"), "  "),
+        lit("  ")).as("seq"),
+      col("cnt")).cache()
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = seqs
+        .select(col("cnt"),
+          expr("filter(split(seq, ' '), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+      // 1-row driver collect per round: the chosen merge (bounded)
+      val best = pairs.orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, total) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, total))
+        val next = seqs.select(
+          replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq"),
+          col("cnt")).cache()
+        next.count()
+        seqs.unpersist()
+        seqs = next
+      }
+    }
+    seqs.unpersist()
+    merges.toSeq
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Positioned bigram stream (doc_id, pos, w1, w2) — the shared front of
     * every bigram-LM pass. Narrow generate; docs under 2 tokens vanish. */
   def knBigrams(docs: DataFrame): DataFrame = {

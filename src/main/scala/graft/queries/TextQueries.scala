@@ -197,6 +197,13 @@ object TextQueries extends QueryFamily {
       TextOps.bpePairCounts(docs(s, d))
         .orderBy(col("cnt").desc, col("pair")).limit(50)),
 
+    // BPE tokenizer TRAINING, the real iterative loop (Sennrich ACL'16):
+    // 5 merge rounds over the distinct-word frame — per round one
+    // pair-keyed agg, a 1-row driver collect (the chosen merge), one
+    // narrow replace. Emits the merge table a tokenizer build persists.
+    "txt_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(docs(s, d), rounds = 5).orderBy(col("round"))),
+
     // fixed-memory frequency sketch: Count-Min estimates for the 30 exact
     // heavy hitters, with the overestimate contract checked per term
     "txt_cms_termfreq" -> ((s, d) =>
@@ -544,6 +551,33 @@ object TextQueries extends QueryFamily {
         |      FROM (SELECT w FROM w WHERE length(w) >= 2) t, UNNEST(range(1, length(w))) u(i))
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // the 5 merge rounds UNROLLED (the pagerank-oracle technique): each
+    // round re-derives pair counts from the previous round's sequences,
+    // picks the (total DESC, a, b) best, and applies the same
+    // boundary-space replace — so engine and oracle agree on every
+    // round's choice AND its count, not just the final table
+    "txt_bpe_train" -> {
+      val rounds = 5
+      val sb = new StringBuilder
+      sb.append("WITH wf AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1),\n")
+      sb.append("s0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq, cnt FROM wf)")
+      for (r <- 1 to rounds) {
+        sb.append(s""",
+          |p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS total
+          |       FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+          |             FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS syms, cnt FROM s${r - 1}) q
+          |             WHERE len(syms) >= 2) u
+          |       GROUP BY 1, 2),
+          |b$r AS (SELECT a, b, total FROM p$r ORDER BY total DESC, a, b LIMIT 1),
+          |s$r AS (SELECT replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ') AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin)
+      }
+      sb.append("\nSELECT * FROM (")
+      sb.append((1 to rounds).map(r =>
+        s"SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym, a || b AS merged, total AS pair_count FROM b$r")
+        .mkString(" UNION ALL "))
+      sb.append(") ORDER BY round")
+      sb.toString
+    },
     // same hash60-slice cells (row i = 15-bit slice i of one term hash);
     // MIN over depth rows is the CMS estimate
     "txt_cms_termfreq" -> {
