@@ -310,4 +310,53 @@ object Graph {
     }
     r
   }
+
+  /** Label-propagation community detection (Raghavan et al. 2007) over an
+    * undirected edge list — the cheap linear-time community pass a dedup
+    * pipeline runs when connected components are too coarse (one bridge
+    * edge fuses two template families into one CC; LPA keeps them apart
+    * because each side's majority vote dominates its own half).
+    *
+    * SYNCHRONOUS variant with a fully deterministic update: every vertex
+    * starts labeled with its own id, and each round adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST label —
+    * argmax implemented as `MIN(struct(-cnt, label))` (lexicographic
+    * struct order), one hash agg, no window. Synchronous LPA can
+    * oscillate on bipartite-ish structures, so a FIXED round count (not
+    * convergence detection) keeps the operator a pure function of its
+    * input — same discipline as [[pageRank]] — and makes the unrolled
+    * oracle exact by construction. All-integer, bit-replicable.
+    *
+    * Plan at 100 TB: per round one keyed equi-join (edges ⋈ labels on
+    * the neighbor id) + one (vertex, label)-keyed count agg + one
+    * vertex-keyed MIN agg, all with map-side partials; per-round
+    * localCheckpoint keeps lineage flat (the [[connectedComponents]]
+    * lifecycle). Nothing all-pairs, no driver state. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    val sym = scope.track(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var liveCkpt = labels
+    (1 to rounds).foreach { _ =>
+      val next = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("best"))
+        .select(col("a").as("id"), col("best.l").as("label"))
+        .localCheckpoint()
+      releaseCheckpoint(liveCkpt) // previous round: dead once materialized
+      liveCkpt = next
+      labels = next
+    }
+    val finalCkpt = liveCkpt
+    scope.onRelease(() => releaseCheckpoint(finalCkpt))
+    labels
+  }
 }

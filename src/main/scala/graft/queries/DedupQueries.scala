@@ -178,6 +178,19 @@ object DedupQueries extends QueryFamily {
         .select(col("id").as("doc_id"), col("core_degree"))
         .orderBy(col("doc_id"))),
 
+    // label-propagation communities over the near-dup graph
+    // (Graph.labelPropagation, 4 synchronous rounds): finer than CC —
+    // a single bridge edge fuses two template families into one
+    // component, but each family's majority vote keeps its own LPA
+    // label. Deterministic (min-label ties, fixed rounds), all-integer,
+    // bit-checkable against the unrolled oracle.
+    "dd_communities" -> ((s, d) =>
+      Graph.labelPropagation(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")), rounds = 4)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id"))),
+
     // PageRank over the near-dup graph (Graph.pageRank): integer
     // fixed-point — exact-integer arithmetic makes the usually-
     // unoracleable iteration bit-checkable. Hub docs (the boilerplate
@@ -324,6 +337,28 @@ object DedupQueries extends QueryFamily {
        |r0 AS (SELECT id, outdeg, CAST(1000000000 AS BIGINT) AS score FROM outd),
        |$steps
        |SELECT id AS doc_id, outdeg, score FROM r$iters ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** 4 synchronous LPA rounds unrolled (the [[pageRankOracle]]
+    * technique): per round the neighbor-label counts with the
+    * (cnt DESC, label) argmax as a ROW_NUMBER — equivalent to the
+    * engine's MIN(struct(−cnt, label)). */
+  private val lpaOracle: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT a AS id, label FROM (
+         |  SELECT c.a, c.label, ROW_NUMBER() OVER (PARTITION BY c.a ORDER BY c.cnt DESC, c.label) AS rn
+         |  FROM (SELECT sym.a, p.label, COUNT(*) AS cnt
+         |        FROM sym JOIN l${i - 1} p ON sym.b = p.id GROUP BY 1, 2) c) w
+         |WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$shCte,
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |sym AS (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
+       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+       |$steps
+       |SELECT id AS doc_id, label AS community FROM l$rounds ORDER BY doc_id""".stripMargin
   }
 
   /** Shared recursive-reachability cluster CTEs (t, s, p, e, reach, lab,
@@ -487,6 +522,7 @@ object DedupQueries extends QueryFamily {
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
     "dd_kcore" -> kCoreOracle,
+    "dd_communities" -> lpaOracle,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

@@ -824,6 +824,33 @@ object RelQueries extends QueryFamily {
           Tables.customer(s, d), col("c_custkey")))
       DataQuality.audit(checks)
     }),
+
+    // SCD Type-2 dimension merge (Kimball; the Delta/Iceberg MERGE INTO
+    // shape as a pure join+union plan): initial customer history + one
+    // deterministic upsert batch — segment changes for custkey%7,
+    // explicit no-op rows for custkey%11, brand-new keys for custkey%500
+    // — merged so changed keys close their old version at the batch date
+    // and open a new one. Full version table out, every leg exercised.
+    "rel_scd2" -> ((s, d) => {
+      import graft.operators.Scd
+      val c = Tables.customer(s, d)
+      val history = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit("1992-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val incoming = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(lit("V2_"), col("c_mktsegment")).as("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") % 11 === 0 &&
+            col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        .unionAll(c.filter(col("c_custkey") % 500 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEWSEG").as("c_mktsegment")))
+      Scd.scd2Merge(history, incoming, "c_custkey",
+        Seq("c_mktsegment"), "1995-06-17")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1155,5 +1182,29 @@ object RelQueries extends QueryFamily {
         |SELECT check_name, n_rows, n_violations,
         |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_share
         |FROM u ORDER BY check_name""".stripMargin,
+    // same three-leg merge: null-safe change test (IS DISTINCT FROM),
+    // closed versions pinned to the batch date, opened versions for
+    // changed + new keys; history slice is all-current so the closed
+    // pass-through leg is empty here
+    "rel_scd2" ->
+      """WITH hist AS (SELECT c_custkey, c_mktsegment, '1992-01-01' AS valid_from,
+        |               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current FROM customer),
+        |inc AS (
+        |  SELECT c_custkey, 'V2_' || c_mktsegment AS seg FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 500 = 0),
+        |j AS (SELECT h.c_custkey AS hk, h.c_mktsegment, h.valid_from, h.valid_to, h.is_current,
+        |             i.c_custkey AS ik, i.seg
+        |      FROM hist h FULL JOIN inc i ON h.c_custkey = i.c_custkey),
+        |merged AS (
+        |  SELECT hk AS c_custkey, c_mktsegment, valid_from, valid_to, is_current
+        |  FROM j WHERE hk IS NOT NULL AND (ik IS NULL OR NOT (c_mktsegment IS DISTINCT FROM seg))
+        |  UNION ALL
+        |  SELECT hk, c_mktsegment, valid_from, '1995-06-17', FALSE
+        |  FROM j WHERE hk IS NOT NULL AND ik IS NOT NULL AND (c_mktsegment IS DISTINCT FROM seg)
+        |  UNION ALL
+        |  SELECT ik, seg, '1995-06-17', CAST(NULL AS VARCHAR), TRUE
+        |  FROM j WHERE ik IS NOT NULL AND (hk IS NULL OR (c_mktsegment IS DISTINCT FROM seg)))
+        |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
   )
 }

@@ -123,4 +123,28 @@ class GraphSpec extends GraftSparkSpec {
     val cycle = path :+ (12L -> 1L)
     assert(coreOf(2, cycle: _*) === (1L to 12L).map(_ -> 2L).toMap)
   }
+
+  private def lpaOf(rounds: Int, pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.labelPropagation(edges(pairs: _*), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: barbell splits where CC fuses") {
+    // two 4-cliques joined by ONE bridge edge 4-5: connected components
+    // collapse everything to one label, but each clique's majority vote
+    // holds its own side — the case LPA exists for
+    val cliqueA = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val cliqueB = Seq(5L -> 6L, 5L -> 7L, 5L -> 8L, 6L -> 7L, 6L -> 8L, 7L -> 8L)
+    val got = lpaOf(4, (cliqueA ++ cliqueB :+ (4L -> 5L)): _*)
+    assert(Set(1L, 2L, 3L, 4L).map(got) === Set(1L))
+    assert(Set(5L, 6L, 7L, 8L).map(got) === Set(5L))
+    assert(labelsOf((cliqueA ++ cliqueB :+ (4L -> 5L)): _*)
+      .values.toSet === Set(1L)) // the same graph under CC: ONE component
+  }
+
+  test("labelPropagation: min-label tie-break is deterministic") {
+    // triangle: every vertex sees two neighbor labels once each (tie) —
+    // round 1 adopts the smallest, round 2 converges everyone to 1
+    val got = lpaOf(4, 1L -> 2L, 2L -> 3L, 1L -> 3L)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
