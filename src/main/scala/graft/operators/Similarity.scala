@@ -417,6 +417,59 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Two-stage PQ search with exact refine — FAISS's IndexRefineFlat
+    * composition, the standard production answer to PQ's scoring error:
+    * stage 1 scores the WHOLE corpus cheaply through the PQ
+    * reconstructions (ADC, as [[pqTopK]]) and keeps only a shortlist of
+    * `shortlistFactor`·k candidates per query; stage 2 re-scores JUST
+    * the shortlist against the raw float vectors and emits the exact
+    * top-k of it. Recall then depends only on whether the true top-k
+    * survived into the shortlist — scoring error inside the shortlist is
+    * fully repaired — which is why refine lifts recall at a cost of
+    * O(shortlist) raw-vector reads per query instead of O(n).
+    *
+    * Plan at 100 TB: stage 1 is the PQ scan (codes are the 64×-smaller
+    * side — in production the only side resident in memory); the
+    * shortlist is (n_queries × shortlistFactor·k) rows of IDs — tiny —
+    * and stage 2 re-joins it to the raw corpus BY ID (keyed equi-join,
+    * the random-access read a refine step does against the on-disk
+    * flat vectors) and to the query side likewise; per-query windows
+    * partition by query_id, never global. */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlistFactor: Int = 3, subDim: Int = 16, ksub: Int = 16,
+      lloydIters: Int = 1): DataFrame = {
+    val rec = pqDequantized(corpus, subDim, ksub, lloydIters)
+    val qs = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qa"))
+    val adc = qs
+      .crossJoin(rec.select(col("vec_id").as("neighbor_id"), col("qv").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qa"), col("nv")).as("adc_cos"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("nx")), Seq("neighbor_id"))
+      .join(qs, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSeq(col("qa"), col("nx")).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val topk = refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    topk.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** PQ codes UNDER the IVF cell layout — IVF-PQ, the composition a
     * billion-vector index actually ships (coarse cells prune the scan,
     * PQ codes shrink what a probed cell reads by 64×). FAISS-faithful

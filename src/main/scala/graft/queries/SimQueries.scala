@@ -63,6 +63,14 @@ object SimQueries extends QueryFamily {
       Similarity.pqTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
         .orderBy(col("query_id"), col("rank"))),
 
+    // two-stage PQ + exact refine (FAISS IndexRefineFlat): ADC shortlist
+    // of 3k per query, exact re-rank of just the shortlist — recall now
+    // depends only on shortlist survival, scoring error inside it is
+    // repaired; O(shortlist) raw reads per query, never O(n)
+    "sim_topk_pq_refine" -> ((s, d) =>
+      Similarity.pqRefineTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
     // IVF-PQ — the composition a billion-vector index ships: coarse
     // cells prune the scan, PQ codes shrink what a probed cell reads.
     // FAISS-faithful IVFADC: ONE raw-corpus-trained coarse quantizer
@@ -313,6 +321,41 @@ object SimQueries extends QueryFamily {
        |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
        |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin
 
+  /** Bit-exact replica of [[graft.operators.Similarity.pqRefineTopK]]:
+    * the same PQ CTEs build the ADC shortlist (3k per query, (adc DESC,
+    * neighbor) order), then the shortlist alone is re-scored float-exact
+    * and cut to top-k — identical two-stage arithmetic, identical
+    * recall contract vs the full brute force. */
+  private def pqRefineOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pqCtesSql("ef")},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 5 = 0),
+       |ap AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v")} AS adc_cos
+       |  FROM q CROSS JOIN epq c WHERE query_id <> c.vec_id),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS srank
+       |  FROM ap) r WHERE srank <= 9),
+       |rf AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${cosineSql("q.qv", "c.v")} AS qcos
+       |  FROM sl JOIN q USING (query_id) JOIN ef c ON c.vec_id = sl.neighbor_id),
+       |tk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
+       |  SELECT query_id, neighbor_id, qcos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM rf) r WHERE rank <= 3),
+       |ep AS (
+       |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q2.v", "c.v")} AS cosine
+       |  FROM (SELECT * FROM ef WHERE vec_id % 5 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
+       |etk AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ep) r WHERE rank <= 3),
+       |rec AS (SELECT tk.query_id, COUNT(etk.neighbor_id) AS n_hit
+       |        FROM tk LEFT JOIN etk USING (query_id, neighbor_id) GROUP BY tk.query_id)
+       |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+       |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin
+
   /** Bit-exact replica of [[graft.operators.Similarity.pqIvfTopK]],
     * FAISS-faithful IVFADC: ONE coarse quantizer trained on the raw
     * vectors (`ivfCtesSql("x", "ef")` — its `xaf` assignment and
@@ -462,6 +505,7 @@ object SimQueries extends QueryFamily {
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
     "sim_topk_pq" -> pqOracleSql,
+    "sim_topk_pq_refine" -> pqRefineOracleSql,
     "sim_topk_pq_ivf" -> pqIvfOracleSql,
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (

@@ -107,6 +107,28 @@ class SimilaritySpec extends GraftSparkSpec {
     r.foreach(row => assert(math.abs(row.getDouble(3)) <= 1.0000001))
   }
 
+  test("pqRefineTopK: refine never lowers recall vs plain PQ, per query") {
+    // law, not luck: plain PQ's top-k is the shortlist's ADC-best k and
+    // the shortlist is a superset, so every true neighbor PQ surfaces is
+    // still in the shortlist — and exact re-ranking always promotes true
+    // top-k members within it. Hence recall_refine >= recall_pq per query.
+    val queries = vectors.filter(col("vec_id") % 5 === 0)
+    val pq = Similarity.pqTopK(vectors, queries, 3, subDim = 4, ksub = 16)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.head.getDouble(4) }
+    val rf = Similarity.pqRefineTopK(vectors, queries, 3,
+      shortlistFactor = 3, subDim = 4, ksub = 16)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.head.getDouble(4) }
+    assert(rf.keySet === pq.keySet)
+    rf.foreach { case (q, r) => assert(r >= pq(q) - 1e-12, s"query $q") }
+    // and the refined scores are EXACT cosines: each row's qcos must
+    // equal the brute-force cosine for that (query, neighbor)
+    val exact = Similarity.bruteForceTopK(vectors, queries, 49)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.pqRefineTopK(vectors, queries, 3, 3, 4, 16).collect()
+      .foreach(r => assert(r.getDouble(3) ===
+        exact((r.getLong(0), r.getLong(2)))))
+  }
+
   test("IVF-PQ: k rows per query, recall within [0,1]") {
     val queries = vectors.filter(col("vec_id") % 5 === 0)
     val r = Similarity.pqIvfTopK(vectors, queries, 3, nCells = 4, nProbe = 2)
