@@ -542,19 +542,30 @@ object Multimodal {
     * shuffles (band, 14-bit value) keys with candidate cost proportional
     * to true collision density, not n² — the standard production layout
     * for perceptual dedup of a crawl's image corpus. */
-  def phashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashes = dHashes(encodeImages(docs)).toDF()
-    val bands = hashes.select(col("doc_id"), col("phash"),
+  def phashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      dHashes(encodeImages(docs)).toDF()
+        .select(col("doc_id"), col("phash").as("h")), maxHamming)
+
+  /** Shared 4×14-bit pigeonhole banding over 56-bit fingerprints
+    * ((doc_id, h) in): any pair within Hamming distance ≤ 3 differs in
+    * at most 3 bands so collides on at least one — recall 1.0 — and
+    * candidates are verified with the exact bit_count(xor) distance, so
+    * banding only prunes. The (band, value)-keyed equi-join is the
+    * standard linear-ish perceptual-dedup layout at 100 TB: 8 bytes per
+    * item shuffle, candidate cost proportional to collision density. */
+  private def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
-          (shiftright(col("phash"), 14 * j) % lit(16384L)).as("bv"))): _*))
+          (shiftright(col("h"), 14 * j) % lit(16384L)).as("bv"))): _*))
         .as("b"))
-      .select(col("doc_id"), col("phash"), col("b.band").as("band"),
+      .select(col("doc_id"), col("h"), col("b.band").as("band"),
         col("b.bv").as("bv"))
     val cand = bands.select(col("band"), col("bv"),
-        col("doc_id").as("doc_a"), col("phash").as("ha"))
+        col("doc_id").as("doc_a"), col("h").as("ha"))
       .join(bands.select(col("band"), col("bv"),
-        col("doc_id").as("doc_b"), col("phash").as("hb")),
+        col("doc_id").as("doc_b"), col("h").as("hb")),
         Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
@@ -564,6 +575,56 @@ object Multimodal {
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Perceptual AUDIO fingerprint over REAL decoded PCM — the audio
+    * sibling of [[dHashes]], same construction one level up the energy
+    * envelope (the Haitsma–Kalker/Chromaprint family reduced to its
+    * integer-exact core): the WAV is actually parsed (`AudioSystem`,
+    * as [[decodeAudioStats]]), the decoded sample stream is cut into 57
+    * contiguous frames (sample i → frame i·57 DIV n — exact integer
+    * partition both engines can replay), each frame's ENERGY is the
+    * exact integer sum of its 8-bit samples, and bit f is set iff
+    * E(f+1) > E(f). Time-stretch-free and loudness-shift-tolerant the
+    * same way dHash is brightness-shift-tolerant: a uniform +c per
+    * sample adds c·|frame| per frame — only unequal frame sizes can
+    * flip a comparison, so equal-length re-encodes hash identically.
+    *
+    * Scale: narrow embarrassingly-parallel decode; 8 bytes out/clip. */
+  def aHashes(wavs: Dataset[WavRow]): Dataset[PhashRow] = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val buf = ais.readAllBytes()
+        val n = buf.length
+        val energies = new Array[Long](57)
+        var i = 0
+        while (i < n) {
+          energies((i.toLong * 57 / n).toInt) += (buf(i) & 0xFF)
+          i += 1
+        }
+        var hash = 0L
+        var f = 0
+        while (f < 56) {
+          if (energies(f + 1) > energies(f)) hash |= 1L << f
+          f += 1
+        }
+        PhashRow(r.doc_id, hash)
+      }
+    }
+  }
+
+  /** Hamming-banded audio near-dup pairs over [[aHashes]] fingerprints —
+    * the [[phashDupPairs]] plan on the audio modality. */
+  def ahashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      aHashes(encodeAudio(docs)).toDF()
+        .select(col("doc_id"), col("phash").as("h")), maxHamming)
 
   /** Evenly-spaced n-byte "frame" offsets for a payload — the frame-sample
     * access pattern without a codec. */

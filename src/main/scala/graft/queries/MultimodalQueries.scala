@@ -127,6 +127,16 @@ object MultimodalQueries extends QueryFamily {
     "mm_phash_dup" -> ((s, d) =>
       Multimodal.phashDupPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // perceptual near-dup on the AUDIO modality: 56-bit energy-envelope
+    // hash (Haitsma–Kalker family, integer-exact core) computed from the
+    // REAL AudioSystem-decoded PCM stream, same 4×14 pigeonhole banding
+    // + exact verify as mm_phash_dup. Oracle replays the synthesis rule
+    // + identical frame partition from raw bytes — a hash match proves
+    // the engine's fingerprint came off a real WAV parse.
+    "mm_ahash_dup" -> ((s, d) =>
+      Multimodal.ahashDupPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
   )
 
   private val mimeSql =
@@ -297,6 +307,29 @@ object MultimodalQueries extends QueryFamily {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // energy-envelope hash replayed from the synthesis rule (sample i =
+    // byte i) with the identical i·57 DIV n frame partition; the frame
+    // SPINE (cross join with range(0,57)) matters — a sub-57-sample clip
+    // has empty frames whose zero energy still enters the comparisons
+    "mm_ahash_dup" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |sm AS (SELECT doc_id, (i * 57) // nb AS f,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT AS v
+        |       FROM (SELECT doc_id, hx, nb, unnest(range(0, CAST(nb AS BIGINT))) AS i FROM b) u),
+        |en AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS e FROM sm GROUP BY 1, 2),
+        |fr AS (SELECT b.doc_id, ff.f FROM b, (SELECT unnest(range(0, 57)) AS f) ff),
+        |en2 AS (SELECT fr.doc_id, fr.f, COALESCE(en.e, 0) AS e FROM fr LEFT JOIN en ON en.doc_id = fr.doc_id AND en.f = fr.f),
+        |bits AS (SELECT a.doc_id, a.f AS idx, CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+        |         FROM en2 a JOIN en2 n ON n.doc_id = a.doc_id AND n.f = a.f + 1
+        |         WHERE a.f < 56),
+        |ah AS (SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN 1::BIGINT << CAST(idx AS INT) ELSE 0::BIGINT END) AS BIGINT) AS h
+        |       FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
+        |FROM ah a JOIN ah b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.h, b2.h)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -197,4 +197,23 @@ class MultimodalSpec extends GraftSparkSpec {
         s"payload length $n")
     }
   }
+
+  test("aHash: sub-57-sample clips — empty frames compare as zero energy") {
+    val s = spark
+    import s.implicits._
+    // n=3: samples land in frames 0, 19, 38 (i·57 DIV 3 = 19i); every
+    // other frame is EMPTY → only rises 18 and 37 set, so any two
+    // 3-char clips of printable text hash identically (hamming 0), and
+    // a 2-char clip (single rise at 27) sits exactly 3 bits away
+    val docs = Seq((0L, "abc"), (1L, "xyz"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val hashes = Multimodal.aHashes(Multimodal.encodeAudio(docs))
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(hashes(0L) === ((1L << 18) | (1L << 37)))
+    assert(hashes(0L) === hashes(1L))
+    assert(hashes(2L) === (1L << 27))
+    val pairs = Multimodal.ahashDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs === Map((0L, 1L) -> 0, (0L, 2L) -> 3, (1L, 2L) -> 3))
+  }
 }
