@@ -58,6 +58,14 @@ case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
     sample_sum: Long, n_distinct: Int, mean_sample: Double,
     duration_us: Long)
 
+/** Classic time-domain audio features off DECODED PCM (speech/music
+  * discrimination battery: Scheirer & Slaney 1997) — all integer-exact
+  * on the centered 8-bit samples, so an oracle replay from the synthesis
+  * rule is a bit-for-bit roundtrip proof like [[AudioStats]]. */
+case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
+    energy: Long, ac1: Long, ac2: Long, ac4: Long, ac8: Long,
+    best_lag: Int)
+
 /** One encoded multi-frame payload (real multi-page TIFF bytes). */
 case class TiffRow(doc_id: Long, tiff: Array[Byte])
 
@@ -615,6 +623,68 @@ object Multimodal {
           f += 1
         }
         PhashRow(r.doc_id, hash)
+      }
+    }
+  }
+
+  /** Time-domain feature battery off REAL decoded PCM — the classic
+    * speech/music discriminators (Scheirer & Slaney 1997) in
+    * integer-exact form on centered samples c(i) = v(i) − 128:
+    *   - `zcr`: sign crossings of the centered stream (crossing iff the
+    *     pair straddles 128 — the <128 / ≥128 convention fixes the
+    *     zero-sign ambiguity identically in both engines);
+    *   - `energy`: Σ c(i)² — exact long (≤ 128²·n);
+    *   - `ac{1,2,4,8}`: raw autocorrelation Σ c(i)·c(i+L) at octave
+    *     lags — the pitch-detector's comparison row, exact long;
+    *   - `best_lag`: argmax over the four lags, smallest lag on ties —
+    *     the fundamental-period pick.
+    * Decoded-side like [[decodeAudioStats]]: every number comes from the
+    * `AudioSystem`-parsed frame stream, so the oracle equality is a
+    * roundtrip proof. Scale: embarrassingly parallel mapPartitions,
+    * O(1) state per clip, nothing shuffles but the 9-column result. */
+  def audioFeatures(wavs: Dataset[WavRow]): Dataset[AudioFeatures] = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    val lags = Array(1, 2, 4, 8)
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val buf = ais.readAllBytes()
+        val n = buf.length
+        var zcr = 0L
+        var energy = 0L
+        var i = 0
+        while (i < n) {
+          val c = (buf(i) & 0xFF) - 128
+          energy += c.toLong * c
+          if (i > 0) {
+            val prevNeg = (buf(i - 1) & 0xFF) < 128
+            val curNeg = (buf(i) & 0xFF) < 128
+            if (prevNeg != curNeg) zcr += 1
+          }
+          i += 1
+        }
+        val ac = lags.map { l =>
+          var s = 0L
+          var j = 0
+          while (j + l < n) {
+            s += ((buf(j) & 0xFF) - 128).toLong * ((buf(j + l) & 0xFF) - 128)
+            j += 1
+          }
+          s
+        }
+        var best = 0
+        var k = 1
+        while (k < lags.length) {
+          if (ac(k) > ac(best)) best = k
+          k += 1
+        }
+        AudioFeatures(r.doc_id, n.toLong, zcr, energy,
+          ac(0), ac(1), ac(2), ac(3), lags(best))
       }
     }
   }

@@ -77,4 +77,48 @@ object OrderStats {
       .withColumn(cumCol, sum(col("__v")).over(wLocal) + col("__offset"))
       .drop("__pid", "__offset", "__v")
   }
+
+  /** 2-D skyline (Pareto frontier; Börzsönyi et al., ICDE 2001): rows not
+    * dominated on (cost ↓ better, benefit ↑ better). `a` dominates `b`
+    * iff a.cost ≤ b.cost ∧ a.benefit ≥ b.benefit with at least one
+    * strict; ties on BOTH dimensions survive together (neither
+    * dominates).
+    *
+    * The sorted-scan formulation, not the O(n²) self-join: within a
+    * cost-ordered stream a row is dominated iff
+    *   max{benefit : cost' < cost} ≥ benefit   (strict on cost), or
+    *   max{benefit : cost' ≤ cost} > benefit   (strict on benefit);
+    * both maxima are RANGE-frame running windows over the integer cost
+    * key (value-based frames, so same-cost peers land in the ≤ frame
+    * regardless of intra-tie order — deterministic without a tie-break).
+    *
+    * Scale shape — the distribute-then-merge skyline: the global skyline
+    * is a subset of the union of ANY partitioning's local skylines, so
+    * phase 1 runs the window partitioned by a hash bucket of the row key
+    * (P parallel sorted scans over ~1/P of the data, one hash shuffle),
+    * and phase 2 re-runs the same filter globally over the survivors —
+    * at most P × |skyline| rows, a frontier not a table, so the one
+    * unpartitioned window is bounded by output size, never input size.
+    * `cost` must be integer-valued (cents); `key` any unique column. */
+  def skyline2D(df: DataFrame, key: Column, cost: Column, benefit: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val base = df.select(key.as("__k"), cost.cast("long").as("__c"),
+      benefit.cast("long").as("__b"))
+    def survivors(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val wStrict = Window.partitionBy(part: _*).orderBy(col("__c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wLe = Window.partitionBy(part: _*).orderBy(col("__c"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      in.withColumn("__mx_strict",
+          coalesce(max(col("__b")).over(wStrict), lit(Long.MinValue)))
+        .withColumn("__mx_le", max(col("__b")).over(wLe))
+        .filter(!(col("__mx_strict") >= col("__b") ||
+          col("__mx_le") > col("__b")))
+        .drop("__mx_strict", "__mx_le")
+    }
+    val local = survivors(
+      base.withColumn("__bkt", pmod(hash(col("__k")), lit(nBuckets))),
+      Seq(col("__bkt"))).drop("__bkt")
+    survivors(local, Seq.empty)
+  }
 }

@@ -106,6 +106,45 @@ object Profile {
       when(varYN > 0, sqrt(varYN) / nD).as("std_y")): _*)
   }
 
+  /** Per-group closed-form OLS — y regressed on x via the normal
+    * equations, the moments-only formulation every distributed engine
+    * ships (one pass, one shuffle on the group key, map-side partial
+    * aggregation — no gradient iterations, no driver state):
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * Same exactness discipline as [[momentStats]]: the five moments
+    * accumulate in DECIMAL(38,0) (order-independent, overflow-safe at any
+    * row count), the derivation is a FIXED IEEE double sequence mirrored
+    * verbatim by the oracle SQL, and a degenerate group (zero or
+    * cancellation-negative x-variance, where the engines' ÷0 semantics
+    * diverge) NULLs the fit on both sides. `x`, `y` must be
+    * integer-valued (cents). */
+  def linReg(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val grouped = df.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"),
+      sum(y.cast(dec)).as("sy"),
+      sum((x.cast(dec) * x.cast(dec))).as("sxx"),
+      sum((y.cast(dec) * y.cast(dec))).as("syy"),
+      sum((x.cast(dec) * y.cast(dec))).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = nD * d("sxy") - d("sx") * d("sy")
+    val varXN = nD * d("sxx") - d("sx") * d("sx")
+    val varYN = nD * d("syy") - d("sy") * d("sy")
+    val slope = covN / varXN
+    grouped.select(groupCols ++ Seq(
+      col("n"),
+      when(varXN > 0, slope).as("slope"),
+      when(varXN > 0, (d("sy") - slope * d("sx")) / nD).as("intercept"),
+      when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN)).as("r2")): _*)
+  }
+
   /** Per-group exact-moment statistics: (keyCol, n, mu, std) for every
     * group with POSITIVE variance — degenerate groups (zero or
     * cancellation-negative variance) are excluded, per the

@@ -780,4 +780,54 @@ object TextOps {
         when(col("n_known") > 0,
           col("psum") / col("n_known").cast("double")).as("lm_kn_score"))
   }
+
+  /** PMI collocation mining — the phrase-detection pass (Church & Hanks
+    * 1990; the word2vec phrase heuristic is the same ratio) that turns a
+    * token soup into multi-word units before tokenizer training:
+    *
+    *   PMI(w1,w2) = ln( p(w1w2) / (p(w1)·p(w2)) )
+    *              = ln( c2·Nu² / (Nb·c1(w1)·c1(w2)) )
+    *
+    * ln(x) is not bit-portable across math libraries (measured — see
+    * [[tfIdf]]), so the engine ranks by the LIFT ratio inside the log
+    * (strictly monotone in PMI): numerator c2·Nu² and denominator
+    * Nb·c1(w1)·c1(w2) accumulate in DECIMAL(38,0) / HUGEINT exact
+    * integers — overflow-safe at any corpus size — and the single
+    * integer÷integer double division is correctly rounded identically in
+    * any IEEE engine. `minCount` is the standard collocation support
+    * floor (kills the one-off pairs whose PMI is spuriously maximal).
+    *
+    * Plan at 100 TB: one narrow bigram explode feeding a pair-keyed hash
+    * aggregate, a unigram hash aggregate joined twice by term —
+    * shuffle-hash pinned like [[lmScoreAll]]'s count tables (the
+    * vocabulary does not broadcast at corpus scale) — and a 1-row total
+    * broadcast. No all-pairs anything: state is vocabulary-bounded. */
+  def collocations(docs: DataFrame, minCount: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val pairs = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val uni = t.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = bg.agg(count(lit(1)).as("nb"))
+      .crossJoin(uni.agg(sum(col("cnt")).cast("long").as("nu")))
+    pairs
+      .join(uni.select(col("term").as("w1"), col("cnt").as("cnt1"))
+        .hint("shuffle_hash"), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cnt").as("cnt2"))
+        .hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("cnt1"),
+        col("cnt2"),
+        ((col("pair_cnt").cast(dec) * col("nu").cast(dec) *
+          col("nu").cast(dec)).cast("double") /
+          (col("nb").cast(dec) * col("cnt1").cast(dec) *
+            col("cnt2").cast(dec)).cast("double")).as("lift"))
+  }
 }

@@ -137,6 +137,17 @@ object MultimodalQueries extends QueryFamily {
     "mm_ahash_dup" -> ((s, d) =>
       Multimodal.ahashDupPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // time-domain audio feature battery (ZCR / energy / octave-lag
+    // autocorrelation / argmax period) off the REAL decoded PCM stream —
+    // integer-exact, so the oracle replay from the synthesis rule is a
+    // roundtrip proof; the pitch-detector comparison row of the classic
+    // speech/music discriminators.
+    "mm_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(
+        Multimodal.encodeAudio(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
   )
 
   private val mimeSql =
@@ -331,5 +342,32 @@ object MultimodalQueries extends QueryFamily {
         |FROM ah a JOIN ah b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.h, b2.h)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // centered samples c(i) = byte(i) − 128; zcr by the <128/≥128
+    // straddle convention; autocorr via LEAD at the octave lags; argmax
+    // tiebreak = smallest lag (mirrors the engine's strict-> scan)
+    "mm_audio_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |sm AS (SELECT doc_id, nb, i,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT - 128 AS c
+        |       FROM (SELECT doc_id, hx, nb, unnest(range(0, CAST(nb AS BIGINT))) AS i FROM b) u),
+        |f AS (SELECT doc_id, nb, c,
+        |        LAG(c) OVER w AS cp,
+        |        LEAD(c, 1) OVER w AS c1, LEAD(c, 2) OVER w AS c2,
+        |        LEAD(c, 4) OVER w AS c4, LEAD(c, 8) OVER w AS c8
+        |      FROM sm WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |a AS (SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS n_samples,
+        |        CAST(SUM(CASE WHEN cp IS NOT NULL AND ((cp < 0) <> (c < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |        CAST(SUM(c * c) AS BIGINT) AS energy,
+        |        CAST(SUM(CASE WHEN c1 IS NOT NULL THEN c * c1 ELSE 0 END) AS BIGINT) AS ac1,
+        |        CAST(SUM(CASE WHEN c2 IS NOT NULL THEN c * c2 ELSE 0 END) AS BIGINT) AS ac2,
+        |        CAST(SUM(CASE WHEN c4 IS NOT NULL THEN c * c4 ELSE 0 END) AS BIGINT) AS ac4,
+        |        CAST(SUM(CASE WHEN c8 IS NOT NULL THEN c * c8 ELSE 0 END) AS BIGINT) AS ac8
+        |      FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_samples, zcr, energy, ac1, ac2, ac4, ac8,
+        |  CAST(CASE WHEN ac1 >= ac2 AND ac1 >= ac4 AND ac1 >= ac8 THEN 1
+        |            WHEN ac2 >= ac4 AND ac2 >= ac8 THEN 2
+        |            WHEN ac4 >= ac8 THEN 4 ELSE 8 END AS INT) AS best_lag
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

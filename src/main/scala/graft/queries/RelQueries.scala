@@ -851,6 +851,31 @@ object RelQueries extends QueryFamily {
         Seq("c_mktsegment"), "1995-06-17")
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
+
+    // closed-form OLS per group (normal equations over one-pass exact
+    // DECIMAL moments — no iterations, one keyed shuffle): price
+    // regressed on quantity per return flag. Slope/intercept/r² derive
+    // by a fixed IEEE double sequence the oracle mirrors verbatim.
+    "rel_linreg" -> ((s, d) =>
+      graft.operators.Profile.linReg(
+        Tables.lineitem(s, d),
+        Seq(col("l_returnflag")),
+        cents(col("l_quantity")), cents(col("l_extendedprice")))
+        .orderBy(col("l_returnflag"))),
+
+    // 2-D skyline / Pareto frontier (Börzsönyi ICDE'01): parts no other
+    // part beats on (cheaper, larger) — the sorted-scan formulation via
+    // RANGE-frame running maxima, distribute-then-merge (local skylines
+    // per hash bucket, global pass only over the frontier-sized
+    // survivors), not the O(n²) dominance self-join the oracle runs.
+    "rel_skyline" -> ((s, d) =>
+      graft.operators.OrderStats.skyline2D(
+        Tables.part(s, d), col("p_partkey"),
+        cents(col("p_retailprice")), col("p_size"))
+        .select(col("__k").as("p_partkey"),
+          dollars(col("__c")).as("p_retailprice"),
+          col("__b").as("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1206,5 +1231,39 @@ object RelQueries extends QueryFamily {
         |  SELECT ik, seg, '1995-06-17', CAST(NULL AS VARCHAR), TRUE
         |  FROM j WHERE ik IS NOT NULL AND (hk IS NULL OR (c_mktsegment IS DISTINCT FROM seg)))
         |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+    // verbatim mirror of Profile.linReg's fixed double derivation over
+    // HUGEINT-exact moments (same discipline as rel_corr_moments)
+    "rel_linreg" -> {
+      val cq = centsSql("l_quantity")
+      val cp = centsSql("l_extendedprice")
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST($cq AS HUGEINT)) AS sx, SUM(CAST($cp AS HUGEINT)) AS sy,
+         |    SUM(CAST($cq AS HUGEINT) * CAST($cq AS HUGEINT)) AS sxx,
+         |    SUM(CAST($cp AS HUGEINT) * CAST($cp AS HUGEINT)) AS syy,
+         |    SUM(CAST($cq AS HUGEINT) * CAST($cp AS HUGEINT)) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag),
+         |v AS (
+         |  SELECT l_returnflag, n, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn
+         |  FROM m)
+         |SELECT l_returnflag, n,
+         |  CASE WHEN vxn > 0 THEN covn / vxn END AS slope,
+         |  CASE WHEN vxn > 0 THEN (syd - (covn / vxn) * sxd) / CAST(n AS DOUBLE) END AS intercept,
+         |  CASE WHEN vxn > 0 AND vyn > 0 THEN covn * covn / (vxn * vyn) END AS r2
+         |FROM v ORDER BY l_returnflag""".stripMargin
+    },
+    // dominance by definition — the O(n²) NOT EXISTS the engine's
+    // sorted-scan must equal exactly (ties on both dims survive)
+    "rel_skyline" -> {
+      val cp = centsSql("p_retailprice")
+      s"""WITH p AS (SELECT p_partkey, CAST($cp AS BIGINT) AS c, CAST(p_size AS BIGINT) AS b FROM part)
+         |SELECT p_partkey, CAST(c AS DOUBLE) / 100 AS p_retailprice, b AS p_size
+         |FROM p a WHERE NOT EXISTS (
+         |  SELECT 1 FROM p o WHERE o.c <= a.c AND o.b >= a.b AND (o.c < a.c OR o.b > a.b))
+         |ORDER BY p_retailprice, p_partkey""".stripMargin
+    },
   )
 }

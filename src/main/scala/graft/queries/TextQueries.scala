@@ -372,6 +372,16 @@ object TextQueries extends QueryFamily {
             .as("oov_rate"))
         .orderBy(col("lang"))
     }),
+
+    // PMI collocation mining (Church & Hanks 1990) — the phrase pass
+    // before tokenizer training. Ranked by the exact-integer LIFT ratio
+    // inside the log (strictly monotone in PMI; ln isn't bit-portable),
+    // support floor 5, top-100. (lift DESC, w1, w2) is a total order:
+    // equal lift with equal counts still splits on the pair itself.
+    "txt_collocations" -> ((s, d) =>
+      TextOps.collocations(docs(s, d), minCount = 5)
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(100)),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -734,5 +744,20 @@ object TextQueries extends QueryFamily {
         |SELECT lang, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // lift = c2·Nu² / (Nb·c1(w1)·c1(w2)) in HUGEINT-exact integers, one
+    // correctly-rounded double division — mirrors TextOps.collocations
+    "txt_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+        |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t) u),
+        |uni AS (SELECT unnest(toks) AS term FROM t),
+        |uc AS (SELECT term, COUNT(*) AS cnt FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM bg) AS nb, (SELECT COUNT(*) FROM uni) AS nu),
+        |pr AS (SELECT w1, w2, COUNT(*) AS pair_cnt FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, pair_cnt, u1.cnt AS cnt1, u2.cnt AS cnt2,
+        |  CAST(CAST(pair_cnt AS HUGEINT) * CAST(nu AS HUGEINT) * CAST(nu AS HUGEINT) AS DOUBLE) /
+        |  CAST(CAST(nb AS HUGEINT) * CAST(u1.cnt AS HUGEINT) * CAST(u2.cnt AS HUGEINT) AS DOUBLE) AS lift
+        |FROM pr JOIN uc u1 ON u1.term = pr.w1 JOIN uc u2 ON u2.term = pr.w2 CROSS JOIN tot
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSparkSpec
+
+/** Round-10 analytics additions: 2-D skyline, closed-form OLS, PMI
+  * collocations. Each checked against a brute-force or hand-computed
+  * law on deterministic fixtures, plus partitioning invariance for the
+  * distribute-then-merge skyline. */
+class AnalyticsOpsSpec extends GraftSparkSpec {
+
+  // deterministic pseudo-random points: hash-scatter over a 100×100 grid
+  private lazy val points = spark.range(0, 500).toDF("id")
+    .withColumn("cost", pmod(hash(col("id"), lit(1)), lit(100)).cast("long"))
+    .withColumn("benefit", pmod(hash(col("id"), lit(2)), lit(100)).cast("long"))
+
+  test("skyline2D equals the brute-force dominance filter") {
+    val all = points.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = all.filter { case (_, c, b) =>
+      !all.exists { case (_, c2, b2) =>
+        c2 <= c && b2 >= b && (c2 < c || b2 > b)
+      }
+    }.map(_._1).toSet
+    val got = OrderStats.skyline2D(points, col("id"), col("cost"),
+      col("benefit")).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
+  test("skyline2D: ties on both dimensions survive together; bucket count irrelevant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 4L), (4L, 9L, 5L),
+      (5L, 20L, 9L)).toDF("id", "cost", "benefit")
+    // (4) dominates (1),(2),(3) on cost; (1),(2) would tie each other but
+    // are gone; (5) survives (largest benefit). (4) survives (cheapest+5).
+    val got = OrderStats.skyline2D(df, col("id"), col("cost"), col("benefit"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(4L, 5L))
+    // exact duplicate frontier points both survive
+    val dup = Seq((1L, 1L, 1L), (2L, 1L, 1L)).toDF("id", "cost", "benefit")
+    assert(OrderStats.skyline2D(dup, col("id"), col("cost"), col("benefit"))
+      .count() === 2)
+    for (nb <- Seq(1, 7, 64)) {
+      val g = OrderStats.skyline2D(points, col("id"), col("cost"),
+        col("benefit"), nBuckets = nb).collect().map(_.getLong(0)).toSet
+      val base = OrderStats.skyline2D(points, col("id"), col("cost"),
+        col("benefit")).collect().map(_.getLong(0)).toSet
+      assert(g === base, s"nBuckets=$nb")
+    }
+  }
+
+  test("linReg recovers an exact line and NULLs a degenerate group") {
+    val s = spark
+    import s.implicits._
+    // group a: y = 3x + 7 exactly; group b: constant x (zero variance)
+    val df = ((1L to 50L).map(x => ("a", x, 3 * x + 7)) ++
+      (1L to 10L).map(i => ("b", 4L, i))).toDF("g", "x", "y")
+    val rows = Profile.linReg(df, Seq(col("g")), col("x"), col("y"))
+      .orderBy(col("g")).collect()
+    val a = rows(0)
+    assert(a.getString(0) === "a" && a.getLong(1) === 50L)
+    assert(math.abs(a.getDouble(2) - 3.0) < 1e-12)
+    assert(math.abs(a.getDouble(3) - 7.0) < 1e-9)
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)
+    val b = rows(1)
+    assert(b.getString(0) === "b" && b.isNullAt(2) && b.isNullAt(3) &&
+      b.isNullAt(4))
+  }
+
+  test("collocations: counts and lift on a hand fixture, support floor enforced") {
+    val s = spark
+    import s.implicits._
+    // "new york" appears 6×; "the the" 5×; "rare pair" once (below floor)
+    val docs = (
+      (1L to 6L).map(i => (i, "new york")) ++
+        Seq((7L, "the the the the the the")) ++
+        Seq((8L, "rare pair"))).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    // bigrams: 6×(new,york) + 5×(the,the) + 1×(rare,pair) → Nb = 12
+    // unigrams: new 6, york 6, the 6, rare 1, pair 1 → Nu = 20
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq(("new", "york", 6L), ("the", "the", 5L)))
+    val Seq(ny, tt) = got.toSeq.map(_._6)
+    assert(math.abs(ny - 6.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
+    assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
+  }
+}

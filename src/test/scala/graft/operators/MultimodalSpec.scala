@@ -216,4 +216,30 @@ class MultimodalSpec extends GraftSparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs === Map((0L, 1L) -> 0, (0L, 2L) -> 3, (1L, 2L) -> 3))
   }
+
+  test("audioFeatures: hand-computed ZCR/energy/autocorr on known byte streams") {
+    val s = spark
+    import s.implicits._
+    // "ast": bytes 97,115,116 → centered -31,-13,-12 (all <128: zcr 0)
+    // "a!t": bytes 97,33,116 → centered -31,-95,-12 — still zcr 0;
+    // mix above/below 128: "aä" (UTF-8 97,195,164) → -31,67,36: one
+    // straddle of 128 (97→195; 195→164 stays above) → zcr 1
+    val docs = Seq((0L, "ast"), (1L, "aä")).toDF("doc_id", "text")
+    val got = Multimodal.audioFeatures(Multimodal.encodeAudio(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val f0 = got(0L)
+    assert(f0.n_samples === 3L && f0.zcr === 0L)
+    assert(f0.energy === (31L * 31 + 13 * 13 + 12 * 12))
+    assert(f0.ac1 === ((-31L) * (-13) + (-13L) * (-12)))
+    assert(f0.ac2 === ((-31L) * (-12)))
+    assert(f0.ac4 === 0L && f0.ac8 === 0L)
+    assert(f0.best_lag === 1) // ac1=559 > ac2=372
+    val f1 = got(1L)
+    assert(f1.n_samples === 3L && f1.zcr === 1L)
+    assert(f1.energy === (31L * 31 + 67 * 67 + 36 * 36))
+    assert(f1.ac1 === ((-31L) * 67 + 67L * 36))
+    assert(f1.ac2 === ((-31L) * 36))
+    // ac1=335, ac2=-1116 → lag 1 wins
+    assert(f1.best_lag === 1)
+  }
 }
