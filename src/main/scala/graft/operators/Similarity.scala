@@ -54,6 +54,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact maximum-inner-product search (MIPS) via the norm-augmentation
+    * reduction to cosine (Bachrach et al., RecSys 2014; Neyshabur &
+    * Srebro 2015) — the recommender-retrieval primitive (user·item
+    * scores are inner products, NOT cosines: a popular item's larger
+    * norm must rank it higher). Cosine machinery can't search IP
+    * directly, so augment with one dimension:
+    *
+    *   x → [x, √(M² − ‖x‖²)]   (corpus; M² = max corpus ‖x‖²)
+    *   q → [q, 0]              (query)
+    *
+    * Every augmented corpus vector has norm M, so
+    * cos(q̃, x̃) = ⟨q,x⟩ / (‖q‖·M) — a per-query positive-constant scale
+    * of the inner product: the augmented-cosine order IS the IP order,
+    * and any cosine ANN index (sign-LSH, IVF) now serves MIPS unchanged.
+    * M² is taken over the SUM-OF-SQUARES fold (never max-of-norms:
+    * squaring the rounded √ can dip below the true max and NaN the
+    * augment of the max-norm vector, which here augments with exactly
+    * √0). Ranked by the augmented cosine itself (bit-replicable
+    * sequential 65-element fold; division is monotone so no inversions
+    * vs true IP, and the neighbor_id tiebreak pins any rounding ties
+    * identically in both engines); raw `ip` rides along.
+    *
+    * Exact baseline = cross join like [[bruteForceTopK]] (query side
+    * broadcast); the scale path is this SAME augmentation feeding
+    * [[lshTopK]]/[[ivfTopK]] — the reduction is the operator. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def normSq(v: Column): Column =
+      aggregate(transform(toDouble(v), x => x * x), lit(0.0), (a, x) => a + x)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("nv"), normSq(col("embedding")).as("ns"))
+    val m2 = c.agg(max(col("ns")).as("m2"))
+    val caug = c.crossJoin(broadcast(m2))
+      .select(col("neighbor_id"), col("nv"),
+        concat(col("nv"), array(sqrt(col("m2") - col("ns")))).as("nav"))
+    val qaug = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+      .withColumn("qav", concat(col("qv"), array(lit(0.0))))
+    val pairs = broadcast(qaug).crossJoin(caug)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotSeq(col("qv"), col("nv")).as("ip"),
+        cosineSeqHof(col("qav"), col("nav")).as("aug_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("aug_cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"),
+        col("aug_cosine"))
+  }
+
   /** Fixed random hyperplanes for sign-LSH (deterministic seed). Exposed
     * package-private so the oracle SQL can embed the same constants as
     * literals and replicate the bucketing bit-for-bit. */

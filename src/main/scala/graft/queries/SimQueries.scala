@@ -29,6 +29,15 @@ object SimQueries extends QueryFamily {
         probeHamming = 1)
         .orderBy(col("query_id"), col("rank"))),
 
+    // exact MIPS via the norm-augmentation reduction to cosine (the
+    // recommender-retrieval primitive): one extra dimension makes every
+    // corpus norm equal, so augmented-cosine order IS inner-product
+    // order and any cosine ANN index serves MIPS unchanged. Oracle
+    // replays the same 65-element sequential folds bit-for-bit.
+    "sim_mips_topk" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         nCells = 16, nProbe = 4)
@@ -502,6 +511,27 @@ object SimQueries extends QueryFamily {
     // replicates the full algorithm bit-for-bit instead of settling for a
     // rows-only check
     "sim_topk_lsh" -> lshOracleSql,
+    // same augmentation, same sequential folds: M² over the
+    // sum-of-squares fold, x̃ = x ++ [√(M²−‖x‖²)], q̃ = q ++ [0], ranked
+    // by the 65-element augmented cosine with neighbor_id tiebreak
+    "sim_mips_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (x,y) -> x + y) AS ns FROM e),
+         |m AS (SELECT MAX(ns) AS m2 FROM n),
+         |c AS (SELECT vec_id AS neighbor_id, v AS nv, list_append(v, sqrt(m2 - ns)) AS nav FROM n, m),
+         |q AS (SELECT vec_id AS query_id, v AS qv, list_append(v, CAST(0.0 AS DOUBLE)) AS qav FROM n WHERE vec_id % 5 = 0),
+         |p AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_transform(qv, (x,i) -> x * nv[i]), (x,y) -> x + y) AS ip,
+         |    list_reduce(list_transform(qav, (x,i) -> x * nav[i]), (x,y) -> x + y) /
+         |    (sqrt(list_reduce(list_transform(qav, x -> x*x), (x,y) -> x + y)) *
+         |     sqrt(list_reduce(list_transform(nav, x -> x*x), (x,y) -> x + y))) AS aug_cosine
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ip, aug_cosine FROM (
+         |  SELECT query_id, neighbor_id, ip, aug_cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cosine DESC, neighbor_id) AS rank
+         |  FROM p) r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
     "sim_topk_pq" -> pqOracleSql,

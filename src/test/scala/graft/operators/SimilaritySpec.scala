@@ -234,6 +234,37 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(lsh.contains((100L, 101L)))
   }
 
+  test("MIPS reduction: augmented-cosine top-k IS the inner-product top-k") {
+    val queries = vectors.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.mipsTopK(vectors, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // brute-force IP ranking on the driver
+    val all = vectors.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qids = all.keys.filter(_ % 10 == 0).toSeq.sorted
+    qids.foreach { q =>
+      val expect = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          // same left-fold order as dotSeq
+          (id, all(q).zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+        }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5)
+      expect.zipWithIndex.foreach { case ((id, ip), i) =>
+        val (gid, gip) = got((q, i + 1))
+        assert(gid === id, s"query $q rank ${i + 1}")
+        assert(gip === ip) // bit-exact: identical fold order
+      }
+    }
+    // every augmented corpus vector has the same norm (= M): aug_cosine
+    // times ||q||·M must reproduce ip up to one rounding — spot-check the
+    // max-norm vector augments with exactly 0 (no NaN from M² rounding)
+    val aug = Similarity.mipsTopK(vectors, queries, 5)
+      .select(col("aug_cosine")).collect()
+    assert(aug.forall(r => !r.getDouble(0).isNaN))
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
