@@ -574,4 +574,80 @@ object Dedup {
         (col("dup_tokens").cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
   }
+
+  /** Bloom-filter dedup pre-screen (Bloom 1970; the shape of Spark's own
+    * runtime bloom-join pruning and of every web-crawl "have I seen this
+    * URL/content" gate): the HISTORY side compacts to an m-bit bitset —
+    * here m = 2¹⁶, 8 KiB regardless of history size — that BROADCASTS to
+    * every executor, and the arriving batch probes it with k = 4 bit
+    * tests per row, no join against history at all. One-sided error by
+    * construction: a true duplicate always probes all-set bits (no false
+    * negatives — the guarantee the spec asserts), a false positive rate
+    * of ≈ (1−e^(−kn/m))^k falls to the exact verify that follows.
+    *
+    * Fully portable arithmetic so the oracle replays the SAME filter:
+    * content hash h = first 15 md5 hex digits as a 60-bit BIGINT (the
+    * portable-hash trick of [[simhashSignature]]), bit positions by
+    * Kirsch–Mitzenmacher double hashing pos_j = (h1 + j·h2) mod m with
+    * h1 = h mod m, h2 = ⌊h/m⌋ mod m — integer-only, engine-identical.
+    *
+    * Plan at 100 TB: history → one distinct-position agg (≤ m rows) →
+    * 1024-word bit-OR agg → BOUNDED driver collect (m/64 rows by
+    * construction, independent of data size) → literal-array broadcast
+    * probed by a narrow per-row expression. The batch never shuffles;
+    * history is read once, ever, and the bitset persists across batches
+    * in a real deployment. The exact-verify contract columns
+    * (`n_seen`/`is_true_dup`, a chunk-keyed semi-join like
+    * [[passageDups]]'s shuffle) ride along ONLY to make the screen's
+    * one-sided-error guarantee oracle-checkable — a deployment runs the
+    * probe alone and verifies just the flagged survivors. */
+  def bloomScreen(hist: DataFrame, batch: DataFrame,
+      chunkSize: Int = 32): DataFrame = {
+    val m = 1 << 16
+    val k = 4
+    def units(docs: DataFrame): DataFrame =
+      TextOps.chunkTokens(docs, chunkSize, 0)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("fp"))
+    // 60-bit nonnegative content hash (portable-hash trick); mod/div by
+    // 2¹⁶ as exact bit ops (never double-divide a >2⁵³ long)
+    val h = expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)")
+    def positions(hc: Column): Seq[Column] = {
+      val h1 = hc.bitwiseAND(lit(0xFFFFL))
+      val h2 = shiftright(hc, 16).bitwiseAND(lit(0xFFFFL))
+      (0 until k).map(j => pmod(h1 + lit(j.toLong) * h2, lit(m.toLong)))
+    }
+    val histU = units(hist)
+    val words = histU.select(explode(array(positions(h): _*)).as("pos"))
+      .distinct()
+      .groupBy((col("pos") / 64).cast("int").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bitset = Array.tabulate(m / 64)(i => words.getOrElse(i, 0L))
+    val litArr = typedLit(bitset.toSeq)
+    // functions.shiftleft only takes a literal shift; build the
+    // column-shift Catalyst node directly
+    def shl1(n: Column): Column = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+      Bridge.column(ShiftLeft(Bridge.expression(lit(1L)),
+        Bridge.expression(n.cast("int"))))
+    }
+    val probeBits = positions(h).map { p =>
+      (element_at(litArr, (p / 64).cast("int") + 1)
+        .bitwiseAND(shl1(pmod(p, lit(64L)))) =!= 0L)
+    }.reduce(_ && _)
+    val histFp = histU.select(col("fp")).distinct()
+      .withColumn("__h", lit(1))
+    units(batch)
+      .withColumn("maybe", probeBits)
+      .join(histFp.hint("shuffle_hash"), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("maybe").cast("long")).as("n_maybe"),
+        sum(col("__h").isNotNull.cast("long")).as("n_seen"))
+      .select(col("doc_id"), col("n_chunks"), col("n_maybe"),
+        col("n_seen"), (col("n_maybe") > 0).as("maybe_dup"),
+        (col("n_seen") > 0).as("is_true_dup"))
+  }
 }

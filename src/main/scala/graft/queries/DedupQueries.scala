@@ -225,6 +225,20 @@ object DedupQueries extends QueryFamily {
         .orderBy(col("doc_id"), col("dup_of"))
     }),
 
+    // Bloom-filter incremental screen at chunk grain: history (even
+    // docs) compacts to an 8 KiB broadcast bitset; the arriving batch
+    // (odd docs) probes it per 32-token chunk with 4 Kirsch–Mitzenmacher
+    // bit tests — no join against history on the probe path. The exact
+    // semi-join contract columns make the one-sided error checkable:
+    // n_seen ≤ n_maybe on every row, never a false negative.
+    "dd_bloom_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomScreen(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
+    }),
+
     // leakage-safe train/val split: hash-split by near-dup CLUSTER
     // representative, not by document — a doc-grain split leaks val
     // answers into train through near-duplicates, the classic eval
@@ -477,6 +491,34 @@ object DedupQueries extends QueryFamily {
          |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
          |  FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) p
          |WHERE jaccard >= $Threshold ORDER BY doc_id, dup_of""".stripMargin,
+    // identical filter replay: same 60-bit md5-prefix hash, same
+    // Kirsch–Mitzenmacher positions over the history chunk set, same
+    // per-chunk all-bits probe; exact seen-set via IN
+    "dd_bloom_screen" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(i - 1 AS INT) AS cid,
+        |        md5(array_to_string(toks[(i-1)*32+1 : i*32], ' ')) AS fp
+        |      FROM t, UNNEST(range(1, CAST(ceil(len(toks) / 32.0) AS BIGINT) + 1)) u(i)),
+        |hc AS (SELECT DISTINCT fp FROM c WHERE doc_id % 2 = 0),
+        |hpos AS (SELECT DISTINCT (hh % 65536 + j * ((hh // 65536) % 65536)) % 65536 AS pos
+        |         FROM (SELECT ('0x' || substr(fp, 1, 15))::BIGINT AS hh FROM hc) x,
+        |              (SELECT unnest(range(0, 4)) AS j) jj),
+        |b AS (SELECT doc_id, cid, fp, ('0x' || substr(fp, 1, 15))::BIGINT AS hh
+        |      FROM c WHERE doc_id % 2 = 1),
+        |bp AS (SELECT doc_id, cid, fp,
+        |         (hh % 65536 + j * ((hh // 65536) % 65536)) % 65536 AS pos
+        |       FROM b, (SELECT unnest(range(0, 4)) AS j) jj),
+        |mb AS (SELECT bp.doc_id, bp.cid, bp.fp,
+        |         SUM(CASE WHEN hp.pos IS NULL THEN 1 ELSE 0 END) AS misses
+        |       FROM bp LEFT JOIN hpos hp ON hp.pos = bp.pos GROUP BY 1, 2, 3),
+        |fl AS (SELECT doc_id, cid, (misses = 0) AS maybe,
+        |         (fp IN (SELECT fp FROM hc)) AS seen FROM mb)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+        |  CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  (SUM(CASE WHEN maybe THEN 1 ELSE 0 END) > 0) AS maybe_dup,
+        |  (SUM(CASE WHEN seen THEN 1 ELSE 0 END) > 0) AS is_true_dup
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> simhashOracle,
     // identical 40-bit md5 k-gram hashes, identical BIGINT window-min
     // encoding (the df>=2 prune in the engine is result-neutral — a

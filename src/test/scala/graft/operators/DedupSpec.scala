@@ -151,4 +151,34 @@ class DedupSpec extends GraftSparkSpec {
     assert(p.head.getDouble(5) === 1.0)
     assert(p.head.getLong(3) === p.head.getLong(4)) // nfp_a == nfp_b
   }
+
+  test("bloomScreen: no false negatives, disjoint content passes clean") {
+    val s = spark
+    import s.implicits._
+    // history: two docs; batch: one exact copy of hist doc 0, one doc
+    // sharing a full 32-token chunk, one disjoint doc
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val hist = Seq((0L, words("h", 64)), (2L, words("k", 40)))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, words("h", 64)), // exact copy: both chunks seen
+      (3L, words("h", 32) + " " + words("z", 10)), // first chunk shared
+      (5L, words("q", 50))) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomScreen(hist, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    // one-sided error: every truly-seen chunk is flagged
+    got.values.foreach { case (_, nMaybe, nSeen, maybe, seen) =>
+      assert(nSeen <= nMaybe)
+      assert(!seen || maybe)
+    }
+    assert(got(1L)._3 === 2L && got(1L)._5) // both chunks truly seen
+    assert(got(3L)._3 === 1L && got(3L)._5)
+    assert(got(5L)._3 === 0L)
+    // at this fill (~4 chunks × 4 bits in 2^16) false positives are
+    // ~(16/65536)^4 — the disjoint doc must pass clean
+    assert(!got(5L)._4 && !got(5L)._5)
+  }
 }
