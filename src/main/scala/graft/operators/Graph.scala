@@ -254,6 +254,89 @@ object Graph {
       .select(col("a").as("id"), col("core_degree"))
   }
 
+  /** Multi-source BFS with seed attribution — landmark hop distances
+    * over an undirected edge list: each reached vertex gets
+    * (dist = min hops to any seed, seed = the attributed landmark,
+    * smallest seed id on ties). Seeds are the `nSeeds` smallest vertex
+    * ids (deterministic). This is the dup-graph triage pass "how far is
+    * every document from the canonical templates": dist 1 = direct
+    * near-dup of a landmark, dist 2 = dup-of-a-dup (decayed copy), etc.
+    *
+    * DELTA iteration, not full relaxation: each round joins only the
+    * FRONTIER (vertices improved last round) against the edge set,
+    * merges candidates by lexicographic MIN(struct(d, seed)) — the
+    * Bellman–Ford fixpoint for the (dist, seed) order, reached in
+    * (eccentricity+1) rounds because improvements re-enter the
+    * frontier. Converged when a round improves nothing (the kCore
+    * isEmpty check); capped at `maxDepth` rounds, which also bounds
+    * every reported dist ≤ maxDepth — the SAME truncation the oracle's
+    * recursive CTE applies, so cap semantics are oracle-checked too.
+    *
+    * Plan at 100 TB: per round one frontier-keyed equi-join against the
+    * edge set + one id-keyed struct-MIN agg with map-side partials + a
+    * strict-improvement anti-filter — cost proportional to the frontier,
+    * not the settled set (the Pregel/GraphX BFS shape in pure DataFrame
+    * algebra). Per-round localCheckpoint with eager release of the
+    * previous round's blocks (the [[connectedComponents]] lifecycle);
+    * driver state is one boolean. */
+  def bfsHops(edges: DataFrame, nSeeds: Int = 3, maxDepth: Int = 8,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, "edge list needs (src, dst) columns")
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    val sym = scope.track(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    val seeds = sym.select(col("a")).distinct().orderBy(col("a"))
+      .limit(nSeeds)
+    var dist = seeds
+      .select(col("a").as("id"), col("a").as("seed"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var staleDist = dist
+    var staleFrontier: DataFrame = null
+    var depth = 0
+    var converged = false
+    while (!converged && depth < maxDepth) {
+      val cand = frontier.select(col("id").as("a"), col("seed"), col("d"))
+        .join(sym, Seq("a"))
+        .groupBy(col("b"))
+        .agg(min(struct((col("d") + 1).as("d"), col("seed").as("seed")))
+          .as("best"))
+        .select(col("b").as("id"), col("best.d").as("d"),
+          col("best.seed").as("seed"))
+      val improved = cand.as("c")
+        .join(dist.select(col("id"), col("d").as("td"),
+          col("seed").as("tseed")), Seq("id"), "left")
+        .filter(col("td").isNull ||
+          (struct(col("d"), col("seed")) < struct(col("td"), col("tseed"))))
+        .select(col("id"), col("d"), col("seed"))
+        .localCheckpoint()
+      if (improved.isEmpty) {
+        converged = true
+        releaseCheckpoint(improved) // empty; nothing downstream reads it
+      } else {
+        val next = dist.join(improved.select(col("id")), Seq("id"),
+            "left_anti")
+          .unionByName(improved)
+          .localCheckpoint()
+        releaseCheckpoint(staleDist)
+        if (staleFrontier ne null) releaseCheckpoint(staleFrontier)
+        staleDist = next
+        staleFrontier = improved
+        dist = next
+        frontier = improved
+        depth += 1
+      }
+    }
+    val f1 = staleDist
+    val f2 = staleFrontier
+    scope.onRelease(() => {
+      releaseCheckpoint(f1)
+      if (f2 ne null) releaseCheckpoint(f2)
+    })
+    dist
+  }
+
   /** PageRank over an undirected edge list, in INTEGER fixed-point — the
     * centrality pass a dedup pipeline runs over its dup graph to rank
     * cluster hubs (the doc most-connected to near-duplicates is the

@@ -178,6 +178,17 @@ object DedupQueries extends QueryFamily {
         .select(col("id").as("doc_id"), col("core_degree"))
         .orderBy(col("doc_id"))),
 
+    // landmark hop distances over the dup graph (multi-source BFS with
+    // seed attribution, delta iteration — frontier-only joins): how far
+    // each doc sits from the canonical templates; dist 1 = direct
+    // near-dup, dist 2 = decayed copy-of-a-copy.
+    "dd_bfs_hops" -> ((s, d) =>
+      Graph.bfsHops(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("d").as("dist"), col("seed"))
+        .orderBy(col("doc_id"))),
+
     // label-propagation communities over the near-dup graph
     // (Graph.labelPropagation, 4 synchronous rounds): finer than CC —
     // a single bridge edge fuses two template families into one
@@ -351,6 +362,28 @@ object DedupQueries extends QueryFamily {
        |r0 AS (SELECT id, outdeg, CAST(1000000000 AS BIGINT) AS score FROM outd),
        |$steps
        |SELECT id AS doc_id, outdeg, score FROM r$iters ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** Multi-source BFS by recursive CTE: enumerate every (vertex, seed,
+    * depth ≤ 8) walk from the 3 smallest-id seeds, then take the
+    * lexicographic (dist, seed) minimum per vertex — the path-set
+    * definition the engine's delta-iteration fixpoint provably equals
+    * (every frontier candidate is a realizable path and every minimal
+    * path appears as a candidate). Same depth cap on both sides. */
+  private val bfsOracle: String = {
+    val recCte = shCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$recCte,
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+       |sym AS (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
+       |seeds AS (SELECT DISTINCT a AS id FROM sym ORDER BY id LIMIT 3),
+       |walk(id, seed, d) AS (
+       |  SELECT id, id, 0 FROM seeds
+       |  UNION
+       |  SELECT sym.b, walk.seed, walk.d + 1 FROM walk JOIN sym ON sym.a = walk.id WHERE walk.d < 8)
+       |SELECT doc_id, CAST(dist AS INT) AS dist, CAST(MIN(seed) AS BIGINT) AS seed FROM (
+       |  SELECT id AS doc_id, d, seed, MIN(d) OVER (PARTITION BY id) AS dist FROM walk) w
+       |WHERE d = dist GROUP BY doc_id, dist ORDER BY doc_id""".stripMargin
   }
 
   /** 4 synchronous LPA rounds unrolled (the [[pageRankOracle]]
@@ -564,6 +597,7 @@ object DedupQueries extends QueryFamily {
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "dd_pagerank" -> pageRankOracle,
     "dd_kcore" -> kCoreOracle,
+    "dd_bfs_hops" -> bfsOracle,
     "dd_communities" -> lpaOracle,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,

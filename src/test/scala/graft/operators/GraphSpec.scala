@@ -147,4 +147,39 @@ class GraphSpec extends GraftSparkSpec {
     val got = lpaOf(4, 1L -> 2L, 2L -> 3L, 1L -> 3L)
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def bfsOf(nSeeds: Int, maxDepth: Int, pairs: (Long, Long)*)
+      : Map[Long, (Int, Long)] =
+    Graph.bfsHops(edges(pairs: _*), nSeeds, maxDepth).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(1)))).toMap
+
+  test("bfsHops: chain distances, seed attribution, unreachable excluded") {
+    // seeds (2 smallest ids) = {1, 2}; chain 1-3-4-5; 2-6; island 8-9
+    val got = bfsOf(2, 8,
+      1L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 6L, 8L -> 9L)
+    assert(got === Map(
+      1L -> ((0, 1L)), 2L -> ((0, 2L)),
+      3L -> ((1, 1L)), 4L -> ((2, 1L)), 5L -> ((3, 1L)),
+      6L -> ((1, 2L)))) // 8, 9 unreachable from seeds: absent
+  }
+
+  test("bfsHops: equidistant vertex attributes to the SMALLEST seed") {
+    // 5 is at distance 1 from both seeds 1 and 2 → seed 1 wins the tie
+    val got = bfsOf(2, 8, 1L -> 5L, 2L -> 5L, 1L -> 2L)
+    assert(got(5L) === ((1, 1L)))
+    // seeds see each other at dist 0 of themselves, not 1 of the other
+    assert(got(1L) === ((0, 1L)) && got(2L) === ((0, 2L)))
+  }
+
+  test("bfsHops: maxDepth truncates exactly like the unrolled definition") {
+    // path 1-10-11-12-13: with maxDepth=2 only dist <= 2 appears
+    val got = bfsOf(1, 2, 1L -> 10L, 10L -> 11L, 11L -> 12L, 12L -> 13L)
+    assert(got === Map(1L -> ((0, 1L)), 10L -> ((1, 1L)), 11L -> ((2, 1L))))
+  }
+
+  test("bfsHops: shorter path through a LARGER seed beats the smaller seed") {
+    // seed 2 reaches 7 in 1 hop; seed 1 needs 3 — dist wins over seed id
+    val got = bfsOf(2, 8, 2L -> 7L, 1L -> 5L, 5L -> 6L, 6L -> 7L)
+    assert(got(7L) === ((1, 2L)))
+  }
 }
