@@ -191,6 +191,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication at scale: k-means-cluster the embedding corpus with
+    * the SAME deterministic coarse quantizer as [[ivfTopK]] (strided
+    * init, integer-micros Lloyd), then search for near-duplicate pairs
+    * (cosine ≥ threshold) ONLY within each cluster. This is the paper's
+    * central trick: the O(n²) semantic-pair search becomes
+    * Σ_cells |cell|² — embarrassingly cell-parallel and, at web scale,
+    * the difference between impossible and routine, at the cost of
+    * missing only pairs that straddle a cluster boundary (high-cosine
+    * pairs co-cluster by construction — the quantizer assigns both to
+    * their shared nearest centroid unless they sit on a Voronoi edge).
+    *
+    * Emits (cell, vec_a, vec_b, cosine): the within-cluster dup pairs
+    * with the cell that found them. The exact recall complement is
+    * [[embeddingDupPairs]] (its output ⊇ this one at equal threshold —
+    * a containment SimilaritySpec asserts).
+    *
+    * Plan at 100 TB: centroids broadcast (nCells rows); ONE cell-keyed
+    * self-join (shuffle on cell id, the IVF layout already co-locates
+    * each cell's vectors); skew guard = cell granularity is chosen so
+    * |cell| ≈ n/nCells (Lloyd balances the fixture; production re-splits
+    * giant cells hierarchically, same as FAISS IVF imbalance handling). */
+  def semDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = corpus.count()
+    val centroids = ivfCentroids(corpusD, nCells, lloydIters, n)
+    val assigned = ivfAssign(corpusD, centroids)
+    assigned.select(col("cell"), col("vec_id").as("vec_a"),
+        col("v").as("va"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("vb")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        cosineSeq(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Nearest-centroid assignment: argmax-by-(sim desc, cell asc) as a
     * lexicographic struct MIN — a partial-aggregating hash agg (map-side
     * combine collapses the nCells-wide candidate rows BEFORE the shuffle)

@@ -70,6 +70,18 @@ object DedupQueries extends QueryFamily {
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings with
+    // the shared deterministic coarse quantizer, then near-dup pairs
+    // WITHIN each cluster only — Σ|cell|² work instead of n², the
+    // published semantic-dedup scale path. Same 0.4 threshold as
+    // dd_embedding, so this output is a recall-subset of the exact pass
+    // (missed pairs = cluster-boundary straddlers).
+    "dd_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), 0.4)
+        .select(col("cell").cast("long").as("cell"), col("vec_a"),
+          col("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // the 100 TB plan for dd_embedding: equi-join on sign-LSH bucket
     // (hamming-1 multi-probe) instead of the n² cross join, exact cosine
     // verify. Same threshold as dd_embedding, so its output is a strict
@@ -386,6 +398,19 @@ object DedupQueries extends QueryFamily {
        |WHERE d = dist GROUP BY doc_id, dist ORDER BY doc_id""".stripMargin
   }
 
+  /** SemDeDup replica: the shared coarse-quantizer CTE pipeline
+    * ([[SimQueries.ivfAssignCtes]] — bit-exact vs the engine's
+    * ivfCentroids+ivfAssign) feeding a within-cell pair join at the
+    * same 0.4 threshold. */
+  private val semDedupOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${SimQueries.ivfAssignCtes("", "e")}
+       |SELECT CAST(cell AS BIGINT) AS cell, vec_a, vec_b, cosine FROM (
+       |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${SimQueries.cosineSql("a.v", "b.v")} AS cosine
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
   /** 4 synchronous LPA rounds unrolled (the [[pageRankOracle]]
     * technique): per round the neighbor-label counts with the
     * (cnt DESC, label) argmax as a ROW_NUMBER — equivalent to the
@@ -598,6 +623,7 @@ object DedupQueries extends QueryFamily {
     "dd_pagerank" -> pageRankOracle,
     "dd_kcore" -> kCoreOracle,
     "dd_bfs_hops" -> bfsOracle,
+    "dd_semdedup" -> semDedupOracle,
     "dd_communities" -> lpaOracle,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,

@@ -217,34 +217,46 @@ object SimQueries extends QueryFamily {
     * cosine, rank)`. Shared by the float (`sim_topk_ivf`, 2 iterations)
     * and quantized (`sim_topk_sq8_ivf`, 1 iteration on BOTH of its
     * pipelines) oracles, which otherwise differ ONLY in `base`. */
-  private def ivfCtesSql(p: String, base: String, iters: Int = 2): String = {
-    // the CASE mirrors the engine's NaN→-2.0 sentinel in ivfTopK's assign
-    // (see Similarity.scala): without it a zero-norm vector's NaN cosine
-    // would rank FIRST here (DuckDB orders NaN above everything) but lose
-    // in Spark's struct-min argmax — a silent desynchronization
-    def assignSql(cents: String): String =
-      s"""SELECT vec_id, v, cell FROM (
-         |  SELECT vec_id, v, cell,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY (CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END) DESC, cell) AS rn
-         |  FROM (SELECT e.vec_id, e.v, c.cell, ${cosineSql("e.v", "c.cv")} AS cos0 FROM $base e CROSS JOIN $cents c) x) s WHERE rn = 1""".stripMargin
-    def meansSql(assigned: String): String =
-      s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
-         |  SELECT cell, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
-         |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $assigned) u
-         |  GROUP BY cell, pos) g
-         |GROUP BY cell""".stripMargin
+  // the CASE mirrors the engine's NaN→-2.0 sentinel in ivfTopK's assign
+  // (see Similarity.scala): without it a zero-norm vector's NaN cosine
+  // would rank FIRST here (DuckDB orders NaN above everything) but lose
+  // in Spark's struct-min argmax — a silent desynchronization
+  private def ivfAssignSql(base: String, cents: String): String =
+    s"""SELECT vec_id, v, cell FROM (
+       |  SELECT vec_id, v, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY (CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END) DESC, cell) AS rn
+       |  FROM (SELECT e.vec_id, e.v, c.cell, ${cosineSql("e.v", "c.cv")} AS cos0 FROM $base e CROSS JOIN $cents c) x) s WHERE rn = 1""".stripMargin
+
+  private def ivfMeansSql(assigned: String): String =
+    s"""SELECT cell, list(m ORDER BY pos) AS cv FROM (
+       |  SELECT cell, pos, CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $assigned) u
+       |  GROUP BY cell, pos) g
+       |GROUP BY cell""".stripMargin
+
+  /** The shared coarse-quantizer pipeline (strided init → `iters` Lloyd
+    * rounds in integer micros → final assignment) as CTE clauses over
+    * `$base(vec_id, v)`, ending with `${p}af(vec_id, v, cell)` — the
+    * bit-exact DuckDB replica of Similarity's ivfCentroids+ivfAssign,
+    * reused by every IVF-layout oracle (top-k variants AND SemDeDup). */
+  private[queries] def ivfAssignCtes(p: String, base: String,
+      iters: Int = 2): String = {
     val lloyd = (1 to iters).map { i =>
-      s"""${p}a$i AS (${assignSql(s"${p}c${i - 1}")}),
-         |${p}c$i AS (${meansSql(s"${p}a$i")}),""".stripMargin
+      s"""${p}a$i AS (${ivfAssignSql(base, s"${p}c${i - 1}")}),
+         |${p}c$i AS (${ivfMeansSql(s"${p}a$i")}),""".stripMargin
     }.mkString("\n")
-    val cFinal = s"${p}c$iters"
     s"""${p}params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM $base),
        |${p}c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS cv
        |  FROM $base, ${p}params WHERE vec_id % stride = 0
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
        |$lloyd
-       |${p}af AS (${assignSql(cFinal)}),
+       |${p}af AS (${ivfAssignSql(base, s"${p}c$iters")})""".stripMargin
+  }
+
+  private def ivfCtesSql(p: String, base: String, iters: Int = 2): String = {
+    val cFinal = s"${p}c$iters"
+    s"""${ivfAssignCtes(p, base, iters)},
        |${p}probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, c.cell,

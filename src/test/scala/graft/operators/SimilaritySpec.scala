@@ -265,6 +265,26 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(aug.forall(r => !r.getDouble(0).isNaN))
   }
 
+  test("semDedup: subset of exact pairs, planted co-located dup found") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0)
+    } :+ ((100L, base, 0)) :+
+      ((101L, base.map(x => x + rnd.nextGaussian().toFloat * 0.01f), 0))
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val sem = Similarity.semDedup(corpus, 0.9).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.embeddingDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster search can only LOSE boundary pairs, never invent
+    assert(sem.subsetOf(exact))
+    // a near-identical pair shares its nearest centroid → found
+    assert(sem.contains((100L, 101L)))
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
