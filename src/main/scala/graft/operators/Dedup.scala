@@ -600,30 +600,55 @@ object Dedup {
     * (`n_seen`/`is_true_dup`, a chunk-keyed semi-join like
     * [[passageDups]]'s shuffle) ride along ONLY to make the screen's
     * one-sided-error guarantee oracle-checkable — a deployment runs the
-    * probe alone and verifies just the flagged survivors. */
-  def bloomScreen(hist: DataFrame, batch: DataFrame,
-      chunkSize: Int = 32): DataFrame = {
-    val m = 1 << 16
-    val k = 4
-    def units(docs: DataFrame): DataFrame =
-      TextOps.chunkTokens(docs, chunkSize, 0)
-        .select(col("doc_id"), col("chunk_id"),
-          md5(col("chunk_text")).as("fp"))
-    // 60-bit nonnegative content hash (portable-hash trick); mod/div by
-    // 2¹⁶ as exact bit ops (never double-divide a >2⁵³ long)
-    val h = expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)")
-    def positions(hc: Column): Seq[Column] = {
-      val h1 = hc.bitwiseAND(lit(0xFFFFL))
-      val h2 = shiftright(hc, 16).bitwiseAND(lit(0xFFFFL))
-      (0 until k).map(j => pmod(h1 + lit(j.toLong) * h2, lit(m.toLong)))
-    }
-    val histU = units(hist)
-    val words = histU.select(explode(array(positions(h): _*)).as("pos"))
+    * probe alone and verifies just the flagged survivors.
+    *
+    * Split as [[bloomBitset]] (the one pass over history) +
+    * [[bloomProbe]] (the pure per-batch transform) so the ingest STREAM
+    * reuses the probe unchanged
+    * ([[graft.streaming.StreamingDedup.bloomWriter]]); [[bloomScreen]]
+    * composes both plus the exact-verify contract join. */
+  private val BloomBits = 1 << 16
+  private val BloomK = 4
+
+  private def bloomUnits(docs: DataFrame, chunkSize: Int): DataFrame =
+    TextOps.chunkTokens(docs, chunkSize, 0)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("fp"))
+
+  // 60-bit nonnegative content hash over the chunk fingerprint
+  // (portable-hash trick); mod/div by 2¹⁶ as exact bit ops (never
+  // double-divide a >2⁵³ long); Kirsch–Mitzenmacher double hashing
+  private def bloomPositions: Seq[Column] = {
+    val hc = expr("CAST(conv(substring(fp, 1, 15), 16, 10) AS BIGINT)")
+    val h1 = hc.bitwiseAND(lit(0xFFFFL))
+    val h2 = shiftright(hc, 16).bitwiseAND(lit(0xFFFFL))
+    (0 until BloomK).map(j =>
+      pmod(h1 + lit(j.toLong) * h2, lit(BloomBits.toLong)))
+  }
+
+  /** Compact the history's chunk-fingerprint set into the m-bit Bloom
+    * bitset — the ONE pass over history, ending in a driver collect
+    * BOUNDED at m/64 = 1024 rows by construction (independent of data
+    * size). The returned 8 KiB array is what a deployment persists and
+    * broadcasts across every later batch and stream. */
+  def bloomBitset(hist: DataFrame, chunkSize: Int = 32): Array[Long] = {
+    val words = bloomUnits(hist, chunkSize)
+      .select(explode(array(bloomPositions: _*)).as("pos"))
       .distinct()
       .groupBy((col("pos") / 64).cast("int").as("word"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bitset = Array.tabulate(m / 64)(i => words.getOrElse(i, 0L))
+    Array.tabulate(BloomBits / 64)(i => words.getOrElse(i, 0L))
+  }
+
+  /** The PURE probe transform: per doc, count chunks whose k Bloom bits
+    * are all set in the (literal-embedded, broadcast-by-value) bitset.
+    * Narrow per-row expressions + one batch-local doc-keyed agg — no
+    * join, no streaming state, Append-safe, so the SAME function serves
+    * batch and foreachBatch micro-batches (stream==batch law in
+    * StreamingDedupSpec). */
+  def bloomProbe(docs: DataFrame, bitset: Array[Long],
+      chunkSize: Int = 32): DataFrame = {
+    require(bitset.length == BloomBits / 64, s"bitset must be ${BloomBits / 64} words")
     val litArr = typedLit(bitset.toSeq)
     // functions.shiftleft only takes a literal shift; build the
     // column-shift Catalyst node directly
@@ -633,19 +658,28 @@ object Dedup {
       Bridge.column(ShiftLeft(Bridge.expression(lit(1L)),
         Bridge.expression(n.cast("int"))))
     }
-    val probeBits = positions(h).map { p =>
+    val probeBits = bloomPositions.map { p =>
       (element_at(litArr, (p / 64).cast("int") + 1)
         .bitwiseAND(shl1(pmod(p, lit(64L)))) =!= 0L)
     }.reduce(_ && _)
-    val histFp = histU.select(col("fp")).distinct()
-      .withColumn("__h", lit(1))
-    units(batch)
+    bloomUnits(docs, chunkSize)
       .withColumn("maybe", probeBits)
-      .join(histFp.hint("shuffle_hash"), Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(col("maybe").cast("long")).as("n_maybe"),
-        sum(col("__h").isNotNull.cast("long")).as("n_seen"))
+        sum(col("maybe").cast("long")).as("n_maybe"))
+  }
+
+  def bloomScreen(hist: DataFrame, batch: DataFrame,
+      chunkSize: Int = 32): DataFrame = {
+    val bitset = bloomBitset(hist, chunkSize)
+    val histFp = bloomUnits(hist, chunkSize).select(col("fp")).distinct()
+      .withColumn("__h", lit(1))
+    val seen = bloomUnits(batch, chunkSize)
+      .join(histFp.hint("shuffle_hash"), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__h").isNotNull.cast("long")).as("n_seen"))
+    bloomProbe(batch, bitset, chunkSize)
+      .join(seen, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("n_maybe"),
         col("n_seen"), (col("n_maybe") > 0).as("maybe_dup"),
         (col("n_seen") > 0).as("is_true_dup"))

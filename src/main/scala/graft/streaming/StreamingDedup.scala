@@ -134,6 +134,26 @@ object StreamingDedup {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
 
+  /** Ingest-time Bloom screen: the 8 KiB history bitset
+    * ([[graft.operators.Dedup.bloomBitset]], built ONCE before the
+    * stream starts — the broadcast-filter deployment shape) probes every
+    * arriving micro-batch with the pure narrow transform
+    * [[graft.operators.Dedup.bloomProbe]]. No stream-side join, no
+    * state store, Append-safe; per-doc aggregation is batch-local (a
+    * doc's chunks arrive together). Stream==batch equality is asserted
+    * in StreamingDedupSpec — the transform is literally the same
+    * function. */
+  def bloomWriter(docStream: DataFrame, bitset: Array[Long],
+      chunkSize: Int, outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.bloomProbe(batch, bitset, chunkSize)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+
   /** Streaming wiring: each micro-batch of documents is checked against
     * the index and the flagged pairs written via foreachBatch. */
   def writer(docStream: DataFrame, indexBands: DataFrame,

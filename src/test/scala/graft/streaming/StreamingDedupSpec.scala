@@ -160,4 +160,40 @@ class StreamingDedupSpec extends GraftSparkSpec {
       index.unpersist()
     }
   }
+
+  test("Bloom screen stream: probe flags seen chunks, stream == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val historical = Seq((0L, words("h", 64)), (2L, words("k", 40)))
+      .toDF("doc_id", "text")
+    val bitset = graft.operators.Dedup.bloomBitset(historical)
+    assert(bitset.length === 1024)
+
+    val out = Files.createTempDirectory("graft-bloom-").toString
+    val ckpt = Files.createTempDirectory("graft-bloom-ckpt-").toString
+    val input = MemoryStream[(Long, String)]
+    val batch0 = Seq(
+      (1L, words("h", 64)), // both chunks in history
+      (3L, words("h", 32) + " " + words("z", 10)), // first chunk shared
+      (5L, words("q", 50))) // disjoint
+    val q = StreamingDedup.bloomWriter(input.toDF().toDF("doc_id", "text"),
+      bitset, 32, out, ckpt).start()
+    try {
+      input.addData(batch0: _*)
+      q.processAllAvailable()
+      val got = s.read.parquet(s"$out/batch=0").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got(1L) === ((2L, 2L)))
+      assert(got(3L) === ((2L, 1L)))
+      assert(got(5L)._2 === 0L) // disjoint: no false positive at this fill
+      // stream == batch law: the same transform on a batch frame agrees
+      val batchGot = graft.operators.Dedup
+        .bloomProbe(batch0.toDF("doc_id", "text"), bitset).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batchGot === got)
+    } finally q.stop()
+  }
 }
