@@ -66,6 +66,22 @@ object VectorKernels {
     bits
   }
 
+  def lshBitsDouble(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val av = v.toDoubleArray()
+    var bits = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(av.length, p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += av(i) * p(i); i += 1 }
+      if (dot > 0) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
@@ -125,13 +141,22 @@ case class LshBucketBits(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "lsh_bucket"
 
+  // float corpus columns and double derived vectors (e.g. the MIPS
+  // norm-augmented view) both bucket through the same plane constants
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBits(input.asInstanceOf[ArrayData], planes)
+    if (isFloat) VectorKernels.lshBits(input.asInstanceOf[ArrayData], planes)
+    else VectorKernels.lshBitsDouble(input.asInstanceOf[ArrayData], planes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val kernel =
+      if (isFloat) "graft.functions.VectorKernels.lshBits"
+      else "graft.functions.VectorKernels.lshBitsDouble"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.VectorKernels.lshBits($c, $planesRef);")
+      s"${ev.value} = $kernel($c, $planesRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

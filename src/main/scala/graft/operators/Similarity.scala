@@ -103,6 +103,31 @@ object Similarity {
         col("aug_cosine"))
   }
 
+  /** MIPS served by the ACTUAL sign-LSH index — the payoff of
+    * [[mipsTopK]]'s reduction: the norm-augmented corpus/query vectors
+    * feed [[lshTopK]] UNCHANGED (65-dim hyperplanes, hamming-1
+    * multi-probe, exact augmented-cosine verify within buckets). This is
+    * the registered 100 TB plan for inner-product retrieval: bucket
+    * equi-join instead of the cross join, recall from the multi-probe
+    * trade — approximate by the same contract as `sim_topk_lsh`, with
+    * the score column being the augmented cosine (a per-query monotone
+    * transform of the inner product). */
+  def mipsTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, dim: Int = 64): DataFrame = {
+    def normSq(v: Column): Column =
+      aggregate(transform(toDouble(v), x => x * x), lit(0.0), (a, x) => a + x)
+    val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"),
+      normSq(col("embedding")).as("ns"))
+    val m2 = c.agg(max(col("ns")).as("m2"))
+    val caug = c.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        concat(col("v"), array(sqrt(col("m2") - col("ns")))).as("embedding"))
+    val qaug = queries.select(col("vec_id"),
+      concat(toDouble(col("embedding")), array(lit(0.0))).as("embedding"))
+    lshTopK(caug, qaug, k, nBits, dim + 1, probeHamming = 1)
+      .withColumnRenamed("cosine", "aug_cosine")
+  }
+
   /** Fixed random hyperplanes for sign-LSH (deterministic seed). Exposed
     * package-private so the oracle SQL can embed the same constants as
     * literals and replicate the bucketing bit-for-bit. */

@@ -483,7 +483,7 @@ object DedupQueries extends QueryFamily {
     * Shared by the pair query and the embedding cluster stage. */
   private val embeddingLshPairsCte: String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |planes AS (SELECT * FROM ${SimQueries.planesSql}),
+       |planes AS (SELECT * FROM ${SimQueries.planesSql()}),
        |buck AS (
        |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM (

@@ -38,6 +38,15 @@ object SimQueries extends QueryFamily {
       Similarity.mipsTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
         .orderBy(col("query_id"), col("rank"))),
 
+    // MIPS through the ACTUAL sign-LSH index — the reduction's payoff
+    // and the registered 100 TB plan for inner-product retrieval: the
+    // augmented vectors feed lshTopK unchanged (65-dim hyperplanes,
+    // hamming-1 multi-probe). Oracle replicates buckets, probes and the
+    // 65-element verify folds bit-for-bit.
+    "sim_mips_lsh" -> ((s, d) =>
+      Similarity.mipsTopKLsh(Tables.embeddings(s, d), queriesSubset(s, d), K)
+        .orderBy(col("query_id"), col("rank"))),
+
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         nCells = 16, nProbe = 4)
@@ -166,8 +175,8 @@ object SimQueries extends QueryFamily {
     * shortest-round-trip double repr parses back to the identical bits in
     * DuckDB's correctly-rounded strtod, so both engines bucket with the
     * exact same constants. */
-  private[queries] def planesSql: String =
-    graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex
+  private[queries] def planesSql(nBits: Int = 8, dim: Int = 64): String =
+    graft.operators.Similarity.hyperplanes(nBits, dim).zipWithIndex
       .map { case (p, b) =>
         p.map(java.lang.Double.toString).mkString(s"($b, [", ", ", "])")
       }
@@ -180,7 +189,7 @@ object SimQueries extends QueryFamily {
     * with the engine exactly. */
   private def lshOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |planes AS (SELECT * FROM $planesSql),
+       |planes AS (SELECT * FROM ${planesSql()}),
        |buck AS (
        |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM (
@@ -543,6 +552,42 @@ object SimQueries extends QueryFamily {
          |  SELECT query_id, neighbor_id, ip, aug_cosine,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cosine DESC, neighbor_id) AS rank
          |  FROM p) r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the same augmentation bucketed by the 65-dim planes: corpus
+    // buckets off [x, √(M²−‖x‖²)], query buckets off [q, 0], hamming-1
+    // multi-probe, exact augmented-cosine verify within buckets
+    "sim_mips_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (x,y) -> x + y) AS ns FROM e),
+         |m AS (SELECT MAX(ns) AS m2 FROM n),
+         |av AS (SELECT vec_id, list_append(v, sqrt(m2 - ns)) AS v FROM n, m),
+         |qv AS (SELECT vec_id, list_append(v, CAST(0.0 AS DOUBLE)) AS v FROM n WHERE vec_id % 5 = 0),
+         |planes AS (SELECT * FROM ${planesSql(8, 65)}),
+         |cbuck AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT av.vec_id, p.b,
+         |          list_reduce(list_transform(av.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+         |        FROM av CROSS JOIN planes p) d GROUP BY vec_id),
+         |qbuck AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT qv.vec_id, p.b,
+         |          list_reduce(list_transform(qv.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+         |        FROM qv CROSS JOIN planes p) d GROUP BY vec_id),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id,
+         |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
+         |  FROM qbuck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r),
+         |pair AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosineSql("eq.v", "en.v")} AS aug_cosine
+         |  FROM qprobe q
+         |  JOIN cbuck c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+         |  JOIN qv eq ON eq.vec_id = q.query_id
+         |  JOIN av en ON en.vec_id = c.vec_id)
+         |SELECT query_id, rank, neighbor_id, aug_cosine FROM (
+         |  SELECT query_id, neighbor_id, aug_cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cosine DESC, neighbor_id) AS rank
+         |  FROM pair) r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,

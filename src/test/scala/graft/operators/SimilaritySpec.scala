@@ -285,6 +285,29 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(sem.contains((100L, 101L)))
   }
 
+  test("MIPS via LSH: finds the large-norm target, scores match exact MIPS") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0)
+    } :+ ((100L, q, 0)) :+
+      ((102L, q.map(_ * 3.0f), 0)) // same direction, 3x norm: IP champion
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 100L)
+    val lshGot = Similarity.mipsTopKLsh(corpus, queries, 3, dim = 16)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the co-directional large-norm vector shares the query's bucket
+    // exactly (identical sign pattern) -> rank 1
+    assert(lshGot.head._1 === 1 && lshGot.head._2 === 102L)
+    // every LSH hit carries the BIT-identical augmented cosine of the
+    // exact path (same 65-element folds)
+    val exact = Similarity.mipsTopK(corpus, queries, 50)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    lshGot.foreach { case (_, id, sc) => assert(exact(id) === sc) }
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
