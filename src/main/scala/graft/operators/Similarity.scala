@@ -255,6 +255,41 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Clustering-quality evaluation of the coarse quantizer — the
+    * k-means health check every embedding pipeline runs before trusting
+    * an IVF layout or a SemDeDup pass: per cell, member count and the
+    * min / max / mean member-to-centroid cosine (tight cells ≈ high
+    * mean, stragglers show up as a low min; a skewed `n_members`
+    * distribution flags an imbalanced quantizer that needs re-split).
+    *
+    * Cross-engine exactness: min/max are order-independent; the mean
+    * goes through the integer-micros trick (sum of ROUND(cos·1e6) longs
+    * — order-independent exact — then one fixed double division), the
+    * same discipline as the Lloyd update itself. The NaN sentinel (-2.0)
+    * mirrors [[ivfAssign]]'s guard. Plan: assignment as in [[ivfTopK]]
+    * (broadcast centroids), then ONE cell-keyed agg with map-side
+    * partials — no per-cell buffering, nothing O(n²). */
+  def kmeansStats(corpus: DataFrame, nCells: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = corpus.count()
+    val centroids = ivfCentroids(corpusD, nCells, lloydIters, n)
+    ivfAssign(corpusD, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("cell"),
+        nanvl(cosineSeq(col("v"), col("cv")), lit(-2.0)).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("cos")).as("min_cosine"),
+        max(col("cos")).as("max_cosine"),
+        sum(round(col("cos") * 1e6).cast("long")).as("sum_cos_micros"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"),
+        col("min_cosine"), col("max_cosine"), col("sum_cos_micros"),
+        (col("sum_cos_micros").cast("double") /
+          col("n_members").cast("double") / 1e6).as("mean_cosine"))
+  }
+
   /** Nearest-centroid assignment: argmax-by-(sim desc, cell asc) as a
     * lexicographic struct MIN — a partial-aggregating hash agg (map-side
     * combine collapses the nCells-wide candidate rows BEFORE the shuffle)

@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -863,6 +863,52 @@ object RelQueries extends QueryFamily {
         cents(col("l_quantity")), cents(col("l_extendedprice")))
         .orderBy(col("l_returnflag"))),
 
+    // RFM segmentation (Hughes 1994; the standard CRM scoring pass):
+    // per purchaser, Recency (days since last order vs the corpus max
+    // day), Frequency (order count), Monetary (exact cents) — each cut
+    // into quintiles by the EXPLICIT integer rule (5·(rn−1)) DIV n + 1
+    // over a (metric, custkey) total order (no NTILE semantics to
+    // trust), ranks via the range-partitioned global rank (no
+    // single-reducer window; the rank domain is the customer DIMENSION,
+    // not the fact stream). Segment labels by integer gate.
+    "rel_rfm" -> ((s, d) => {
+      import graft.operators.OrderStats
+      val perCust = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          // NTZ→LTZ cast is identity under the UTC session (the
+          // Tables.events normalization rationale)
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+            .as("day"),
+          cents(col("o_totalprice")).as("c"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f_orders"),
+          sum(col("c")).as("m_cents"))
+      val maxDay = perCust.agg(max(col("last_day")).as("max_day"))
+      val base = perCust.crossJoin(broadcast(maxDay))
+        .select(col("o_custkey").as("c_custkey"),
+          (col("max_day") - col("last_day")).as("r_days"),
+          col("f_orders"), col("m_cents"))
+      def quint(df: DataFrame, sort: Seq[Column], name: String): DataFrame =
+        OrderStats.withGlobalRank(df, sort, "__rn", "__n")
+          .withColumn(name,
+            (expr("(5 * (__rn - 1)) DIV __n") + 1).cast("int"))
+          .drop("__rn", "__n")
+      val scored = quint(quint(quint(base,
+        Seq(col("r_days"), col("c_custkey")), "r_q"),
+        Seq(col("f_orders").desc, col("c_custkey")), "f_q"),
+        Seq(col("m_cents").desc, col("c_custkey")), "m_q")
+      scored.select(col("c_custkey"), col("r_days"), col("f_orders"),
+        dollars(col("m_cents")).as("monetary"), col("r_q"), col("f_q"),
+        col("m_q"),
+        when(col("r_q") <= 2 && col("f_q") <= 2 && col("m_q") <= 2,
+          "champion")
+          .when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4,
+            "hibernating")
+          .when(col("r_q") >= 4 && col("m_q") <= 2, "at_risk")
+          .otherwise("regular").as("segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // 2-D skyline / Pareto frontier (Börzsönyi ICDE'01): parts no other
     // part beats on (cheaper, larger) — the sorted-scan formulation via
     // RANGE-frame running maxima, distribute-then-merge (local skylines
@@ -1254,6 +1300,31 @@ object RelQueries extends QueryFamily {
          |  CASE WHEN vxn > 0 THEN (syd - (covn / vxn) * sxd) / CAST(n AS DOUBLE) END AS intercept,
          |  CASE WHEN vxn > 0 AND vyn > 0 THEN covn * covn / (vxn * vyn) END AS r2
          |FROM v ORDER BY l_returnflag""".stripMargin
+    },
+    // same explicit quintile arithmetic over the same total orders;
+    // CASE order mirrors the engine's when-chain (hibernating tested
+    // before at_risk — r_q>=4 ∧ m_q<=2 ∧ f_q>=4 is impossible only at
+    // some fixtures, so the order matters)
+    "rel_rfm" -> {
+      val cp = centsSql("o_totalprice")
+      s"""WITH pc AS (
+         |  SELECT o_custkey AS c_custkey, MAX(epoch_ms(o_orderdate) // 86400000) AS last_day,
+         |         COUNT(*) AS f_orders, CAST(SUM(CAST($cp AS HUGEINT)) AS BIGINT) AS m_cents
+         |  FROM orders GROUP BY 1),
+         |mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+         |b AS (SELECT c_custkey, max_day - last_day AS r_days, f_orders, m_cents FROM pc, mx),
+         |q AS (SELECT c_custkey, r_days, f_orders, m_cents,
+         |  CAST((5 * (ROW_NUMBER() OVER (ORDER BY r_days, c_custkey) - 1)) // COUNT(*) OVER () AS INT) + 1 AS r_q,
+         |  CAST((5 * (ROW_NUMBER() OVER (ORDER BY f_orders DESC, c_custkey) - 1)) // COUNT(*) OVER () AS INT) + 1 AS f_q,
+         |  CAST((5 * (ROW_NUMBER() OVER (ORDER BY m_cents DESC, c_custkey) - 1)) // COUNT(*) OVER () AS INT) + 1 AS m_q
+         |  FROM b)
+         |SELECT c_custkey, r_days, f_orders, ${dollarsSql("m_cents")} AS monetary,
+         |  r_q, f_q, m_q,
+         |  CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+         |       WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'hibernating'
+         |       WHEN r_q >= 4 AND m_q <= 2 THEN 'at_risk'
+         |       ELSE 'regular' END AS segment
+         |FROM q ORDER BY c_custkey""".stripMargin
     },
     // dominance by definition — the O(n²) NOT EXISTS the engine's
     // sorted-scan must equal exactly (ties on both dims survive)

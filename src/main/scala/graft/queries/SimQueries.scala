@@ -47,6 +47,14 @@ object SimQueries extends QueryFamily {
       Similarity.mipsTopKLsh(Tables.embeddings(s, d), queriesSubset(s, d), K)
         .orderBy(col("query_id"), col("rank"))),
 
+    // clustering-quality eval of the shared coarse quantizer: per-cell
+    // member count + min/max/mean member-to-centroid cosine (integer-
+    // micros mean — order-independent exact). The k-means health check
+    // run before trusting an IVF layout or a SemDeDup pass.
+    "sim_kmeans_stats" -> ((s, d) =>
+      Similarity.kmeansStats(Tables.embeddings(s, d))
+        .orderBy(col("cell"))),
+
     "sim_topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         nCells = 16, nProbe = 4)
@@ -589,6 +597,20 @@ object SimQueries extends QueryFamily {
          |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cosine DESC, neighbor_id) AS rank
          |  FROM pair) r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // shared coarse-quantizer CTEs + one cell-keyed aggregate; the NaN
+    // sentinel and the integer-micros mean mirror the engine exactly
+    "sim_kmeans_stats" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${ivfAssignCtes("", "e")},
+         |sims AS (
+         |  SELECT af.cell, (CASE WHEN isnan(cos0) THEN -2.0 ELSE cos0 END) AS cos
+         |  FROM (SELECT af.cell, ${cosineSql("af.v", "c.cv")} AS cos0
+         |        FROM af JOIN c2 c USING (cell)) af)
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_members,
+         |  MIN(cos) AS min_cosine, MAX(cos) AS max_cosine,
+         |  CAST(SUM(CAST(ROUND(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_micros,
+         |  CAST(SUM(CAST(ROUND(cos * 1000000.0) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_cosine
+         |FROM sims GROUP BY cell ORDER BY cell""".stripMargin,
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
     "sim_topk_pq" -> pqOracleSql,

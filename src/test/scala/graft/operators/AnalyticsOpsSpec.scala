@@ -69,6 +69,16 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
       b.isNullAt(4))
   }
 
+  test("RFM quintile rule: balanced cuts, monotone in the metric") {
+    // the explicit (5·(rn−1)) DIV n + 1 rule on 23 rows: sizes differ
+    // by at most 1 (5,5,4,5,4) and the quintile is monotone in rank
+    val n = 23
+    val q = (1 to n).map(rn => (5 * (rn - 1)) / n + 1)
+    assert(q.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(1 -> 5, 2 -> 5, 3 -> 4, 4 -> 5, 5 -> 4))
+    assert(q === q.sorted)
+  }
+
   test("collocations: counts and lift on a hand fixture, support floor enforced") {
     val s = spark
     import s.implicits._

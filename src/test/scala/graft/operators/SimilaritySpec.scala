@@ -308,6 +308,19 @@ class SimilaritySpec extends GraftSparkSpec {
     lshGot.foreach { case (_, id, sc) => assert(exact(id) === sc) }
   }
 
+  test("kmeansStats: partition of the corpus, bounds ordered, mean in range") {
+    val stats = Similarity.kmeansStats(vectors, nCells = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(5)))
+    assert(stats.map(_._2).sum === 50L) // every vector in exactly one cell
+    stats.foreach { case (cell, n, mn, mx, mean) =>
+      assert(n > 0, s"cell $cell")
+      assert(mn <= mx)
+      // micros rounding moves the mean < 1e-6 past the true bounds
+      assert(mean >= mn - 1e-6 && mean <= mx + 1e-6)
+    }
+  }
+
   test("embeddingDupPairs finds only the planted duplicate pair") {
     val dup = spark.createDataFrame(Seq(
       (200L, Array.fill(16)(0.5f), 0),
