@@ -58,6 +58,13 @@ case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
     sample_sum: Long, n_distinct: Int, mean_sample: Double,
     duration_us: Long)
 
+/** Shot-boundary statistics off the DECODED frame sequence: per-doc
+  * transition count, cut count (inter-frame absolute pixel delta above
+  * threshold), max/total delta — all integer-exact, so the oracle replay
+  * from the synthesis rule proves the ordered frame decode again. */
+case class SceneCuts(doc_id: Long, n_frames: Int, n_transitions: Int,
+    n_cuts: Int, max_delta: Long, sum_delta: Long)
+
 /** Classic time-domain audio features off DECODED PCM (speech/music
   * discrimination battery: Scheirer & Slaney 1997) — all integer-exact
   * on the centered 8-bit samples, so an oracle replay from the synthesis
@@ -415,6 +422,68 @@ object Multimodal {
         }
         VideoStats(r.doc_id, nf, sum, nDistinct,
           sum.toDouble / (nf * 16), firstSum, lastSum)
+      } ++ { rd.dispose(); Iterator.empty }
+    }
+  }
+
+  /** Shot-boundary (scene-cut) detection over the DECODED frame
+    * sequence — the classic pixel-difference cut detector (the first
+    * pass of any video segmentation pipeline): for each adjacent frame
+    * pair, delta = Σ |px_f(i) − px_{f+1}(i)|; a transition with delta >
+    * threshold is a cut. Runs off the REAL container decode
+    * ([[decodeVideoStats]]'s reader lifecycle) and is integer-exact, so
+    * the oracle's replay from the synthesis rule is a second,
+    * order-sensitive proof of the frame decode (a frame swap changes
+    * deltas even when total pixel sums survive).
+    *
+    * Scale: embarrassingly parallel, one decoded-frame buffer of state
+    * per clip; only the 6-column summary shuffles. */
+  def sceneCuts(tiffs: Dataset[TiffRow], threshold: Long = 800L)
+      : Dataset[SceneCuts] = {
+    val spark = tiffs.sparkSession
+    import spark.implicits._
+    tiffs.mapPartitions { rows =>
+      val rd = javax.imageio.ImageIO
+        .getImageReadersByFormatName("tiff").next()
+      rows.map { r =>
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.tiff)), false, true)
+        val nf = rd.getNumImages(true)
+        require(nf > 0, s"doc ${r.doc_id}: no frames in container")
+        var prev: Array[Int] = null
+        var nCuts = 0
+        var maxDelta = 0L
+        var sumDelta = 0L
+        var f = 0
+        while (f < nf) {
+          val img = rd.read(f)
+          val cur = new Array[Int](img.getWidth * img.getHeight)
+          var y = 0
+          var i = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              cur(i) = img.getRaster.getSample(x, y, 0)
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (prev != null) {
+            var delta = 0L
+            var j = 0
+            while (j < cur.length) {
+              delta += math.abs(cur(j) - prev(j)).toLong
+              j += 1
+            }
+            if (delta > threshold) nCuts += 1
+            if (delta > maxDelta) maxDelta = delta
+            sumDelta += delta
+          }
+          prev = cur
+          f += 1
+        }
+        SceneCuts(r.doc_id, nf, nf - 1, nCuts, maxDelta, sumDelta)
       } ++ { rd.dispose(); Iterator.empty }
     }
   }

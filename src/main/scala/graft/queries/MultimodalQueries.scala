@@ -138,6 +138,16 @@ object MultimodalQueries extends QueryFamily {
       Multimodal.ahashDupPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // shot-boundary detection over the REAL decoded frame sequence:
+    // inter-frame absolute pixel deltas, cuts above threshold —
+    // order-sensitive proof of the container decode (a frame swap moves
+    // deltas even when total sums survive).
+    "mm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.encodeVideo(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // time-domain audio feature battery (ZCR / energy / octave-lag
     // autocorrelation / argmax period) off the REAL decoded PCM stream —
     // integer-exact, so the oracle replay from the synthesis rule is a
@@ -342,6 +352,32 @@ object MultimodalQueries extends QueryFamily {
         |FROM ah a JOIN ah b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.h, b2.h)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // frame f pixel i = byte((f·16 + i) mod nb): delta(f) sums
+    // |b((f·16+i) mod nb) − b((f·16+i+16) mod nb)| over the 16 pixel
+    // positions — the same geometry rule as mm_video_decode, now
+    // position-by-position (order-sensitive)
+    "mm_scene_cuts" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |g AS (SELECT doc_id, hx, nb, LEAST(8, (nb + 15) // 16) AS nf FROM b),
+        |d AS (SELECT doc_id, i // 16 AS f,
+        |        ABS(('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT -
+        |            ('0x' || substr(hx, CAST(2 * ((i + 16) % nb) + 1 AS INT), 2))::INT) AS ad
+        |      FROM (SELECT doc_id, hx, nb, nf,
+        |              unnest(range(0, CAST((nf - 1) * 16 AS BIGINT))) AS i
+        |            FROM g WHERE nf >= 2) u),
+        |t AS (SELECT doc_id, f, CAST(SUM(ad) AS BIGINT) AS delta FROM d GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(CASE WHEN delta > 800 THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+        |        MAX(delta) AS max_delta, CAST(SUM(delta) AS BIGINT) AS sum_delta
+        |      FROM t GROUP BY 1)
+        |SELECT g.doc_id, CAST(nf AS INT) AS n_frames,
+        |  CAST(nf - 1 AS INT) AS n_transitions,
+        |  COALESCE(a.n_cuts, 0) AS n_cuts,
+        |  CAST(COALESCE(a.max_delta, 0) AS BIGINT) AS max_delta,
+        |  CAST(COALESCE(a.sum_delta, 0) AS BIGINT) AS sum_delta
+        |FROM g LEFT JOIN a ON a.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // centered samples c(i) = byte(i) − 128; zcr by the <128/≥128
     // straddle convention; autocorr via LEAD at the octave lags; argmax
     // tiebreak = smallest lag (mirrors the engine's strict-> scan)

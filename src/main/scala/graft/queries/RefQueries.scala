@@ -132,6 +132,41 @@ object RefQueries extends QueryFamily {
         .orderBy(col("purchase_id"))
     }),
 
+    // multi-touch LINEAR attribution — the fractional-credit sibling of
+    // ref_attribution's last-touch: every click in the 30-min window
+    // before a purchase shares the credit equally, in EXACT integer
+    // micros (1e6 DIV k each; the remainder goes to the most recent
+    // touch so every purchase's credit sums to exactly 1,000,000 — no
+    // float shares to disagree on). Per-user equi-join + window filter
+    // (touch fan-out bounded by clicks-per-user-window); two
+    // purchase-keyed windows over the bounded touch set.
+    "ref_attribution_linear" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val windowUs = 1800L * 1000000L
+      val ev = Tables.events(s, d).withColumn("tus", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tus").as("ptus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tus").as("ctus"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("ctus") <= col("ptus") &&
+          col("ptus") - col("ctus") <= windowUs)
+      val wk = Window.partitionBy(col("purchase_id"))
+      val wr = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("ctus").desc, col("click_id").desc)
+      touches
+        .withColumn("k", count(lit(1)).over(wk))
+        .withColumn("recency_rank", row_number().over(wr))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          col("recency_rank"),
+          (expr("1000000 DIV k") +
+            when(col("recency_rank") === 1, expr("1000000 % k"))
+              .otherwise(0L)).as("credit_micros"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // weekly cohort retention: cohort = a user's first active week,
     // matrix cell (cohort, offset) = users from that cohort active
     // `offset` weeks later. Exact integer week arithmetic on the raw ns
@@ -462,6 +497,21 @@ object RefQueries extends QueryFamily {
         |tc AS (SELECT e.user_id, MIN(tus) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tus > t_view GROUP BY 1),
         |tp AS (SELECT e.user_id, MIN(tus) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tus > t_click GROUP BY 1)
         |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users, (SELECT COUNT(*) FROM tv) AS n_viewed, (SELECT COUNT(*) FROM tc) AS n_view_click, (SELECT COUNT(*) FROM tp) AS n_full_funnel""".stripMargin,
+    // same window, same integer-micros share rule, same
+    // remainder-to-most-recent tie policy
+    "ref_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM e WHERE event_type = 'click'),
+        |t AS (SELECT p.purchase_id, p.user_id, c.click_id, c.ctus
+        |      FROM p JOIN c ON p.user_id = c.user_id AND c.ctus <= p.ptus AND p.ptus - c.ctus <= 1800000000),
+        |k AS (SELECT purchase_id, user_id, click_id, ctus,
+        |        COUNT(*) OVER (PARTITION BY purchase_id) AS k,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ctus DESC, click_id DESC) AS INT) AS recency_rank
+        |      FROM t)
+        |SELECT purchase_id, user_id, click_id, recency_rank,
+        |  CAST(1000000 // k + CASE WHEN recency_rank = 1 THEN 1000000 % k ELSE 0 END AS BIGINT) AS credit_micros
+        |FROM k ORDER BY purchase_id, click_id""".stripMargin,
     "ref_attribution" ->
       """SELECT purchase_id, user_id, click_id, gap_us FROM (
         |  SELECT event_id AS purchase_id, user_id, event_type,

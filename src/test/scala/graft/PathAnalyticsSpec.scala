@@ -44,4 +44,38 @@ class PathAnalyticsSpec extends GraftSparkSpec {
     // N=2: p50 rank ceil(1.0)=1 → smallest gap 1; p90 rank ceil(1.8)=2 → 2.
     assert(out.toSeq === Seq(Row("click", 2L, 1L, 2L, 2L)))
   }
+
+  // user 3: clicks at µs 1, 2, 4 then purchase at µs 5 (all in window);
+  // user 4: click 30 min + 1 µs before its purchase (outside window)
+  private lazy val attrDir: String = {
+    val d = Files.createTempDirectory("graft-attrspec-").toString
+    val win = 1800L * 1000000L
+    val rows = Seq(
+      (10L, 1000L, 3L, "click", 1.0, "{}"),
+      (11L, 2000L, 3L, "click", 1.0, "{}"),
+      (12L, 4000L, 3L, "click", 1.0, "{}"),
+      (13L, 5000L, 3L, "purchase", 1.0, "{}"),
+      (14L, 0L, 4L, "click", 1.0, "{}"),
+      (15L, (win + 1) * 1000L + 0L, 4L, "purchase", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("ref_attribution_linear: equal shares, remainder to most recent, window enforced") {
+    val out = SparkEntry.queries("ref_attribution_linear")(spark, attrDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getInt(3), r.getLong(4)))).toMap
+    // user 3's purchase 13: three touches → 333333 each + remainder 1
+    // to the most recent click (event 12, recency rank 1)
+    assert(out === Map(
+      (13L, 10L) -> ((3, 333333L)),
+      (13L, 11L) -> ((2, 333333L)),
+      (13L, 12L) -> ((1, 333334L))))
+    // total credit per purchase is exactly 1e6
+    assert(out.collect { case ((13L, _), (_, c)) => c }.sum === 1000000L)
+    // user 4's click is outside the 30-min window: no rows at all
+    assert(!out.keys.exists(_._1 == 15L))
+  }
 }

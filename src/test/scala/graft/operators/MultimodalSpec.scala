@@ -217,6 +217,25 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(pairs === Map((0L, 1L) -> 0, (0L, 2L) -> 3, (1L, 2L) -> 3))
   }
 
+  test("sceneCuts: delta matches the synthesis rule, single frame has none") {
+    val s = spark
+    import s.implicits._
+    val txt = "abcdefghijklmnopQRST" // 20 bytes -> 2 frames
+    val docs = Seq((0L, txt), (1L, "xyz")).toDF("doc_id", "text")
+    val got = Multimodal.sceneCuts(Multimodal.encodeVideo(docs), 100L)
+      .collect().map(c => c.doc_id -> c).toMap
+    val b = txt.getBytes("UTF-8").map(_ & 0xFF)
+    val expectDelta = (0 until 16)
+      .map(i => math.abs(b(i) - b((i + 16) % 20)).toLong).sum
+    val c0 = got(0L)
+    assert(c0.n_frames === 2 && c0.n_transitions === 1)
+    assert(c0.max_delta === expectDelta && c0.sum_delta === expectDelta)
+    assert(c0.n_cuts === (if (expectDelta > 100L) 1 else 0))
+    val c1 = got(1L)
+    assert(c1.n_frames === 1 && c1.n_transitions === 0 &&
+      c1.n_cuts === 0 && c1.sum_delta === 0L)
+  }
+
   test("audioFeatures: hand-computed ZCR/energy/autocorr on known byte streams") {
     val s = spark
     import s.implicits._
