@@ -254,6 +254,57 @@ object Graph {
       .select(col("a").as("id"), col("core_degree"))
   }
 
+  /** Newman modularity of a vertex partition (Newman & Girvan 2004) —
+    * the quality score that tells you whether a community split
+    * ([[labelPropagation]]) actually beats random: per community c,
+    *
+    *   Q_c = e_c/m − (d_c / 2m)²,   Q = Σ_c Q_c
+    *
+    * with e_c intra-community edges, d_c member degree sum, m total
+    * edges. All in EXACT integers until one final division:
+    * Q_c = (4·m·e_c − d_c²) / (4m²) — numerators are order-independent
+    * long sums (the [[pageRank]] fixed-point discipline), so the
+    * usually-float-fuzzy Q is bit-replicable, including the global Q
+    * (an exact long window sum of numerators, divided once).
+    *
+    * Plan at 100 TB: two label-keyed hash aggs (degree sums, member
+    * counts), one edge→label equi-join pair for intra counts, one
+    * bounded window over the community-count-sized frame. `m` is ONE
+    * driver count action (a scalar, not data). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    val m = e.count()
+    val denom = (4L * m * m).toDouble
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("id"), col("deg"))
+    val lab = labels.select(col("id"), col("label"))
+    val intra = e
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val perLabel = lab.join(deg, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum").cast("long").as("degree_sum"))
+      .withColumn("qc_num",
+        lit(4L * m) * col("intra_edges") -
+          col("degree_sum") * col("degree_sum"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLabel.select(col("label"), col("n_members"), col("intra_edges"),
+      col("degree_sum"), col("qc_num"),
+      (col("qc_num").cast("double") / lit(denom)).as("q_contrib"),
+      (sum(col("qc_num")).over(wAll).cast("double") / lit(denom))
+        .as("q_total"))
+  }
+
   /** Multi-source BFS with seed attribution — landmark hop distances
     * over an undirected edge list: each reached vertex gets
     * (dist = min hops to any seed, seed = the attributed landmark,

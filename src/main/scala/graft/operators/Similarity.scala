@@ -91,16 +91,23 @@ object Similarity {
     val qaug = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
       .withColumn("qav", concat(col("qv"), array(lit(0.0))))
-    val pairs = broadcast(qaug).crossJoin(caug)
+    // hot path: ONLY the native codegen'd cosine kernel runs per pair
+    // (fold-order-identical to the HOF/oracle — the SimilaritySpec
+    // bit-equality contract); the raw inner product is recomputed on
+    // the k·|queries| winners after ranking, not on every pair
+    val pairs = broadcast(qaug.select(col("query_id"), col("qav")))
+      .crossJoin(caug.select(col("neighbor_id"), col("nav")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dotSeq(col("qv"), col("nv")).as("ip"),
-        cosineSeqHof(col("qav"), col("nav")).as("aug_cosine"))
+        cosineSeq(col("qav"), col("nav")).as("aug_cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("aug_cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"),
-        col("aug_cosine"))
+      .join(broadcast(qaug.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .join(caug.select(col("neighbor_id"), col("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        dotSeq(col("qv"), col("nv")).as("ip"), col("aug_cosine"))
   }
 
   /** MIPS served by the ACTUAL sign-LSH index — the payoff of

@@ -706,6 +706,45 @@ object TextOps {
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** BPE ENCODE — the apply half of [[bpeTrain]], what a pipeline runs
+    * per shard once the merge table is trained: each DISTINCT word is
+    * re-derived to its boundary-space character sequence, the learned
+    * merges replay in rank order as the SAME left-to-right
+    * non-overlapping string replace the training loop used (order is
+    * the algorithm: an early merge can feed a later one), and the piece
+    * counts join back to the token stream. Reports per-doc token/piece
+    * counts + fertility (pieces per token) — the tokenizer-efficiency
+    * number corpus builds monitor per language/source.
+    *
+    * Plan at 100 TB: the merge table is driver-side (bounded: `rounds`
+    * rows — it IS the tokenizer artifact); encoding runs on the
+    * DISTINCT-word frame (vocabulary-sized, Zipf-collapsed), then one
+    * word-keyed shuffle-hash probe back to the exploded token stream —
+    * the [[lmScoreAll]] count-table shape. */
+  def bpeEncode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("word"))
+    var seqs = toks.select(col("word")).distinct()
+      .select(col("word"),
+        concat(lit("  "),
+          array_join(expr("regexp_extract_all(word, '.', 0)"), "  "),
+          lit("  ")).as("seq"))
+    for ((a, b) <- merges)
+      seqs = seqs.select(col("word"),
+        replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq"))
+    val enc = seqs.select(col("word"),
+      size(expr("filter(split(seq, ' '), x -> x != '')")).as("n_pieces"))
+    toks.join(enc.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_pieces").cast("long").as("n_pieces"),
+        (col("n_pieces").cast("double") /
+          col("n_tokens").cast("double")).as("pieces_per_token"))
+  }
+
   /** Positioned bigram stream (doc_id, pos, w1, w2) — the shared front of
     * every bigram-LM pass. Narrow generate; docs under 2 tokens vanish. */
   def knBigrams(docs: DataFrame): DataFrame = {

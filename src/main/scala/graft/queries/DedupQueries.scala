@@ -214,6 +214,16 @@ object DedupQueries extends QueryFamily {
         .select(col("id").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
 
+    // Newman modularity of that partition — exact-integer numerators
+    // make the usually-float-fuzzy Q bit-checkable; answers "does the
+    // LPA split beat random" with one number (q_total).
+    "dd_modularity" -> ((s, d) => {
+      val edges = Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+        .select(col("doc_a"), col("doc_b"))
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
+        .orderBy(col("label"))
+    }),
+
     // PageRank over the near-dup graph (Graph.pageRank): integer
     // fixed-point — exact-integer arithmetic makes the usually-
     // unoracleable iteration bit-checkable. Hub docs (the boilerplate
@@ -415,7 +425,10 @@ object DedupQueries extends QueryFamily {
     * technique): per round the neighbor-label counts with the
     * (cnt DESC, label) argmax as a ROW_NUMBER — equivalent to the
     * engine's MIN(struct(−cnt, label)). */
-  private val lpaOracle: String = {
+  /** The 4-round synchronous-LPA chain as CTE clauses (shCte, pr, sym,
+    * l0..l4) — shared by the communities oracle and the modularity
+    * oracle (which scores the same partition). */
+  private val lpaCtes: String = {
     val rounds = 4
     val steps = (1 to rounds).map { i =>
       s"""l$i AS (SELECT a AS id, label FROM (
@@ -429,9 +442,33 @@ object DedupQueries extends QueryFamily {
        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
        |sym AS (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
        |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
-       |$steps
-       |SELECT id AS doc_id, label AS community FROM l$rounds ORDER BY doc_id""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private val lpaOracle: String =
+    s"""$lpaCtes
+       |SELECT id AS doc_id, label AS community FROM l4 ORDER BY doc_id""".stripMargin
+
+  /** Modularity of the LPA partition: exact-integer numerators
+    * (4·m·e_c − d_c²) over the shared LPA chain; one double division
+    * per row mirrors Graph.modularity verbatim. */
+  private val modularityOracle: String =
+    s"""$lpaCtes,
+       |mm AS (SELECT COUNT(*) AS m FROM pr),
+       |deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |intra AS (SELECT la.label, COUNT(*) AS intra_edges
+       |          FROM pr JOIN l4 la ON la.id = pr.src JOIN l4 lb ON lb.id = pr.dst
+       |          WHERE la.label = lb.label GROUP BY 1),
+       |ds AS (SELECT l4.label, COUNT(*) AS n_members, CAST(SUM(deg.deg) AS BIGINT) AS degree_sum
+       |       FROM l4 JOIN deg USING (id) GROUP BY 1),
+       |per AS (SELECT ds.label, ds.n_members,
+       |          CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges, ds.degree_sum,
+       |          CAST(4 * mm.m * COALESCE(intra.intra_edges, 0) - ds.degree_sum * ds.degree_sum AS BIGINT) AS qc_num
+       |        FROM ds LEFT JOIN intra USING (label) CROSS JOIN mm)
+       |SELECT label, n_members, intra_edges, degree_sum, qc_num,
+       |  CAST(qc_num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contrib,
+       |  CAST(SUM(qc_num) OVER () AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_total
+       |FROM per CROSS JOIN mm ORDER BY label""".stripMargin
 
   /** Shared recursive-reachability cluster CTEs (t, s, p, e, reach, lab,
     * sz) — prefix for every oracle needing near-dup cluster labels. */
@@ -625,6 +662,7 @@ object DedupQueries extends QueryFamily {
     "dd_bfs_hops" -> bfsOracle,
     "dd_semdedup" -> semDedupOracle,
     "dd_communities" -> lpaOracle,
+    "dd_modularity" -> modularityOracle,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

@@ -132,6 +132,74 @@ object RefQueries extends QueryFamily {
         .orderBy(col("purchase_id"))
     }),
 
+    // windowFunnel (the ClickHouse/Amplitude funnel primitive): per
+    // user, the deepest prefix of view→click→purchase reachable with
+    // STRICTLY increasing event times inside one 30-min window anchored
+    // at the first step. Level-k existence via user-keyed equi-joins +
+    // early DISTINCT collapse (the candidate fan-out is bounded by
+    // per-user activity in the window — the same shape ClickHouse scans
+    // per user, expressed relationally so Catalyst distributes it).
+    "ref_window_funnel" -> ((s, d) => {
+      val windowUs = 1800L * 1000000L
+      val e = Tables.events(s, d).withColumn("tus", expr("ts DIV 1000"))
+      def typed(t: String, as: String) =
+        e.filter(col("event_type") === t)
+          .select(col("user_id"), col("tus").as(as))
+      val v = typed("view", "vt")
+      val c = typed("click", "ct")
+      val p = typed("purchase", "pt")
+      val users = e.select(col("user_id")).distinct()
+      val l1 = v.select(col("user_id")).distinct().withColumn("l1", lit(1))
+      val vc = v.join(c, Seq("user_id"))
+        .filter(col("ct") > col("vt") && col("ct") - col("vt") <= windowUs)
+      val l2 = vc.select(col("user_id")).distinct().withColumn("l2", lit(1))
+      val l3 = vc.join(p, Seq("user_id"))
+        .filter(col("pt") > col("ct") && col("pt") - col("vt") <= windowUs)
+        .select(col("user_id")).distinct().withColumn("l3", lit(1))
+      users.join(l1, Seq("user_id"), "left")
+        .join(l2, Seq("user_id"), "left")
+        .join(l3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("l3").isNotNull, 3)
+            .when(col("l2").isNotNull, 2)
+            .when(col("l1").isNotNull, 1)
+            .otherwise(0).as("funnel_level"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Lorenz/Pareto concentration: rank users by activity (desc), cut
+    // into deciles by the explicit (10·(rn−1)) DIV n + 1 rule (the
+    // rel_rfm quintile arithmetic), report per-decile event mass and
+    // EXACT cumulative shares — "which 10% of users generate what share
+    // of traffic". Ranks via the range-partitioned global rank; the one
+    // unpartitioned window runs over the 10-row decile frame.
+    "ref_lorenz" -> ((s, d) => {
+      import graft.operators.OrderStats
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val ranked = OrderStats.withGlobalRank(perUser,
+        Seq(col("n_events").desc, col("user_id")), "__rn", "__n")
+        .withColumn("decile",
+          (expr("(10 * (__rn - 1)) DIV __n") + 1).cast("int"))
+      val byDecile = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byDecile
+        .withColumn("cum_events", sum(col("n_events")).over(wCum))
+        .withColumn("__total", sum(col("n_events")).over(wAll))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          col("cum_events"),
+          (col("n_events").cast("double") / col("__total").cast("double"))
+            .as("share"),
+          (col("cum_events").cast("double") / col("__total").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // multi-touch LINEAR attribution — the fractional-credit sibling of
     // ref_attribution's last-touch: every click in the 30-min window
     // before a purchase shares the credit equally, in EXACT integer
@@ -497,6 +565,42 @@ object RefQueries extends QueryFamily {
         |tc AS (SELECT e.user_id, MIN(tus) AS t_click FROM e JOIN tv ON e.user_id = tv.user_id WHERE event_type = 'click' AND tus > t_view GROUP BY 1),
         |tp AS (SELECT e.user_id, MIN(tus) AS t_purchase FROM e JOIN tc ON e.user_id = tc.user_id WHERE event_type = 'purchase' AND tus > t_click GROUP BY 1)
         |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users, (SELECT COUNT(*) FROM tv) AS n_viewed, (SELECT COUNT(*) FROM tc) AS n_view_click, (SELECT COUNT(*) FROM tp) AS n_full_funnel""".stripMargin,
+    // same strict-increase chain and first-step-anchored window via
+    // EXISTS-style distinct joins
+    "ref_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |vc AS (SELECT a.user_id, a.t AS vt, b.t AS ct
+        |       FROM e a JOIN e b ON a.user_id = b.user_id
+        |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |         AND b.t > a.t AND b.t - a.t <= 1800000000),
+        |l2 AS (SELECT DISTINCT user_id FROM vc),
+        |l3 AS (SELECT DISTINCT vc.user_id
+        |       FROM vc JOIN e p ON p.user_id = vc.user_id
+        |       WHERE p.event_type = 'purchase' AND p.t > vc.ct
+        |         AND p.t - vc.vt <= 1800000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS INT) AS funnel_level
+        |FROM u ORDER BY user_id""".stripMargin,
+    // same decile arithmetic and exact integer cumulative masses; the
+    // share divisions are single fixed IEEE ops of exact longs
+    "ref_lorenz" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+        |r AS (SELECT n_events,
+        |        CAST((10 * (ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) - 1)) // COUNT(*) OVER () AS INT) + 1 AS decile
+        |      FROM pu),
+        |d AS (SELECT decile, COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events FROM r GROUP BY 1),
+        |c AS (SELECT decile, n_users, n_events,
+        |        CAST(SUM(n_events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+        |        CAST(SUM(n_events) OVER () AS BIGINT) AS total FROM d)
+        |SELECT decile, n_users, n_events, cum_events,
+        |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cum_events AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
     // same window, same integer-micros share rule, same
     // remainder-to-most-recent tie policy
     "ref_attribution_linear" ->

@@ -204,6 +204,17 @@ object TextQueries extends QueryFamily {
     "txt_bpe_train" -> ((s, d) =>
       TextOps.bpeTrain(docs(s, d), rounds = 5).orderBy(col("round"))),
 
+    // BPE ENCODE — train the 5-round merge table (bounded driver-side
+    // artifact), then replay the merges over the distinct-word frame and
+    // probe back to the token stream: per-doc piece counts + fertility,
+    // the tokenizer-efficiency number corpus builds monitor.
+    "txt_bpe_encode" -> ((s, d) => {
+      val merges = TextOps.bpeTrain(docs(s, d), rounds = 5)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs(s, d), merges).orderBy(col("doc_id"))
+    }),
+
     // fixed-memory frequency sketch: Count-Min estimates for the 30 exact
     // heavy hitters, with the overestimate contract checked per term
     "txt_cms_termfreq" -> ((s, d) =>
@@ -386,6 +397,26 @@ object TextQueries extends QueryFamily {
 
   private val nToks = "len(string_split(text, ' '))"
 
+  /** The 5-round BPE training chain as CTE clauses (wf, s0, p1..b5, s5)
+    * — shared by the train oracle (reads b1..b5) and the encode oracle
+    * (extends with the replay chain e0..e5). */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH wf AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1),\n")
+    sb.append("s0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq, cnt FROM wf)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS total
+        |       FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+        |             FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS syms, cnt FROM s${r - 1}) q
+        |             WHERE len(syms) >= 2) u
+        |       GROUP BY 1, 2),
+        |b$r AS (SELECT a, b, total FROM p$r ORDER BY total DESC, a, b LIMIT 1),
+        |s$r AS (SELECT replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ') AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Shared bigram-LM CTEs (t, b, c2, c1, v, pr, agg) — agg emits
     * (doc_id, n_bigrams, novel_bigrams, lm_score), the DuckDB replica of
     * [[graft.operators.TextOps.lmScoreAll]]. */
@@ -567,25 +598,33 @@ object TextQueries extends QueryFamily {
     // boundary-space replace — so engine and oracle agree on every
     // round's choice AND its count, not just the final table
     "txt_bpe_train" -> {
-      val rounds = 5
       val sb = new StringBuilder
-      sb.append("WITH wf AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1),\n")
-      sb.append("s0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq, cnt FROM wf)")
-      for (r <- 1 to rounds) {
-        sb.append(s""",
-          |p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS total
-          |       FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
-          |             FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS syms, cnt FROM s${r - 1}) q
-          |             WHERE len(syms) >= 2) u
-          |       GROUP BY 1, 2),
-          |b$r AS (SELECT a, b, total FROM p$r ORDER BY total DESC, a, b LIMIT 1),
-          |s$r AS (SELECT replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ') AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin)
-      }
+      sb.append(bpeTrainCtes(5))
       sb.append("\nSELECT * FROM (")
-      sb.append((1 to rounds).map(r =>
+      sb.append((1 to 5).map(r =>
         s"SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym, a || b AS merged, total AS pair_count FROM b$r")
         .mkString(" UNION ALL "))
       sb.append(") ORDER BY round")
+      sb.toString
+    },
+    // same training CTEs pick the merges; e0..e5 replay them over the
+    // distinct-word frame; piece counts probe back to the token stream
+    "txt_bpe_encode" -> {
+      val sb = new StringBuilder
+      sb.append(bpeTrainCtes(5))
+      sb.append(""",
+        |e0 AS (SELECT word, '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq
+        |       FROM (SELECT DISTINCT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w) dw)""".stripMargin)
+      for (r <- 1 to 5)
+        sb.append(s""",
+          |e$r AS (SELECT word, replace(seq, ' ' || b$r.a || '  ' || b$r.b || ' ', ' ' || b$r.a || b$r.b || ' ') AS seq
+          |       FROM e${r - 1} CROSS JOIN b$r)""".stripMargin)
+      sb.append("""
+        |, enc AS (SELECT word, len(list_filter(string_split(seq, ' '), x -> x <> '')) AS n_pieces FROM e5),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pieces_per_token
+        |FROM tok JOIN enc USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
       sb.toString
     },
     // same hash60-slice cells (row i = 15-bit slice i of one term hash);

@@ -63,6 +63,44 @@ class PathAnalyticsSpec extends GraftSparkSpec {
     d
   }
 
+  // users 5-8 exercise every windowFunnel level: full chain in window,
+  // purchase outside the view-anchored window, view-only, no view
+  private lazy val funnelDir: String = {
+    val d = Files.createTempDirectory("graft-wfspec-").toString
+    val win = 1800L * 1000000L
+    val rows = Seq(
+      (20L, 1000L, 5L, "view", 1.0, "{}"),
+      (21L, 2000L, 5L, "click", 1.0, "{}"),
+      (22L, 3000L, 5L, "purchase", 1.0, "{}"),
+      (23L, 1000L, 6L, "view", 1.0, "{}"),
+      (24L, 2000L, 6L, "click", 1.0, "{}"),
+      (25L, (win + 2) * 1000L, 6L, "purchase", 1.0, "{}"),
+      (26L, 2000L, 7L, "click", 1.0, "{}"),
+      (27L, 3000L, 7L, "view", 1.0, "{}"),
+      (28L, 1000L, 8L, "error", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("ref_window_funnel: level per user matches the strict-chain window rule") {
+    val out = SparkEntry.queries("ref_window_funnel")(spark, funnelDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(5L -> 3, 6L -> 2, 7L -> 1, 8L -> 0))
+  }
+
+  test("ref_lorenz: decile cuts and exact cumulative shares on two users") {
+    // dir fixture: user 1 has 4 events, user 2 has 2 → ranks 1, 2 of 2;
+    // deciles (10·(rn−1)) DIV 2 + 1 = 1 and 6
+    val out = SparkEntry.queries("ref_lorenz")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (1, 1L, 4L, 4L, 4.0 / 6.0, 4.0 / 6.0),
+      (6, 1L, 2L, 6L, 2.0 / 6.0, 1.0)))
+  }
+
   test("ref_attribution_linear: equal shares, remainder to most recent, window enforced") {
     val out = SparkEntry.queries("ref_attribution_linear")(spark, attrDir)
       .collect().map(r => (r.getLong(0), r.getLong(2)) ->

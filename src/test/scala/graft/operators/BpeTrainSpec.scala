@@ -30,6 +30,29 @@ class BpeTrainSpec extends GraftSparkSpec {
     // round 5+: every word is a single symbol — no pairs, no rows
   }
 
+  test("bpeEncode: learned merges replay in rank order, fertility exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "abab aaa"), (1L, "abab")).toDF("doc_id", "text")
+    // merges from the train fixture above: ab, aa, abab, aaa
+    val merges = TextOps.bpeTrain(docs, rounds = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // after all merges: abab -> 1 piece, aaa -> 1 piece
+    assert(got(0L) === ((2L, 2L, 1.0)))
+    assert(got(1L) === ((1L, 1L, 1.0)))
+    // with only the FIRST merge, abab -> [ab, ab] (2), aaa -> [a,a,a] (3)
+    val got1 = TextOps.bpeEncode(docs, merges.take(1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got1(0L) === 5L && got1(1L) === 2L)
+    // merge ORDER matters: applying [aa] before [ab] leaves abab at 4
+    val gotSwapped = TextOps.bpeEncode(docs, Seq(("a", "a"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotSwapped(1L) === 4L)
+  }
+
   test("adjacent occurrences merge back-to-back in one round") {
     val s = spark
     import s.implicits._

@@ -148,6 +148,27 @@ class GraphSpec extends GraftSparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("modularity: two bridged triangles hit the textbook 0.357, one blob 0") {
+    val s = spark
+    import s.implicits._
+    val tri2 = edges(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      5L -> 6L, 6L -> 7L, 5L -> 7L, 3L -> 5L)
+    val labels2 = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 5L)).toDF("id", "label")
+    val got = Graph.modularity(tri2, labels2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6)))).toMap
+    // m=7; each triangle: e_c=3, d_c=7 → qc_num = 4·7·3 − 49 = 35
+    assert(got(1L) === ((3L, 3L, 7L, 35L, 70.0 / 196.0)))
+    assert(got(5L) === ((3L, 3L, 7L, 35L, 70.0 / 196.0)))
+    // the whole graph as ONE community: Q must be exactly 0
+    val labels1 = Seq(1L, 2L, 3L, 5L, 6L, 7L).map(i => (i, 0L))
+      .toDF("id", "label")
+    val q1 = Graph.modularity(tri2, labels1).collect()
+    assert(q1.length === 1 && q1(0).getLong(4) === 0L &&
+      q1(0).getDouble(6) === 0.0)
+  }
+
   private def bfsOf(nSeeds: Int, maxDepth: Int, pairs: (Long, Long)*)
       : Map[Long, (Int, Long)] =
     Graph.bfsHops(edges(pairs: _*), nSeeds, maxDepth).collect()

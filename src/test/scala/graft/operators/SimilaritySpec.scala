@@ -26,6 +26,16 @@ class SimilaritySpec extends GraftSparkSpec {
       Similarity.cosineSeqHof(col("va"), col("vb")).as("hof"))
       .filter(col("native") =!= col("hof")) // exact equality, not tolerance
     assert(diff.count() === 0)
+    // the DOUBLE-element kernel path (derived vectors, e.g. MIPS
+    // augmentation) must hold the same bit-equality contract
+    val dPairs = pairs.select(
+      transform(col("va"), x => x.cast("double")).as("da"),
+      transform(col("vb"), x => x.cast("double")).as("db"))
+    val dDiff = dPairs.select(
+      Similarity.cosineSeq(col("da"), col("db")).as("native"),
+      Similarity.cosineSeqHof(col("da"), col("db")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(dDiff.count() === 0)
   }
 
   test("cosine of identical and opposite vectors") {
