@@ -254,6 +254,29 @@ object Graph {
       .select(col("a").as("id"), col("core_degree"))
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * edges into an EXISTING labeling without re-walking the old graph.
+    * The old labeling is replayed as STAR edges (id → its component
+    * label — connectivity-equivalent to the original edge set but
+    * depth-1 by construction), unioned with the new edges, and
+    * [[connectedComponents]] reruns over that: rounds needed scale with
+    * how many old components the new batch CHAINS together, not with
+    * the old graph's diameter — the path-compression dividend that
+    * makes nightly dup-graph maintenance O(batch), the batch sibling
+    * of the streaming index in
+    * [[graft.streaming.StreamingDedup]]. Result provably equals the
+    * full-graph CC (star edges preserve exact connectivity; labels are
+    * member min-ids in both), which is what the dd_cc_incremental
+    * oracle checks. */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val star = labels.select(col(labels.columns(0)).as("a"),
+      col(labels.columns(1)).as("b"))
+      .filter(col("a") =!= col("b"))
+    val cols = newEdges.columns
+    val e = newEdges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+    connectedComponents(star.unionByName(e))
+  }
+
   /** Newman modularity of a vertex partition (Newman & Girvan 2004) —
     * the quality score that tells you whether a community split
     * ([[labelPropagation]]) actually beats random: per community c,

@@ -706,6 +706,46 @@ object TextOps {
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** Boilerplate excision with document REASSEMBLY — the CCNet/RefinedWeb
+    * "dedup at sub-document grain, keep the rest" pass that
+    * [[graft.operators.Dedup.passageDups]] only reports on: cut each doc
+    * into non-overlapping `chunkSize`-token chunks, DROP every chunk
+    * whose fingerprint occurs in more than `maxDf` documents (navbars,
+    * license headers, templated footers), and stitch the SURVIVING
+    * chunks back into a document in original order. Emits per doc the
+    * kept/dropped accounting plus the reassembled text's fingerprint
+    * (so the oracle checks the reconstruction byte-for-byte, not just
+    * the counts); docs whose every chunk is boilerplate survive with
+    * n_kept = 0 and an empty-text fingerprint.
+    *
+    * Plan at 100 TB: one chunk-fingerprint hash agg (df table,
+    * vocabulary-bounded) probed back shuffle-hash by the chunk stream
+    * ([[lmScoreAll]]'s count-table shape), then ONE doc-keyed
+    * reassembly agg whose per-doc state is the doc's own chunk list —
+    * bounded by document length, the same bound the chunker already
+    * imposes. Nothing all-pairs. */
+  def stripBoilerplate(docs: DataFrame, chunkSize: Int = 32,
+      maxDf: Int = 1): DataFrame = {
+    val chunks = chunkTokens(docs, chunkSize, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("fp"))
+    val df = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val flagged = chunks.join(df.hint("shuffle_hash"), Seq("fp"))
+      .withColumn("drop", (col("df") > maxDf).cast("int"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("drop")).as("n_dropped"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(when(col("drop") === 0,
+            struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text"))).as("kept_text"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - col("n_dropped")).as("n_kept"),
+        col("n_dropped"), md5(col("kept_text")).as("kept_fp"),
+        length(col("kept_text")).as("kept_chars"))
+  }
+
   /** BPE ENCODE — the apply half of [[bpeTrain]], what a pipeline runs
     * per shard once the merge table is trained: each DISTINCT word is
     * re-derived to its boundary-space character sequence, the learned

@@ -214,6 +214,22 @@ object DedupQueries extends QueryFamily {
         .select(col("id").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
 
+    // incremental CC maintenance: yesterday's labeling (one arbitrary
+    // half of the pair set) replays as star edges, today's batch of new
+    // pairs merges in — and the result must equal the FULL-graph CC,
+    // which is exactly what the oracle computes. O(batch) nightly
+    // dup-cluster maintenance, proven not assumed.
+    "dd_cc_incremental" -> ((s, d) => {
+      val pairs = Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val half1 = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
+      val half2 = pairs.filter((col("doc_a") + col("doc_b")) % 2 =!= 0)
+      val initial = Graph.connectedComponents(half1)
+      Graph.mergeComponents(initial, half2)
+        .select(col("id").as("doc_id"), col("cc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Newman modularity of that partition — exact-integer numerators
     // make the usually-float-fuzzy Q bit-checkable; answers "does the
     // LPA split beat random" with one number (q_total).
@@ -663,6 +679,10 @@ object DedupQueries extends QueryFamily {
     "dd_semdedup" -> semDedupOracle,
     "dd_communities" -> lpaOracle,
     "dd_modularity" -> modularityOracle,
+    // the incremental merge must land on the FULL-graph labeling
+    "dd_cc_incremental" ->
+      s"""$clusterCtes
+         |SELECT lab.id AS doc_id, lab.cc FROM lab ORDER BY doc_id""".stripMargin,
     "dd_soft_dedup" -> softDedupOracle,
     "dd_dup_clusters" -> dupClustersOracle,
     "dd_dedup_corpus" -> dedupCorpusOracle,

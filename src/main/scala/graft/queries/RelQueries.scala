@@ -452,6 +452,31 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    // simple-exponential-smoothing level per event type over the daily
+    // series (Brown 1956; the α=1/4 EWMA every ops dashboard runs):
+    // s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ — a POSITION-ORDERED fold over
+    // the day-sorted counts, bit-replicable because both engines run
+    // the identical IEEE op sequence (DuckDB list_reduce ≡ Spark
+    // aggregate with first-element init). Per-type day list is bounded
+    // by the calendar, never the event count — the fold state is one
+    // double. The forecast for day T+1 under SES IS the final level.
+    "rel_ses_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cnt")).as("total_events"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("day"), col("cnt")))),
+              x => x.getField("cnt").cast("double")).as("xs"),
+            lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(lit(0.25) * x + lit(0.75) * acc)).as("ses_level"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- range (interval) join ----------------------------------------
     // events matched to OVERLAPPING 3-day windows striding 2 days from
     // 2024-01-01 (epoch day 19723) — a genuine inequality join (an event
@@ -1301,6 +1326,14 @@ object RelQueries extends QueryFamily {
          |  CASE WHEN vxn > 0 AND vyn > 0 THEN covn * covn / (vxn * vyn) END AS r2
          |FROM v ORDER BY l_returnflag""".stripMargin
     },
+    // identical fold: DuckDB list_reduce's (acc, x) pairing IS Spark's
+    // aggregate with first-element init — same IEEE sequence
+    "rel_ses_forecast" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |        list_reduce(list(CAST(cnt AS DOUBLE) ORDER BY day), (x, y) -> 0.25 * y + 0.75 * x) AS ses_level
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, total_events, ses_level FROM a ORDER BY event_type""".stripMargin,
     // same explicit quintile arithmetic over the same total orders;
     // CASE order mirrors the engine's when-chain (hibernating tested
     // before at_risk — r_q>=4 ∧ m_q<=2 ∧ f_q>=4 is impossible only at

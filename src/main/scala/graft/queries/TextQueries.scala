@@ -126,6 +126,14 @@ object TextQueries extends QueryFamily {
           col("n_tokens"), md5(col("chunk_text")).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // boilerplate excision WITH reassembly (CCNet/RefinedWeb sub-doc
+    // dedup): drop every 32-token chunk shared across documents, stitch
+    // the survivors back in order; the reassembled text's fingerprint is
+    // oracle-checked byte-for-byte, not just the counts.
+    "txt_boilerplate_strip" -> ((s, d) =>
+      TextOps.stripBoilerplate(docs(s, d))
+        .orderBy(col("doc_id"))),
+
     // PII scrub proof: plant synthetic email/URL/long-number tokens per
     // doc (same construction both engines), scrub, verify the redacted
     // text round-trips identically
@@ -783,6 +791,26 @@ object TextQueries extends QueryFamily {
         |SELECT lang, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // same chunk rule as dd_chunk_dup; the kept text reassembles with
+    // list(... ORDER BY chunk_id) FILTER — byte-identical stitching
+    "txt_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+        |        array_to_string(toks[(i-1)*32+1 : i*32], ' ') AS chunk_text
+        |      FROM t, UNNEST(range(1, CAST(ceil(len(toks) / 32.0) AS BIGINT) + 1)) u(i)),
+        |cf AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp FROM c),
+        |dfq AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM cf GROUP BY 1),
+        |fl AS (SELECT cf.doc_id, cf.chunk_id, cf.chunk_text,
+        |         CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END AS dropped
+        |       FROM cf JOIN dfq USING (fp)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |          CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        |          array_to_string(list(chunk_text ORDER BY chunk_id) FILTER (WHERE dropped = 0), ' ') AS kept_text
+        |        FROM fl GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_chunks - n_dropped AS n_kept, n_dropped,
+        |  md5(COALESCE(kept_text, '')) AS kept_fp,
+        |  CAST(length(COALESCE(kept_text, '')) AS INT) AS kept_chars
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // lift = c2·Nu² / (Nb·c1(w1)·c1(w2)) in HUGEINT-exact integers, one
     // correctly-rounded double division — mirrors TextOps.collocations
     "txt_collocations" ->

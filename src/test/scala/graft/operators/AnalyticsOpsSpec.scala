@@ -79,6 +79,51 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(q === q.sorted)
   }
 
+  test("stripBoilerplate: shared chunks drop, survivors reassemble in order") {
+    val s = spark
+    import s.implicits._
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("b", 32) // boilerplate chunk in two docs
+    val docs = Seq(
+      (0L, shared + " " + words("u", 32) + " " + words("v", 5)),
+      (1L, shared),
+      (2L, words("w", 40))).toDF("doc_id", "text")
+    val got = TextOps.stripBoilerplate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getInt(5)))).toMap
+    // doc 0: 3 chunks, boilerplate dropped, u-chunk + v-tail stitched
+    val expect0 = words("u", 32) + " " + words("v", 5)
+    assert(got(0L)._1 === 3L && got(0L)._2 === 2L && got(0L)._3 === 1L)
+    assert(got(0L)._5 === expect0.length)
+    // doc 1 is ALL boilerplate: survives with zero kept text
+    assert(got(1L) === ((1L, 0L, 1L, got(1L)._4, 0)))
+    // doc 2 untouched: kept_chars equals its full length
+    assert(got(2L)._2 === 2L && got(2L)._3 === 0L &&
+      got(2L)._5 === words("w", 40).length)
+  }
+
+  test("SES fold: hand-computed level, single-day group returns its count") {
+    val s = spark
+    import s.implicits._
+    // build a tiny events dir: type A on 3 days (counts 4, 8, 2),
+    // type B on 1 day (count 3)
+    val day = 86400L * 1000000000L
+    val rows = (0 until 4).map(i => (i.toLong, 1L * 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 8).map(i => ((10 + i).toLong, day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 2).map(i => ((20 + i).toLong, 2 * day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 3).map(i => ((30 + i).toLong, 1000L, 2L, "B", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-ses-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("rel_ses_forecast")(spark, d)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // A: s1=4; s2=.25·8+.75·4=5; s3=.25·2+.75·5=4.25
+    assert(got("A") === ((3L, 14L, 4.25)))
+    assert(got("B") === ((1L, 3L, 3.0)))
+  }
+
   test("collocations: counts and lift on a hand fixture, support floor enforced") {
     val s = spark
     import s.implicits._

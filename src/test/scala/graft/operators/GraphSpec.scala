@@ -148,6 +148,19 @@ class GraphSpec extends GraftSparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("mergeComponents: a new edge chains two old components to the full-graph CC") {
+    val old = edges(1L -> 2L, 5L -> 6L)
+    val initial = Graph.connectedComponents(old)
+    // new batch bridges the two components and adds a fresh vertex
+    val merged = Graph.mergeComponents(initial, edges(2L -> 5L, 6L -> 9L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.connectedComponents(
+      edges(1L -> 2L, 5L -> 6L, 2L -> 5L, 6L -> 9L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(merged.values.toSet === Set(1L)) // everything chained to min id
+  }
+
   test("modularity: two bridged triangles hit the textbook 0.357, one blob 0") {
     val s = spark
     import s.implicits._
