@@ -690,6 +690,39 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosineSeq(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
 
+  /** Reciprocal-rank-fusion of two ranked retrieval lists (Cormack,
+    * Clarke & Buettcher, SIGIR 2009) — the standard hybrid-search
+    * combiner: a document's fused score is Σ 1/(k₀ + rankᵢ) over the
+    * lists that retrieved it. Rank positions are integers and each
+    * reciprocal is ONE IEEE double division, the fused score ONE
+    * addition in a fixed (text, vector) operand order — bit-replicable
+    * cross-engine with no float-sum ordering hazard (the reason RRF is
+    * implemented here on ranks, never on raw heterogeneous scores).
+    *
+    * Inputs are (doc_id, rank) frames from any two rankers; a document
+    * missing from one list contributes 0 from that list (COALESCE, the
+    * published convention). Plan shape at scale: both inputs are
+    * ALREADY top-k-truncated by their rankers (bounded, ≤ k rows each),
+    * so the full-outer equi-join and the final sort-limit run on
+    * k-bounded frames — the expensive work (BM25 inverted-list scoring,
+    * ANN search) happened upstream in the rankers' own registered
+    * 100 TB plans; fusion itself is O(k). */
+  def rrfFuse(textRanks: DataFrame, vecRanks: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    val fused = textRanks.select(col("doc_id"), col("rank").as("rank_text"))
+      .join(vecRanks.select(col("doc_id"), col("rank").as("rank_vec")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+        (coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_text").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_vec").cast("double")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(k)
+    fused.withColumn("fused_rank", row_number().over(
+      Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
+      .select(col("fused_rank"), col("doc_id"), col("rank_text"),
+        col("rank_vec"), col("rrf_score"))
+  }
+
   /** LSH-bucketed semantic near-dup pairs — the scale path for
     * [[embeddingDupPairs]]: the all-pairs cross join becomes an equi-join
     * on sign-LSH bucket id (one side multi-probed to hamming distance 1,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextOps}
 
 /** Similarity-search family over `embeddings`: exact brute-force cosine
   * top-k (oracle-checked bit-exactly — see Similarity's sequential-fold
@@ -168,6 +168,23 @@ object SimQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("m2") === 0, 1L).otherwise(0L)).as("n_zero"))
         .orderBy(col("bucket"))
+    }),
+
+    // HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // the BM25 text ranker with the embedding-cosine vector ranker over
+    // the SAME corpus (doc_id ≡ vec_id in the fixture) — the standard
+    // RAG-era search stack. Both rankers run their own registered plans
+    // (inverted-list BM25, brute-force cosine with the LSH/IVF variants
+    // as the indexed scale path); fusion is an O(k) join on the two
+    // truncated top-50 lists. Scores are rank-reciprocals — one IEEE
+    // division + one addition in fixed operand order, bit-portable.
+    "sim_rrf_hybrid" -> ((s, d) => {
+      val text = TextOps.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "join", "hash"), 50).select(col("doc_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") === 0), 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(text, vec, 20).orderBy(col("fused_rank"))
     }),
   )
 
@@ -640,5 +657,42 @@ object SimQueries extends QueryFamily {
         |  COUNT(*) AS n_vecs,
         |  CAST(SUM(CASE WHEN m2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
         |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // both rankers replicated bit-for-bit (BM25 CTEs from txt_bm25 at
+    // k=50; cosine CTEs from sim_topk_bruteforce for query 0), then the
+    // same fixed-order reciprocal-rank sum
+    "sim_rrf_hybrid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_dl, COUNT(*) AS n_docs FROM dl),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(((n_docs - df) * 2 + 1) * 1000000 // (2 * df + 1) AS DOUBLE) *
+        |      (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) / 1000000.0 AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |  WHERE tf.term IN ('spark', 'join', 'hash')),
+        |agg AS (SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score FROM sc GROUP BY 1),
+        |btop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_text
+        |         FROM (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 50) b0),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+        |p AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_reduce(list_transform(qv, (x,i) -> x * v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM q CROSS JOIN e WHERE query_id <> e.vec_id),
+        |vtop AS (SELECT doc_id, rank_vec FROM (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank_vec FROM p) r
+        |  WHERE rank_vec <= 50),
+        |f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.rank_text, v.rank_vec,
+        |        COALESCE(1.0 / (60.0 + CAST(b.rank_text AS DOUBLE)), 0.0) +
+        |        COALESCE(1.0 / (60.0 + CAST(v.rank_vec AS DOUBLE)), 0.0) AS rrf_score
+        |      FROM btop b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id),
+        |top AS (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank,
+        |  doc_id, rank_text, rank_vec, rrf_score
+        |FROM top ORDER BY fused_rank""".stripMargin,
   )
 }

@@ -339,4 +339,25 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(pairs.length === 1)
     assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (200L, 201L))
   }
+
+  test("rrfFuse: hand-computed reciprocal-rank fusion, missing ranks, ties") {
+    import spark.implicits._
+    // text list: docs 1,2,3 at ranks 1,2,3; vec list: docs 3,4 at 1,2
+    val text = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(text, vec, 10, k0 = 60)
+      .orderBy(col("fused_rank")).collect()
+    assert(out.length === 4)
+    // doc 3 is in both lists: 1/63 + 1/61 — must rank first
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(4) === (1.0 / 63.0 + 1.0 / 61.0))
+    // doc 1: text-only 1/61; doc 4: vec-only 1/62; doc 2: 1/62 —
+    // docs 2 and 4 TIE on score, so doc_id breaks the tie (2 before 4)
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(4) === 1.0 / 61.0)
+    assert(out(2).getLong(1) === 2L && out(3).getLong(1) === 4L)
+    assert(out(2).getDouble(4) === out(3).getDouble(4))
+    // missing-list rank columns surface as NULL, not 0
+    assert(out(1).isNullAt(3) && out(3).isNullAt(2))
+  }
 }
