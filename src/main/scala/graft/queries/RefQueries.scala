@@ -510,6 +510,35 @@ object RefQueries extends QueryFamily {
           max(col("gap_us")).as("max_us"))
         .orderBy(col("event_type"))
     }),
+
+    // CUSUM changepoint screen (Page 1954) on the daily event volume —
+    // the classic sequential shift detector: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − k)
+    // accumulates upward drift from the reference level k (and S⁻ the
+    // mirror), resetting whenever the series returns to target — a level
+    // shift shows as a CUSUM ramp long before any single day trips a
+    // threshold. k = corpus mean daily count in EXACT integer floor
+    // (sum DIV n_days), so the whole recursion is integer arithmetic —
+    // bit-exact, no float-fold hazard at all. The recursion is inherently
+    // sequential, but its domain is the DAILY table — calendar-bounded
+    // (~365 rows/year at ANY data scale), so the per-row prefix fold over
+    // the collected day array costs O(days²) on a tiny frame while the
+    // event stream itself is touched exactly once by the keyed count agg.
+    "ref_cusum_shift" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tgt = daily.agg(expr("sum(cnt) DIV count(1)").as("k"))
+      val arr = daily.select(struct(col("day"), col("cnt")).as("dc"))
+        .agg(array_sort(collect_list(col("dc"))).as("arr"))
+      def cusum(step: (Column, Column) => Column) =
+        aggregate(filter(col("arr"), x => x.getField("day") <= col("day")),
+          lit(0L), (acc, x) => greatest(lit(0L), step(acc, x.getField("cnt"))))
+      daily.crossJoin(broadcast(tgt)).crossJoin(broadcast(arr))
+        .select(col("day"), col("cnt"), (col("cnt") - col("k")).as("dev"),
+          cusum((acc, c) => acc + c - col("k")).as("cusum_pos"),
+          cusum((acc, c) => acc + col("k") - c).as("cusum_neg"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** The fan-out (`serwer.js:100-118`) as a DuckDB CTE: one wide event row →
@@ -777,5 +806,17 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical integer recursion via the 0-seeded prefix fold; greatest
+    // and // on BIGINTs keep both engines in exact integer arithmetic
+    "ref_cusum_shift" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) // COUNT(*) AS k FROM daily),
+        |a AS (SELECT list(struct_pack(day := day, cnt := cnt) ORDER BY day) AS arr FROM daily)
+        |SELECT day, cnt, cnt - k AS dev,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(arr, x -> x.day <= day), x -> x.cnt)),
+        |    (acc, c) -> greatest(CAST(0 AS BIGINT), acc + c - k)) AS cusum_pos,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(arr, x -> x.day <= day), x -> x.cnt)),
+        |    (acc, c) -> greatest(CAST(0 AS BIGINT), acc + k - c)) AS cusum_neg
+        |FROM daily, t, a ORDER BY day""".stripMargin,
   )
 }

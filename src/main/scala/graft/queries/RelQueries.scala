@@ -947,6 +947,55 @@ object RelQueries extends QueryFamily {
           dollars(col("__c")).as("p_retailprice"),
           col("__b").as("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))),
+
+    // Kaplan-Meier survival curve of customer lifetime (Kaplan & Meier
+    // 1958) — the churn estimator that handles CENSORING correctly: a
+    // customer still ordering near the corpus horizon has not churned,
+    // their lifetime is only known to be ≥ the observed span, and either
+    // dropping or death-counting them biases the curve. Lifetime =
+    // last−first order day; churned iff the last order is ≥ 90 days
+    // before the horizon (1024 churned / 476 censored on the fixture —
+    // both branches live). Plan shape at scale: ONE customer-keyed agg
+    // over orders (min/max day, map-side partial), then every KM
+    // quantity lives on the DISTINCT-LIFETIME table, bounded by the
+    // calendar span (days, not customers — ~2400 rows over the 6.5-year
+    // fixture at ANY data scale): the at-risk suffix sum's unpartitioned
+    // window and the per-row product fold both run on that bounded
+    // frame. S(t) folds (1 − d/n) factors in lifetime order — each
+    // factor ONE IEEE division, the product a position-ordered fold,
+    // bit-replicable in DuckDB's list_reduce (1.0-seed ≡
+    // list_prepend(1.0): 1.0·f is exact).
+    "rel_survival_km" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+            .as("day"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      val horizon = perCust.agg(max(col("last_day")).as("max_day"))
+      val obs = perCust.crossJoin(broadcast(horizon))
+        .select((col("last_day") - col("first_day")).as("dur"),
+          when(col("last_day") <= col("max_day") - 90, 1L).otherwise(0L).as("churn"))
+      val durs = obs.groupBy(col("dur"))
+        .agg(sum(col("churn")).as("d_churned"),
+          sum(lit(1L) - col("churn")).as("c_censored"),
+          count(lit(1)).as("n_at"))
+      // at-risk n(t) = customers with lifetime ≥ t: suffix sum over the
+      // bounded distinct-lifetime table (calendar-bounded — see above)
+      val wSuffix = Window.orderBy(col("dur"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = durs.withColumn("n_risk", sum(col("n_at")).over(wSuffix))
+      val factors = risk.filter(col("d_churned") > 0)
+        .select(struct(col("dur").as("t"),
+          (lit(1.0) - col("d_churned").cast("double") / col("n_risk").cast("double"))
+            .as("f")).as("tf"))
+        .agg(array_sort(collect_list(col("tf"))).as("arr"))
+      risk.crossJoin(broadcast(factors))
+        .select(col("dur"), col("d_churned"), col("c_censored"), col("n_risk"),
+          aggregate(filter(col("arr"), x => x.getField("t") <= col("dur")),
+            lit(1.0), (acc, x) => acc * x.getField("f")).as("survival"))
+        .orderBy(col("dur"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1369,5 +1418,30 @@ object RelQueries extends QueryFamily {
          |  SELECT 1 FROM p o WHERE o.c <= a.c AND o.b >= a.b AND (o.c < a.c OR o.b > a.b))
          |ORDER BY p_retailprice, p_partkey""".stripMargin
     },
+    // same suffix-sum at-risk counts; survival replays the engine's
+    // 1.0-seeded product fold as list_prepend(1.0, factors-in-t-order)
+    // (1.0·f exact, so the IEEE sequences match term for term); the CASE
+    // keeps the no-churner corner defined where list() returns NULL
+    "rel_survival_km" ->
+      """WITH u AS (SELECT o_custkey, MIN(epoch_ms(o_orderdate) // 86400000) AS first_day,
+        |             MAX(epoch_ms(o_orderdate) // 86400000) AS last_day
+        |           FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(last_day) AS max_day FROM u),
+        |o AS (SELECT last_day - first_day AS dur,
+        |        CASE WHEN last_day <= max_day - 90 THEN 1 ELSE 0 END AS churn FROM u, mx),
+        |dd AS (SELECT dur, CAST(SUM(churn) AS BIGINT) AS d_churned,
+        |         CAST(SUM(1 - churn) AS BIGINT) AS c_censored, COUNT(*) AS n_at
+        |       FROM o GROUP BY 1),
+        |r AS (SELECT dur, d_churned, c_censored,
+        |        CAST(SUM(n_at) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM dd),
+        |fa AS (SELECT list(struct_pack(t := dur,
+        |                f := 1.0 - CAST(d_churned AS DOUBLE) / CAST(n_risk AS DOUBLE)) ORDER BY dur) AS arr
+        |       FROM r WHERE d_churned > 0)
+        |SELECT dur, d_churned, c_censored, n_risk,
+        |  CASE WHEN arr IS NULL THEN 1.0 ELSE
+        |    list_reduce(list_prepend(1.0, list_transform(list_filter(arr, x -> x.t <= dur), x -> x.f)),
+        |      (a, b) -> a * b) END AS survival
+        |FROM r, fa ORDER BY dur""".stripMargin,
   )
 }

@@ -144,4 +144,43 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(ny - 6.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
+
+  test("Kaplan-Meier: hand-computed factors, censoring, at-risk suffix") {
+    val s = spark
+    import s.implicits._
+    // cust 1: days 0,10 → dur 10, last 10 (churned);
+    // cust 2: day 100    → dur 0,  last 100 (churned);
+    // cust 3: days 0,200 → dur 200, last 200 = horizon (censored).
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val d = java.nio.file.Files.createTempDirectory("graft-km-").toString
+    Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(100)), (3L, ts(0)), (3L, ts(200)))
+      .toDF("o_custkey", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = graft.SparkEntry.queries("rel_survival_km")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // n_risk is the suffix count; S multiplies (1 − d/n) at event durs
+    // only (dur 200 is censor-only: S unchanged from dur 10)
+    val s0 = 1.0 * (1.0 - 1.0 / 3.0)
+    val s10 = s0 * (1.0 - 1.0 / 2.0)
+    assert(got.toSeq === Seq(
+      (0L, 1L, 0L, 3L, s0), (10L, 1L, 0L, 2L, s10), (200L, 0L, 1L, 1L, s10)))
+  }
+
+  test("CUSUM: integer recursion with reset, mirrored negative side") {
+    val s = spark
+    import s.implicits._
+    // daily counts 3, 1, 2 → k = 6 DIV 3 = 2;
+    // S⁺ = 1, 0, 0 (resets at day 1); S⁻ = 0, 1, 1
+    val day = 86400L * 1000000000L
+    val rows = (0 until 3).map(i => (i.toLong, 1000L, 1L, "A", 1.0, "{}")) ++
+      Seq((10L, day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 2).map(i => ((20 + i).toLong, 2 * day + 1000, 1L, "A", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-cusum-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_cusum_shift")(spark, d)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((3L, 1L, 1L, 0L), (1L, -1L, 0L, 1L), (2L, 0L, 0L, 1L)))
+  }
 }
