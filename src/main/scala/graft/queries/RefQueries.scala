@@ -511,6 +511,34 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // HITS hubs & authorities (Kleinberg, JACM 1999) on the user ↔
+    // event-type bipartite graph — the mutual-reinforcement centrality:
+    // an event type is authoritative when engaged by high-hub users, a
+    // user is a hub when engaging authoritative types. Two unnormalized
+    // iterations from hub⁰ ≡ 1 (normalization only rescales — the
+    // RANKING is what HITS delivers, and the unnormalized scores are
+    // path counts: auth¹ = degree, hub¹ = Σ incident auth¹, auth² =
+    // Σ incident hub¹ — so the usually-float-fuzzy power iteration is
+    // EXACT BIGINT arithmetic here, bit-checkable). Plan shape at
+    // scale: the distinct edge list (one DISTINCT over the stream),
+    // then each half-iteration is one keyed agg + one equi-join where
+    // the type-side table is |types|-bounded and broadcast — the
+    // user-side (big) relation shuffles once per iteration on its own
+    // key, the standard distributed power-iteration layout.
+    "ref_hits" -> ((s, d) => {
+      val edges = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val auth1 = edges.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("auth1"))
+      val hub1 = edges.join(broadcast(auth1), Seq("event_type"))
+        .groupBy(col("user_id")).agg(sum(col("auth1")).as("hub1"))
+      edges.join(hub1, Seq("user_id"))
+        .groupBy(col("event_type")).agg(sum(col("hub1")).as("auth2"))
+        .join(broadcast(auth1), Seq("event_type"))
+        .select(col("event_type"), col("auth1"), col("auth2"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUSUM changepoint screen (Page 1954) on the daily event volume —
     // the classic sequential shift detector: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − k)
     // accumulates upward drift from the reference level k (and S⁻ the
@@ -806,6 +834,15 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same two exact-integer half-iterations by definition
+    "ref_hits" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+        |a1 AS (SELECT event_type, COUNT(*) AS auth1 FROM e GROUP BY 1),
+        |h1 AS (SELECT user_id, CAST(SUM(auth1) AS BIGINT) AS hub1
+        |       FROM e JOIN a1 USING (event_type) GROUP BY 1)
+        |SELECT event_type, auth1, CAST(SUM(hub1) AS BIGINT) AS auth2
+        |FROM e JOIN h1 USING (user_id) JOIN a1 USING (event_type)
+        |GROUP BY event_type, auth1 ORDER BY event_type""".stripMargin,
     // identical integer recursion via the 0-seeded prefix fold; greatest
     // and // on BIGINTs keep both engines in exact integer arithmetic
     "ref_cusum_shift" ->

@@ -948,6 +948,49 @@ object RelQueries extends QueryFamily {
           col("__b").as("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))),
 
+    // Item-item collaborative filtering (Sarwar et al., WWW 2001) — the
+    // co-purchase recommender primitive: parts bought together in the
+    // same order, each part's top-3 neighbors by co-occurrence. The
+    // similarity surfaced alongside is COSINE² over the binary
+    // order-incidence vectors, cooc²/(freq_a·freq_b), kept in EXACT
+    // integer ppm (cooc²·1e6 DIV fa·fb — monotone in cosine, bit-exact;
+    // BIGINT-safe to cooc ≈ 3e6 pair-orders, past which the same
+    // expression lifts to DECIMAL(38,0)/HUGEINT). Ranking is integer-
+    // deterministic: (cooc DESC, cos2_ppm DESC, neighbor). Plan shape at
+    // scale: the pair generation is the canonical basket self-equi-join
+    // on l_orderkey — cost Σ|basket|², bounded by order width (~7 lines
+    // in TPC-H), NEVER all-pairs over the catalog; per-part top-3 is a
+    // keyed window. At extreme catalog sizes the published refinement is
+    // DIMSUM sampling (Zadeh & Carlsson 2013) — same pair join, pairs
+    // kept with probability ∝ 1/√(fa·fb).
+    "rel_item_cf" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freq = baskets.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("freq"))
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("cooc"))
+      // both directions: a neighbor list is per SOURCE part
+      val directed = pairs.select(col("pa").as("part"), col("pb").as("neighbor"), col("cooc"))
+        .union(pairs.select(col("pb").as("part"), col("pa").as("neighbor"), col("cooc")))
+        .join(freq.withColumnRenamed("l_partkey", "part")
+          .withColumnRenamed("freq", "freq_p"), Seq("part"))
+        .join(freq.withColumnRenamed("l_partkey", "neighbor")
+          .withColumnRenamed("freq", "freq_n"), Seq("neighbor"))
+        .withColumn("cos2_ppm",
+          expr("cooc * cooc * 1000000 DIV (freq_p * freq_n)"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("cooc").desc, col("cos2_ppm").desc, col("neighbor"))
+      directed.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("part"), col("rank"), col("neighbor"), col("cooc"),
+          col("cos2_ppm"))
+        .orderBy(col("part"), col("rank"))
+    }),
+
     // Kaplan-Meier survival curve of customer lifetime (Kaplan & Meier
     // 1958) — the churn estimator that handles CENSORING correctly: a
     // customer still ordering near the corpus horizon has not churned,
@@ -1418,6 +1461,25 @@ object RelQueries extends QueryFamily {
          |  SELECT 1 FROM p o WHERE o.c <= a.c AND o.b >= a.b AND (o.c < a.c OR o.b > a.b))
          |ORDER BY p_retailprice, p_partkey""".stripMargin
     },
+    // identical basket self-join, integer ppm and (cooc, ppm, neighbor)
+    // rank; // on BIGINTs mirrors Spark's DIV floor
+    "rel_item_cf" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, COUNT(*) AS freq FROM b GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS cooc
+        |      FROM b a JOIN b c USING (l_orderkey) WHERE a.l_partkey < c.l_partkey
+        |      GROUP BY 1, 2),
+        |dir AS (SELECT pa AS part, pb AS neighbor, cooc FROM p
+        |        UNION ALL SELECT pb, pa, cooc FROM p),
+        |sc AS (SELECT part, neighbor, cooc,
+        |         cooc * cooc * 1000000 // (fp.freq * fn.freq) AS cos2_ppm
+        |       FROM dir JOIN f fp ON fp.l_partkey = part
+        |                JOIN f fn ON fn.l_partkey = neighbor),
+        |r AS (SELECT part, CAST(ROW_NUMBER() OVER (PARTITION BY part
+        |        ORDER BY cooc DESC, cos2_ppm DESC, neighbor) AS INT) AS rank,
+        |        neighbor, cooc, cos2_ppm FROM sc)
+        |SELECT part, rank, neighbor, cooc, cos2_ppm FROM r
+        |WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
     // same suffix-sum at-risk counts; survival replays the engine's
     // 1.0-seeded product fold as list_prepend(1.0, factors-in-t-order)
     // (1.0·f exact, so the IEEE sequences match term for term); the CASE

@@ -145,6 +145,44 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
 
+  test("item-item CF: cooc ranks, ppm cosine², tie-breaks") {
+    val s = spark
+    import s.implicits._
+    // baskets: O1{1,2,3}, O2{1,2}, O3{1,4} → freq 1:3, 2:2, 3:1, 4:1
+    val d = java.nio.file.Files.createTempDirectory("graft-cf-").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = graft.SparkEntry.queries("rel_item_cf")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // part 1: neighbor 2 first (cooc 2), then 3 and 4 tie on cooc AND
+    // ppm (1e6 DIV 3 = 333333) → neighbor asc; part 3: cooc tie broken
+    // by ppm (2 at 500000 beats 1 at 333333)
+    assert(got.toSeq === Seq(
+      (1L, 1, 2L, 2L, 666666L), (1L, 2, 3L, 1L, 333333L), (1L, 3, 4L, 1L, 333333L),
+      (2L, 1, 1L, 2L, 666666L), (2L, 2, 3L, 1L, 500000L),
+      (3L, 1, 2L, 1L, 500000L), (3L, 2, 1L, 1L, 333333L),
+      (4L, 1, 1L, 1L, 333333L)))
+  }
+
+  test("HITS: two exact-integer iterations are incident path counts") {
+    val s = spark
+    import s.implicits._
+    // u1{A,B}, u2{A}, u3{B,C}: auth¹=(2,2,1); hub¹=(4,2,3);
+    // auth²: A=hub(u1)+hub(u2)=6, B=hub(u1)+hub(u3)=7, C=hub(u3)=3
+    val rows = Seq((0L, "A", 1L), (1L, "B", 1L), (2L, "A", 2L),
+      (3L, "B", 3L), (4L, "C", 3L)).map { case (i, t, u) =>
+      (i, 1000L + i, u, t, 1.0, "{}")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-hits-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_hits")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 2L, 6L), ("B", 2L, 7L), ("C", 1L, 3L)))
+  }
+
   test("Kaplan-Meier: hand-computed factors, censoring, at-risk suffix") {
     val s = spark
     import s.implicits._
