@@ -511,6 +511,48 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // Pearson χ² test of independence (event type × day-of-week) — the
+    // A/B-era contingency workhorse: does behavior mix shift by weekday?
+    // Exactness: each cell's (O−E)²/E is algebraically rearranged to
+    // (O·T − R·C)² / (T·R·C) — numerator and denominator EXACT BIGINTs
+    // (row/col/grand totals are counts), ONE IEEE division per cell, so
+    // no float expected-value propagates; E itself is surfaced in exact
+    // integer millis (R·C·1000 DIV T). The χ² total folds the bounded
+    // cell grid in (type, dow) order — bit-replicable. BIGINT bound:
+    // |O·T−R·C| ≤ O·T ~ 9.2e18 caps the fixture at ~3e9 events/cell ×
+    // grand totals — the DECIMAL(38,0)/HUGEINT lift is the documented
+    // 100 TB path. Plan: one narrow projection + a |types|×7-bounded
+    // hash agg; everything after runs on the tiny grid.
+    "ref_chisq_type_dow" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("t"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"))
+      val scored = cells.join(broadcast(rows), Seq("event_type"))
+        .join(broadcast(cols), Seq("dow")).crossJoin(broadcast(tot))
+        .withColumn("e_milli", expr("r * c * 1000 DIV t"))
+        .withColumn("chi_cell",
+          expr("CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE) / CAST(t * r * c AS DOUBLE)"))
+      val total = scored
+        .select(struct(col("event_type"), col("dow"), col("chi_cell")).as("cc"),
+          col("n_types"), col("n_dows"))
+        .groupBy(col("n_types"), col("n_dows"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(col("cc"))), x => x.getField("chi_cell")),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+        .select(col("chi2"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"))
+      scored.crossJoin(broadcast(total))
+        .select(col("event_type"), col("dow"), col("o"), col("e_milli"),
+          col("chi_cell"), col("chi2"), col("dof"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
     // HITS hubs & authorities (Kleinberg, JACM 1999) on the user ↔
     // event-type bipartite graph — the mutual-reinforcement centrality:
     // an event type is authoritative when engaged by high-hub users, a
@@ -834,6 +876,24 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical integer rearrangement (O·T−R·C)²/(T·R·C), one division
+    // per cell, total folded in the same (type, dow) order
+    "ref_chisq_type_dow" ->
+      """WITH cells AS (SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow, COUNT(*) AS o
+        |               FROM events GROUP BY 1, 2),
+        |rw AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cl AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t, COUNT(DISTINCT event_type) AS n_types,
+        |         COUNT(DISTINCT dow) AS n_dows FROM cells),
+        |sc AS (SELECT event_type, dow, o, r * c * 1000 // t AS e_milli,
+        |         CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE) / CAST(t * r * c AS DOUBLE) AS chi_cell,
+        |         n_types, n_dows
+        |       FROM cells JOIN rw USING (event_type) JOIN cl USING (dow) CROSS JOIN tt),
+        |tot AS (SELECT list_reduce(list_prepend(0.0, list(chi_cell ORDER BY event_type, dow)), (a, b) -> a + b) AS chi2,
+        |          (MAX(n_types) - 1) * (MAX(n_dows) - 1) AS dof
+        |        FROM sc)
+        |SELECT event_type, dow, o, e_milli, chi_cell, chi2, dof
+        |FROM sc, tot ORDER BY event_type, dow""".stripMargin,
     // the same two exact-integer half-iterations by definition
     "ref_hits" ->
       """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),

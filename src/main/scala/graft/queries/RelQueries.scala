@@ -948,6 +948,44 @@ object RelQueries extends QueryFamily {
           col("__b").as("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))),
 
+    // Holt's linear-trend exponential smoothing (Holt 1957) — the
+    // two-state extension of rel_ses_forecast: level AND trend evolve as
+    //   lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁);  bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁
+    // with the l₁=x₁, b₁=0 init; h=1 forecast = lₙ+bₙ. α=0.25, β=0.2.
+    // The 2-double state rides the fold as a 2-element array so DuckDB's
+    // seedless list_reduce (first element IS the init — exactly the
+    // [x₁, 0] convention) replays the identical IEEE sequence: lₜ is
+    // recomputed TEXTUALLY inside the bₜ expression on both engines, so
+    // every operation appears in the same order. Per-type state is two
+    // doubles — the same O(1)-state property that makes Holt the
+    // streaming-forecast workhorse; the fold runs over each type's
+    // day-ordered counts (calendar-bounded array), the stream is
+    // scanned once by the keyed count agg.
+    "rel_holt_forecast" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = lit(0.25); val b = lit(0.2)
+      def lNew(acc: Column, x: Column): Column =
+        a * x + (lit(0.75) * (acc.getItem(0) + acc.getItem(1)))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cnt")).as("total_events"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("day"), col("cnt")))),
+              p => array(p.getField("cnt").cast("double"), lit(0.0))).as("xs"),
+            lit(null).cast("array<double>"),
+            (acc, x) => when(acc.isNull, x).otherwise(array(
+              lNew(acc, x.getItem(0)),
+              b * (lNew(acc, x.getItem(0)) - acc.getItem(0)) +
+                lit(0.8) * acc.getItem(1)))).as("st"))
+        .select(col("event_type"), col("n_days"), col("total_events"),
+          col("st").getItem(0).as("level"), col("st").getItem(1).as("trend"),
+          (col("st").getItem(0) + col("st").getItem(1)).as("forecast_next"))
+        .orderBy(col("event_type"))
+    }),
+
     // Item-item collaborative filtering (Sarwar et al., WWW 2001) — the
     // co-purchase recommender primitive: parts bought together in the
     // same order, each part's top-3 neighbors by co-occurrence. The
@@ -1461,6 +1499,19 @@ object RelQueries extends QueryFamily {
          |  SELECT 1 FROM p o WHERE o.c <= a.c AND o.b >= a.b AND (o.c < a.c OR o.b > a.b))
          |ORDER BY p_retailprice, p_partkey""".stripMargin
     },
+    // seedless list_reduce: the first [x₁, 0] element is the init, and
+    // the level expression is repeated textually inside the trend slot
+    // so both engines execute the identical IEEE sequence
+    "rel_holt_forecast" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |        list_reduce(list([CAST(cnt AS DOUBLE), 0.0] ORDER BY day),
+        |          (acc, x) -> [0.25 * x[1] + 0.75 * (acc[1] + acc[2]),
+        |                       0.2 * ((0.25 * x[1] + 0.75 * (acc[1] + acc[2])) - acc[1]) + 0.8 * acc[2]]) AS st
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, total_events, st[1] AS level, st[2] AS trend,
+        |  st[1] + st[2] AS forecast_next
+        |FROM a ORDER BY event_type""".stripMargin,
     // identical basket self-join, integer ppm and (cooc, ppm, neighbor)
     // rank; // on BIGINTs mirrors Spark's DIV floor
     "rel_item_cf" ->

@@ -145,6 +145,55 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
 
+  test("Holt fold: hand-computed level and trend, single-day degenerates") {
+    val s = spark
+    import s.implicits._
+    // type A days 0,1,2 with counts 4, 8, 2; type B one day count 3
+    val day = 86400L * 1000000000L
+    val rows = (0 until 4).map(i => (i.toLong, 1000L, 1L, "A", 1.0, "{}")) ++
+      (0 until 8).map(i => ((10 + i).toLong, day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 2).map(i => ((20 + i).toLong, 2 * day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 3).map(i => ((30 + i).toLong, 1000L, 2L, "B", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-holt-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("rel_holt_forecast")(spark, d)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    // A: l1=4, b1=0; l2=.25·8+.75·4=5, b2=.2·1+.8·0=.2;
+    //    l3=.25·2+.75·5.2=4.4, b3=.2·(4.4−5)+.8·.2=.04; f=4.44
+    val l2 = 0.25 * 8 + 0.75 * (4.0 + 0.0)
+    val b2 = 0.2 * (l2 - 4.0) + 0.8 * 0.0
+    val l3 = 0.25 * 2 + 0.75 * (l2 + b2)
+    val b3 = 0.2 * (l3 - l2) + 0.8 * b2
+    assert(got("A") === ((l3, b3, l3 + b3)))
+    assert(got("B") === ((3.0, 0.0, 3.0)))
+  }
+
+  test("chi-square: uniform grid scores zero; known 2x2 matches hand value") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // 2×2 grid (days 0,1 → dows 0,1): A:(30,10), B:(10,30) — the classic
+    // dependent table. T=80, rows 40/40, cols 40/40, E=20 everywhere,
+    // every cell contributes (10·80)²/(80·40·40) = 5 → χ²=20, dof=1.
+    val rows =
+      (0 until 30).map(i => (i.toLong, 1000L, 1L, "A", 1.0, "{}")) ++
+      (0 until 10).map(i => ((100 + i).toLong, day + 1000, 1L, "A", 1.0, "{}")) ++
+      (0 until 10).map(i => ((200 + i).toLong, 1000L, 1L, "B", 1.0, "{}")) ++
+      (0 until 30).map(i => ((300 + i).toLong, day + 1000, 1L, "B", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-chisq-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_chisq_type_dow")(spark, d).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getLong(3) === 20000L) // E = 20 in exact millis
+      assert(r.getDouble(4) === 5.0)  // each cell contributes exactly 5
+      assert(r.getDouble(5) === 20.0 && r.getLong(6) === 1L)
+    }
+  }
+
   test("item-item CF: cooc ranks, ppm cosine², tie-breaks") {
     val s = spark
     import s.implicits._
