@@ -401,6 +401,35 @@ object TextQueries extends QueryFamily {
       TextOps.collocations(docs(s, d), minCount = 5)
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(100)),
+
+    // rank-based AUC (Mann-Whitney U ≡ area under the ROC curve) of a
+    // classifier score against a binary label — the quality-filter EVAL
+    // primitive: here "does token count discriminate English docs", the
+    // same harness any learned quality scorer plugs into. EXACT by the
+    // tie-aware pair identity 2U = 2·#(pos>neg) + #(pos=neg) — all
+    // BIGINT; AUC = (2·gt+eq)/(2·n₊·n₋), ONE IEEE division. Plan shape
+    // at scale: pair counts come from the DISTINCT-SCORE histogram (a
+    // cumulative window over distinct values, never the doc stream —
+    // the ref_gap_quantiles compressible-domain pattern), so the corpus
+    // is touched once by a narrow projection + keyed count agg.
+    "txt_rank_auc" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        size(TextOps.tokens(col("text"))).cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val hist = scored.groupBy(col("score"))
+        .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+      import org.apache.spark.sql.expressions.Window
+      val wBelow = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("neg_below",
+        coalesce(sum(col("n_neg")).over(wBelow), lit(0L)))
+      cum.agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos") * col("neg_below")).as("gt_pairs"),
+        sum(col("n_pos") * col("n_neg")).as("eq_pairs"))
+        .select(col("n_pos"), col("n_neg"), col("gt_pairs"), col("eq_pairs"),
+          (expr("CAST(2 * gt_pairs + eq_pairs AS DOUBLE)") /
+            expr("CAST(2 * n_pos * n_neg AS DOUBLE)")).as("auc"))
+    }),
   )
 
   private val nToks = "len(string_split(text, ' '))"
@@ -826,5 +855,21 @@ object TextQueries extends QueryFamily {
         |  CAST(CAST(nb AS HUGEINT) * CAST(u1.cnt AS HUGEINT) * CAST(u2.cnt AS HUGEINT) AS DOUBLE) AS lift
         |FROM pr JOIN uc u1 ON u1.term = pr.w1 JOIN uc u2 ON u2.term = pr.w2 CROSS JOIN tot
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+    // identical tie-aware integer pair identity over the distinct-score
+    // histogram; one final division
+    "txt_rank_auc" ->
+      """WITH sc AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |h AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |        CAST(SUM(1 - pos) AS BIGINT) AS n_neg FROM sc GROUP BY 1),
+        |c AS (SELECT n_pos, n_neg,
+        |        COALESCE(CAST(SUM(n_neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+        |      FROM h)
+        |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos, CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(n_pos * neg_below) AS BIGINT) AS gt_pairs,
+        |  CAST(SUM(n_pos * n_neg) AS BIGINT) AS eq_pairs,
+        |  CAST(2 * SUM(n_pos * neg_below) + SUM(n_pos * n_neg) AS DOUBLE) /
+        |    CAST(2 * SUM(n_pos) * SUM(n_neg) AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
   )
 }

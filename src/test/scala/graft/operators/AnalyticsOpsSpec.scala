@@ -145,6 +145,21 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
 
+  test("rank AUC: tie-aware Mann-Whitney identity on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    // pos (en) scores {3, 2}; neg scores {1, 2}:
+    // gt = 3, eq = 1 → AUC = (2·3+1)/(2·2·2) = 0.875
+    val d = java.nio.file.Files.createTempDirectory("graft-auc-").toString
+    Seq((0L, "a b c", "en"), (1L, "a b", "en"), (2L, "a", "fr"), (3L, "a b", "de"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.SparkEntry.queries("txt_rank_auc")(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 3L, 1L)))
+    assert(r.getDouble(4) === 0.875)
+  }
+
   test("Holt fold: hand-computed level and trend, single-day degenerates") {
     val s = spark
     import s.implicits._
