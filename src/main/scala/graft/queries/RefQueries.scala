@@ -511,6 +511,27 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // behavioral-diversity screen: per-user Gini impurity of the
+    // event-type mix, 1 − Σ pᵢ² — the ENTROPY stand-in that stays in
+    // exact arithmetic (Shannon entropy needs ln, which is not
+    // bit-portable across math libraries; Gini impurity is the standard
+    // decision-tree substitute measuring the same concentration).
+    // Surfaced in exact integer ppm: 1e6 − Σcnt²·1e6 DIV n² — a user
+    // pinned to one event type scores 0, a uniform 5-type user scores
+    // 800000. Plan: one (user, type) keyed count agg + one user-keyed
+    // rollup — both map-side partial; nothing else touches the stream.
+    "ref_user_gini" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_types"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("1000000 - sum_sq * 1000000 DIV (n_events * n_events)")
+            .as("gini_ppm"))
+        .orderBy(col("user_id"))),
+
     // Pearson χ² test of independence (event type × day-of-week) — the
     // A/B-era contingency workhorse: does behavior mix shift by weekday?
     // Exactness: each cell's (O−E)²/E is algebraically rearranged to
@@ -876,6 +897,14 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical exact-ppm impurity
+    "ref_user_gini" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+        |        CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  1000000 - sum_sq * 1000000 // (n_events * n_events) AS gini_ppm
+        |FROM u ORDER BY user_id""".stripMargin,
     // identical integer rearrangement (O·T−R·C)²/(T·R·C), one division
     // per cell, total folded in the same (type, dow) order
     "ref_chisq_type_dow" ->

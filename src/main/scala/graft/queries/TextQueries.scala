@@ -402,6 +402,62 @@ object TextQueries extends QueryFamily {
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(100)),
 
+    // sparse-cosine document KNN over the term-count vectors — the
+    // classic INVERTED-INDEX similarity search (the sparse complement
+    // of the dense sim_topk_* family): candidate pairs come from a
+    // term-keyed equi-join of posting lists (only docs SHARING a term
+    // are ever scored — never all-pairs), dot products are exact
+    // integer Σ tf_q·tf_n, norms exact Σ tf², and cosine² surfaces in
+    // exact integer ppm (dot²·1e6 DIV n²_q·n²_n — monotone in cosine).
+    // Ranking (cos²ppm DESC, dot DESC, neighbor) is integer-total.
+    // Plan at scale: cost Σ_term |postings|² — governed by the df of
+    // the hottest term; the production refinement (documented, not
+    // needed at fixture df) drops stop-terms above a df cap, exactly
+    // like PPJoin's prefix filter. Top-3 per query is a keyed window.
+    "txt_sparse_knn" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val qtf = tf.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"))
+      val dot = qtf
+        .join(tf.withColumnRenamed("doc_id", "neighbor_id"), Seq("term"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("qtf") * col("tf")).as("dot"))
+      val scored = dot
+        .join(norms.select(col("doc_id").as("query_id"), col("n2").as("qn2")),
+          Seq("query_id"))
+        .join(norms.select(col("doc_id").as("neighbor_id"), col("n2").as("nn2")),
+          Seq("neighbor_id"))
+        .withColumn("cos2_ppm", expr("dot * dot * 1000000 DIV (qn2 * nn2)"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos2_ppm").desc, col("dot").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
+          col("cos2_ppm"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the hashing trick (Weinberger et al., ICML 2009) — fixed-width
+    // featurization with NO vocabulary table: term → bucket via the
+    // portable 60-bit md5 hash mod 64, per-doc bucket counts. The point
+    // at 100 TB: a vocabulary join needs a (huge, skewed) dimension;
+    // the hash needs nothing — one narrow projection + a keyed agg,
+    // collisions are the accepted trade (documented since the original
+    // paper). Bit-portable: the same md5-prefix hash replays in DuckDB.
+    "txt_feature_hash" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"),
+          (graft.operators.Sampling.hash60(col("term")) % 64).as("bucket"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // rank-based AUC (Mann-Whitney U ≡ area under the ROC curve) of a
     // classifier score against a binary label — the quality-filter EVAL
     // primitive: here "does token count discriminate English docs", the
@@ -855,6 +911,33 @@ object TextQueries extends QueryFamily {
         |  CAST(CAST(nb AS HUGEINT) * CAST(u1.cnt AS HUGEINT) * CAST(u2.cnt AS HUGEINT) AS DOUBLE) AS lift
         |FROM pr JOIN uc u1 ON u1.term = pr.w1 JOIN uc u2 ON u2.term = pr.w2 CROSS JOIN tot
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+    // identical inverted-index join, exact integer dot/norm/ppm and the
+    // same integer-total rank
+    "txt_sparse_knn" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |            GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id % 100 = 0),
+        |dt AS (SELECT query_id, tf.doc_id AS neighbor_id, CAST(SUM(qtf * tf) AS BIGINT) AS dot
+        |       FROM q JOIN tf USING (term) WHERE query_id <> tf.doc_id GROUP BY 1, 2),
+        |sc AS (SELECT query_id, neighbor_id, dot,
+        |         dot * dot * 1000000 // (qn.n2 * nn.n2) AS cos2_ppm
+        |       FROM dt JOIN n qn ON qn.doc_id = query_id
+        |               JOIN n nn ON nn.doc_id = neighbor_id),
+        |r AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos2_ppm DESC, dot DESC, neighbor_id) AS INT) AS rank,
+        |        neighbor_id, dot, cos2_ppm FROM sc)
+        |SELECT query_id, rank, neighbor_id, dot, cos2_ppm FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // same md5-prefix bucket hash (the Sampling.hash60 portability
+    // contract), same 64-bucket fold
+    "txt_feature_hash" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(term AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+        |  COUNT(*) AS f
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     // identical tie-aware integer pair identity over the distinct-score
     // histogram; one final division
     "txt_rank_auc" ->

@@ -145,6 +145,50 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
 
+  test("sparse KNN: inverted-index candidates only, exact ppm cosine²") {
+    val s = spark
+    import s.implicits._
+    // query doc 0 "a b"; doc 1 "a b" (cos²=1e6), doc 2 "a a" (cos²=5e5),
+    // doc 3 "c" shares no term → must be ABSENT, not scored 0
+    val d = java.nio.file.Files.createTempDirectory("graft-sknn-").toString
+    Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a a", "en"), (3L, "c", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("txt_sparse_knn")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 1, 1L, 2L, 1000000L), (0L, 2, 2L, 2L, 500000L)))
+  }
+
+  test("feature hash: same term → same bucket everywhere, counts add") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-fhash-").toString
+    Seq((0L, "x", "en"), (1L, "x x", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("txt_feature_hash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bx = Seq(Tuple1("x")).toDF("t")
+      .select(Sampling.hash60(col("t")) % 64).head().getLong(0)
+    assert(got.toSeq === Seq((0L, bx, 1L), (1L, bx, 2L)))
+  }
+
+  test("user Gini impurity: exact ppm, pinned user scores zero") {
+    val s = spark
+    import s.implicits._
+    // user 1: two types 1/1 → 500000 ppm; user 2: one type → 0
+    val rows = Seq((0L, 1000L, 1L, "A", 1.0, "{}"), (1L, 2000L, 1L, "B", 1.0, "{}"),
+      (2L, 1000L, 2L, "A", 1.0, "{}"), (3L, 2000L, 2L, "A", 1.0, "{}"),
+      (4L, 3000L, 2L, "A", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-gini-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_user_gini")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 500000L), (2L, 3L, 1L, 0L)))
+  }
+
   test("rank AUC: tie-aware Mann-Whitney identity on a hand fixture") {
     val s = spark
     import s.implicits._
