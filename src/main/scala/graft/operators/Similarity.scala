@@ -690,6 +690,81 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosineSeq(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
 
+  /** Leading principal component of the embedding corpus by EXACT
+    * scatter + deterministic power iteration — distributed PCA the way a
+    * 100 TB corpus has to do it (one pass for second moments; the
+    * eigen-solve on the tiny d×d matrix):
+    *
+    *   1. Element stream (vec_id, i, xᵢ) in exact integer micros.
+    *   2. Scatter Sᵢⱼ = Σ xᵢxⱼ and means mᵢ = Σ xᵢ — BIGINT sums,
+    *      order-independent, so the moment pass is EXACT (the usual
+    *      float-sum nondeterminism of distributed PCA is gone). The
+    *      centered scatter Nᵢⱼ = n·Sᵢⱼ − mᵢmⱼ (= n² × covariance) keeps
+    *      the same eigenvectors. BIGINT bound: n·S ≤ n²·(d·x²max micros²)
+    *      ≈ 1.3e18 on the fixture; DECIMAL(38,0)/HUGEINT is the
+    *      documented lift past ~1e4 vectors at this magnitude.
+    *   3. Power iteration on the 1-row d×d frame: u = N·v (each row a
+    *      SEQUENTIAL zip-fold in index order), v ← u/√(u·u) — every
+    *      float op a fixed IEEE sequence, so the whole iteration
+    *      replays bit-for-bit in DuckDB's list machinery. Per-iteration
+    *      localCheckpoint keeps the expression tree linear in iters.
+    *
+    * Output: (dim 1-based, loading, eigval = Rayleigh vᵀNv, trace =
+    * Σ Nᵢᵢ exact BIGINT, var_share = eigval/trace — the explained-
+    * variance fraction of the top component).
+    *
+    * Plan at scale: the self-join on vec_id fans each vector to d²
+    * element pairs — the declarative scatter; the d×d agg shuffles only
+    * the 4096-cell grid (map-side partials do the heavy summing). The
+    * eigen-solve touches 1-row frames only. */
+  def pcaTopComponent(corpus: DataFrame, iters: Int = 8, dim: Int = 64): DataFrame = {
+    val xs = corpus.select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("long"))))
+      .toDF("vec_id", "i", "x")
+    val nRow = corpus.agg(count(lit(1)).as("n"))
+    val m = xs.groupBy(col("i")).agg(sum(col("x")).as("m"))
+    val scatter = xs.join(
+      xs.select(col("vec_id"), col("i").as("j"), col("x").as("y")), Seq("vec_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("sij"))
+    val nij = scatter.join(broadcast(m), Seq("i"))
+      .join(broadcast(m.select(col("i").as("j"), col("m").as("mj"))), Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("m") * col("mj")).as("nij"))
+    val rows = nij.groupBy(col("i")).agg(
+      transform(array_sort(collect_list(struct(col("j"),
+        col("nij").cast("double").as("e")))), p => p.getField("e")).as("r"))
+    val mat1 = rows.select(struct(col("i"), col("r")).as("ir"))
+      .agg(transform(array_sort(collect_list(col("ir"))), p => p.getField("r"))
+        .as("mat"))
+    val trace = nij.filter(col("i") === col("j"))
+      .agg(sum(col("nij")).as("trace"))
+    def matvec(v: Column): Column =
+      transform(col("mat"), row =>
+        aggregate(zip_with(row, v, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    def norm2(u: Column): Column =
+      aggregate(transform(u, y => y * y), lit(0.0), (acc, x) => acc + x)
+    var vf = mat1.select(col("mat"), array_repeat(lit(1.0), dim).as("v"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val step = vf.select(col("mat"), matvec(col("v")).as("u")).localCheckpoint()
+      vf = step.select(col("mat"),
+        transform(col("u"), x => x / sqrt(norm2(col("u")))).as("v"))
+        .localCheckpoint()
+    }
+    val fin = vf.select(col("v"), matvec(col("v")).as("u"))
+      .select(col("v"),
+        aggregate(zip_with(col("v"), col("u"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("eigval"))
+    fin.select(posexplode(col("v")), col("eigval"))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("loading"),
+        col("eigval"))
+      .crossJoin(broadcast(trace))
+      .withColumn("var_share", col("eigval") / col("trace").cast("double"))
+      .orderBy(col("dim"))
+  }
+
   /** Reciprocal-rank-fusion of two ranked retrieval lists (Cormack,
     * Clarke & Buettcher, SIGIR 2009) — the standard hybrid-search
     * combiner: a document's fused score is Σ 1/(k₀ + rankᵢ) over the

@@ -170,6 +170,15 @@ object SimQueries extends QueryFamily {
         .orderBy(col("bucket"))
     }),
 
+    // distributed PCA: leading component of the embedding corpus via
+    // EXACT integer scatter (one pass, order-independent BIGINT second
+    // moments — no float-sum nondeterminism) + 8 deterministic power
+    // iterations on the 1-row 64×64 frame. Every float op after the
+    // exact moments is a fixed IEEE sequence, so the whole eigen-solve
+    // replays bit-for-bit in the oracle's unrolled list machinery.
+    "sim_pca_power" -> ((s, d) =>
+      Similarity.pcaTopComponent(Tables.embeddings(s, d), iters = 8)),
+
     // HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     // the BM25 text ranker with the embedding-cosine vector ranker over
     // the SAME corpus (doc_id ≡ vec_id in the fixture) — the standard
@@ -657,6 +666,34 @@ object SimQueries extends QueryFamily {
         |  COUNT(*) AS n_vecs,
         |  CAST(SUM(CASE WHEN m2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
         |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // exact-integer scatter + the 8 power iterations UNROLLED (the
+    // txt_bpe_train replay-chain precedent): each uₖ/vₖ pair replays the
+    // engine's zip-fold matvec and x/√(u·u) normalization with identical
+    // 0.0-seeded position-ordered folds
+    "sim_pca_power" -> {
+      val iters = (1 to 8).map { k =>
+        s"""u$k AS (SELECT list_transform(mat, row -> list_reduce(list_prepend(0.0, list_transform(row, (e, ji) -> e * v[ji])), (a, b) -> a + b)) AS u FROM mt, v${k - 1}),
+           |v$k AS (SELECT list_transform(u, x -> x / sqrt(list_reduce(list_prepend(0.0, list_transform(u, y -> y * y)), (a, b) -> a + b))) AS v FROM u$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xs AS (SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS x
+         |            FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u0),
+         |nr AS (SELECT COUNT(*) AS n FROM embeddings),
+         |m AS (SELECT i, CAST(SUM(x) AS BIGINT) AS m FROM xs GROUP BY 1),
+         |sc AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sij
+         |       FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
+         |nij AS (SELECT sc.i AS i, sc.j AS j, n * sij - mi.m * mj.m AS nij
+         |        FROM sc JOIN m mi ON mi.i = sc.i JOIN m mj ON mj.i = sc.j CROSS JOIN nr),
+         |rws AS (SELECT i, list(CAST(nij AS DOUBLE) ORDER BY j) AS r FROM nij GROUP BY 1),
+         |mt AS (SELECT list(r ORDER BY i) AS mat FROM rws),
+         |tr AS (SELECT CAST(SUM(nij) AS BIGINT) AS trace FROM nij WHERE i = j),
+         |v0 AS (SELECT list_transform(range(64), x -> CAST(1.0 AS DOUBLE)) AS v),
+         |$iters,
+         |uf AS (SELECT list_transform(mat, row -> list_reduce(list_prepend(0.0, list_transform(row, (e, ji) -> e * v[ji])), (a, b) -> a + b)) AS u, v FROM mt, v8),
+         |lm AS (SELECT list_reduce(list_prepend(0.0, list_transform(v, (x, i2) -> x * u[i2])), (a, b) -> a + b) AS eigval FROM uf),
+         |o AS (SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS dim, unnest(v) AS loading FROM v8)
+         |SELECT dim, loading, eigval, trace, eigval / CAST(trace AS DOUBLE) AS var_share
+         |FROM o, lm, tr ORDER BY dim""".stripMargin
+    },
     // both rankers replicated bit-for-bit (BM25 CTEs from txt_bm25 at
     // k=50; cosine CTEs from sim_topk_bruteforce for query 0), then the
     // same fixed-order reciprocal-rank sum

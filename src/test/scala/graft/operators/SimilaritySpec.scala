@@ -340,6 +340,24 @@ class SimilaritySpec extends GraftSparkSpec {
     assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (200L, 201L))
   }
 
+  test("pcaTopComponent: variance on one axis → exactly that axis") {
+    // dim 0 carries all variance (x₀ = i/1000); every other dim is the
+    // CONSTANT 0.1 → its centered scatter is exactly 0 (n·S − m² = 0 in
+    // exact integers), so the component is e₁ exactly: loading (1, 0…),
+    // var_share exactly 1.0 — an all-integer-cancellation pin that a
+    // float moment pass would miss by ulps.
+    val vecs = spark.createDataFrame((0L until 40L).map { i =>
+      (i, (Array(i / 1000.0f) ++ Array.fill(15)(0.1f)), 0)
+    }).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaTopComponent(vecs, iters = 8, dim = 16)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 16)
+    assert(out.head.getDouble(1) === 1.0) // loading on dim 1
+    out.tail.foreach(r => assert(r.getDouble(1) === 0.0))
+    assert(out.head.getDouble(4) === 1.0) // var_share
+    assert(out.head.getDouble(2) > 0.0)   // eigval = N₀₀ > 0
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank fusion, missing ranks, ties") {
     import spark.implicits._
     // text list: docs 1,2,3 at ranks 1,2,3; vec list: docs 3,4 at 1,2
