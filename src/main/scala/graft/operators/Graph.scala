@@ -516,4 +516,26 @@ object Graph {
     scope.onRelease(() => releaseCheckpoint(finalCkpt))
     labels
   }
+
+  /** Degree assortativity (Newman, PRL 2002): Pearson correlation of
+    * degrees across edge endpoints, both directions (the undirected
+    * convention — each edge contributes (dₐ,d_b) AND (d_b,dₐ), making
+    * the statistic symmetric). Positive: hubs link hubs; negative:
+    * hub-and-spoke. Delegates the statistics to
+    * [[Profile.momentStats]] — exact DECIMAL moments, fixed IEEE
+    * derivation, degenerate-variance NULL guard (a regular graph has
+    * zero degree variance → NULL corr on both engines, not a NaN
+    * disagreement). Plan: one degree agg + two id-keyed joins + one
+    * global moment agg — all map-side-partial shuffles on the edge
+    * list the caller already materialized. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val cols = pairs.columns
+    val sym = pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+      .union(pairs.select(col(cols(1)).as("a"), col(cols(0)).as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val dp = sym
+      .join(deg.select(col("id").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("dy")), Seq("b"))
+    Profile.momentStats(dp, Seq.empty, col("dx"), col("dy"))
+  }
 }

@@ -214,6 +214,20 @@ object DedupQueries extends QueryFamily {
         .select(col("id").as("doc_id"), col("label").as("community"))
         .orderBy(col("doc_id"))),
 
+    // degree assortativity (Newman, PRL 2002) of the dup graph — the
+    // Pearson correlation of degrees across edge endpoints (both
+    // directions, the standard undirected convention): positive = hubs
+    // link hubs (dup clusters of templated families), negative = hub-
+    // and-spoke. Reuses Profile.momentStats wholesale: exact DECIMAL
+    // moments over the symmetric edge-endpoint degree pairs, fixed IEEE
+    // derivation, degenerate-variance NULL guard — the whole stat is
+    // one edge-keyed join pair + one global agg on top of the pair
+    // generation the dedup family already registers.
+    "dd_assortativity" -> ((s, d) =>
+      Graph.assortativity(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))),
+
     // incremental CC maintenance: yesterday's labeling (one arbitrary
     // half of the pair set) replays as star edges, today's batch of new
     // pairs merges in — and the result must equal the FULL-graph CC,
@@ -678,6 +692,33 @@ object DedupQueries extends QueryFamily {
     "dd_bfs_hops" -> bfsOracle,
     "dd_semdedup" -> semDedupOracle,
     "dd_communities" -> lpaOracle,
+    // brute-force pair CTE + the rel_corr_moments derivation verbatim
+    // (HUGEINT moments, identical fixed IEEE sequence + NULL guard)
+    "dd_assortativity" ->
+      s"""$shCte,
+         |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= $Threshold),
+         |sym AS (SELECT src AS a, dst AS b FROM pr UNION ALL SELECT dst AS a, src AS b FROM pr),
+         |deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |dp AS (SELECT da.deg AS dx, db.deg AS dy
+         |       FROM sym JOIN deg da ON da.id = sym.a JOIN deg db ON db.id = sym.b),
+         |mm AS (SELECT COUNT(*) AS n,
+         |         SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+         |         SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+         |         SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy,
+         |         SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy
+         |       FROM dp),
+         |v AS (SELECT n,
+         |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+         |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn
+         |      FROM mm)
+         |SELECT n,
+         |  CASE WHEN vxn > 0 AND vyn > 0 THEN covn / sqrt(vxn) / sqrt(vyn) END AS corr,
+         |  covn / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covar_pop,
+         |  CASE WHEN vxn > 0 THEN sqrt(vxn) / CAST(n AS DOUBLE) END AS std_x,
+         |  CASE WHEN vyn > 0 THEN sqrt(vyn) / CAST(n AS DOUBLE) END AS std_y
+         |FROM v""".stripMargin,
     "dd_modularity" -> modularityOracle,
     // the incremental merge must land on the FULL-graph labeling
     "dd_cc_incremental" ->

@@ -511,6 +511,34 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // two-proportion z-test (pooled) — the A/B significance workhorse:
+    // does the purchase share of events differ between arms? (User-grain
+    // conversion is degenerate on this fixture — every user converts,
+    // p̂=1 both arms, the pooled variance is exactly 0 — so the test
+    // runs at event grain, where the proportion is informative.) Arm
+    // assignment is the deterministic user_id parity (in production the
+    // arm comes from an assignment table — the statistic is what's
+    // under test). All inputs are exact integer counts off one keyed
+    // agg; p̂ₐ, p̂ᵦ, pooled p̂ and z are ONE fixed IEEE sequence written
+    // identically in the oracle, and the degenerate all/none-success
+    // corner NULLs z on BOTH sides (ANSI Spark would throw on /0, IEEE
+    // DuckDB would emit ±inf — the guard makes them agree).
+    "ref_ab_ztest" -> ((s, d) =>
+      Tables.events(s, d)
+        .select((col("user_id") % 2).as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("succ")).as("x"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+          max(when(col("arm") === 0, col("x"))).as("x_a"),
+          max(when(col("arm") === 1, col("n"))).as("n_b"),
+          max(when(col("arm") === 1, col("x"))).as("x_b"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          expr("CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)").as("p_a"),
+          expr("CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)").as("p_b"),
+          expr("""CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END""")
+            .as("z"))),
+
     // behavioral-diversity screen: per-user Gini impurity of the
     // event-type mix, 1 − Σ pᵢ² — the ENTROPY stand-in that stays in
     // exact arithmetic (Shannon entropy needs ln, which is not
@@ -897,6 +925,17 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact counts, same IEEE text for p̂ and z, same CASE guard
+    "ref_ab_ztest" ->
+      """WITH a AS (SELECT user_id % 2 AS arm, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ FROM events),
+        |g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(succ) AS BIGINT) AS x FROM a GROUP BY 1),
+        |p AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a, MAX(CASE WHEN arm = 0 THEN x END) AS x_a,
+        |        MAX(CASE WHEN arm = 1 THEN n END) AS n_b, MAX(CASE WHEN arm = 1 THEN x END) AS x_b FROM g)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+        |FROM p""".stripMargin,
     // identical exact-ppm impurity
     "ref_user_gini" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),

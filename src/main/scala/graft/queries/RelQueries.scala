@@ -948,6 +948,64 @@ object RelQueries extends QueryFamily {
           col("__b").as("p_size"))
         .orderBy(col("p_retailprice"), col("p_partkey"))),
 
+    // HLL sketch re-aggregation — the distinct-count analogue of
+    // rel_reaggregate's never-rescan law: per-week DataSketches HLL
+    // sketches of the user set, UNIONED, must estimate the same as one
+    // whole-period sketch (sketch-union is lossless at fixed lgK — the
+    // property that lets 100 TB pipelines keep per-partition distinct
+    // sketches and re-aggregate to any grain without rescanning raw
+    // data). Engine-side laws surface as booleans (the sketch binary is
+    // engine-specific, so the ORACLE checks the exact count + the law
+    // flags); the estimate's 5% envelope is the published HLL rsd.
+    "rel_hll_reaggregate" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 604800000000000").as("wk"))
+      val weekly = e.groupBy(col("wk"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = weekly
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = e.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(direct).select(col("exact_users"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"),
+        (abs(col("est_merged") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).as("within_5pct"))
+    }),
+
+    // delete-a-group jackknife (Kott 2001 lineage; the deterministic
+    // bootstrap substitute — no RNG, so it replays bit-for-bit): the
+    // order-mean's standard error from 10 leave-one-bucket-out
+    // estimates, buckets assigned by the portable 60-bit hash. Totals
+    // and per-bucket sums are EXACT integer cents (one keyed agg +
+    // 10-row arithmetic); each θ_g is ONE division, and the θ̄/SS/SE
+    // derivation folds the 10-element θ array in bucket order — fixed
+    // IEEE sequence, replicated textually in the oracle. At 100 TB the
+    // same plan holds: the data pass is the one keyed agg; everything
+    // statistical happens on G rows.
+    "rel_jackknife_mean" -> ((s, d) => {
+      import graft.operators.Sampling
+      val b = Tables.orders(s, d).select(cents(col("o_totalprice")).as("c"),
+        (Sampling.hash60(col("o_orderkey")) % 10).as("g"))
+      val per = b.groupBy(col("g"))
+        .agg(sum(col("c")).as("s_g"), count(lit(1)).as("n_g"))
+      val tot = per.agg(sum(col("s_g")).as("s"), sum(col("n_g")).as("n"))
+      val theta = per.crossJoin(broadcast(tot))
+        .select(col("g"),
+          expr("CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE)").as("theta"))
+      val arr = theta.agg(
+        transform(array_sort(collect_list(struct(col("g"), col("theta")))),
+          p => p.getField("theta")).as("ts"))
+      val gD = size(col("ts")).cast("double")
+      val tbar = aggregate(col("ts"), lit(0.0), (acc, x) => acc + x) / gD
+      val ss = aggregate(transform(col("ts"), t => (t - tbar) * (t - tbar)),
+        lit(0.0), (acc, x) => acc + x)
+      arr.crossJoin(broadcast(tot)).select(
+        col("n"),
+        (expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") / lit(100.0)).as("mean"),
+        (sqrt(ss * (gD - lit(1.0)) / gD) / lit(100.0)).as("jk_se"))
+    }),
+
     // Holt's linear-trend exponential smoothing (Holt 1957) — the
     // two-state extension of rel_ses_forecast: level AND trend evolve as
     //   lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁);  bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁
@@ -1498,6 +1556,25 @@ object RelQueries extends QueryFamily {
          |FROM p a WHERE NOT EXISTS (
          |  SELECT 1 FROM p o WHERE o.c <= a.c AND o.b >= a.b AND (o.c < a.c OR o.b > a.b))
          |ORDER BY p_retailprice, p_partkey""".stripMargin
+    },
+    // sketch binaries are engine-specific: the oracle pins the exact
+    // count and the engine-verified law flags
+    "rel_hll_reaggregate" ->
+      "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS merge_lossless, TRUE AS within_5pct FROM events",
+    // same hash buckets, same exact totals, same θ/θ̄/SS/SE fold text
+    "rel_jackknife_mean" -> {
+      val cp = centsSql("o_totalprice")
+      s"""WITH b AS (SELECT CAST($cp AS BIGINT) AS c,
+         |             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10 AS g
+         |           FROM orders),
+         |per AS (SELECT g, CAST(SUM(c) AS BIGINT) AS s_g, COUNT(*) AS n_g FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(n_g) AS BIGINT) AS n FROM per),
+         |th AS (SELECT g, CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE) AS theta FROM per, tot),
+         |ar AS (SELECT list(theta ORDER BY g) AS ts FROM th)
+         |SELECT n,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(ts, t -> (t - list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) / CAST(len(ts) AS DOUBLE)) * (t - list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) / CAST(len(ts) AS DOUBLE)))), (a, b) -> a + b) * (CAST(len(ts) AS DOUBLE) - 1.0) / CAST(len(ts) AS DOUBLE)) / 100.0 AS jk_se
+         |FROM ar, tot""".stripMargin
     },
     // seedless list_reduce: the first [x₁, 0] element is the init, and
     // the level expression is repeated textually inside the trend slot

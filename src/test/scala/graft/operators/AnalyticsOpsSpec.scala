@@ -145,6 +145,44 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(math.abs(tt - 5.0 * 20 * 20 / (12.0 * 6 * 6)) < 1e-12)
   }
 
+  test("A/B z-test: hand-computed pooled z; degenerate corner NULLs") {
+    val s = spark
+    import s.implicits._
+    // arm 0 (users 2,4): 2 events 1 purchase; arm 1 (user 1): 2 events
+    // 0 purchases → p̂=0.25, z = 0.5/√(0.25·0.75·(0.5+0.5))
+    val rows = Seq((0L, 1000L, 2L, "purchase", 1.0, "{}"),
+      (1L, 2000L, 4L, "view", 1.0, "{}"),
+      (2L, 1000L, 1L, "view", 1.0, "{}"), (3L, 2000L, 1L, "click", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-ab-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.SparkEntry.queries("ref_ab_ztest")(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 0L)))
+    val z = (1.0 / 2.0 - 0.0 / 2.0) /
+      math.sqrt((1.0 / 4.0) * (1.0 - 1.0 / 4.0) * (1.0 / 2.0 + 1.0 / 2.0))
+    assert(r.getDouble(6) === z)
+    // all-success corner: pooled variance 0 → z must be NULL, not a throw
+    val rows2 = Seq((0L, 1000L, 2L, "purchase", 1.0, "{}"),
+      (1L, 2000L, 1L, "purchase", 1.0, "{}"))
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ab2-").toString
+    rows2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    assert(graft.SparkEntry.queries("ref_ab_ztest")(spark, d2).head().isNullAt(6))
+  }
+
+  test("jackknife: constant data → SE exactly 0, mean exact") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-jk-").toString
+    (1L to 200L).map(i => (i, 100.0)).toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = graft.SparkEntry.queries("rel_jackknife_mean")(spark, d).head()
+    assert(r.getLong(0) === 200L)
+    assert(r.getDouble(1) === 100.0)
+    assert(r.getDouble(2) === 0.0) // every leave-out estimate identical
+  }
+
   test("sparse KNN: inverted-index candidates only, exact ppm cosine²") {
     val s = spark
     import s.implicits._

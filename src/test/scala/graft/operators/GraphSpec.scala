@@ -205,6 +205,20 @@ class GraphSpec extends GraftSparkSpec {
     assert(got(1L) === ((0, 1L)) && got(2L) === ((0, 2L)))
   }
 
+  test("assortativity: star is exactly −1, regular graph NULLs") {
+    val s = spark
+    import s.implicits._
+    // 3-spoke star: endpoint degree pairs (3,1)³ ∪ (1,3)³ → the exact
+    // integer moments cancel to corr = −36/√36/√36 = −1.0 precisely
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.assortativity(star).head()
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === -1.0)
+    // triangle: every degree 2 → zero variance → NULL corr, not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.assortativity(tri).head().isNullAt(1))
+  }
+
   test("bfsHops: maxDepth truncates exactly like the unrolled definition") {
     // path 1-10-11-12-13: with maxDepth=2 only dist <= 2 appears
     val got = bfsOf(1, 2, 1L -> 10L, 10L -> 11L, 11L -> 12L, 12L -> 13L)
