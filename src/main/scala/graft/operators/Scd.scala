@@ -65,4 +65,15 @@ object Scd {
     closedSlice.select(outCols: _*)
       .unionAll(untouched).unionAll(closed).unionAll(opened)
   }
+
+  /** Point-in-time (time-travel) snapshot of an SCD2 version table: the
+    * versions live at `date` — valid_from ≤ date < valid_to (open
+    * versions have NULL valid_to). ISO 'YYYY-MM-DD' strings compare
+    * lexicographically ≡ chronologically, so the filter is engine-
+    * portable with no date-type coercion. This is a pure narrow filter:
+    * at scale it rides partition pruning on is_current/valid_to — the
+    * historical reconstruction never touches more than the scan. */
+  def asOf(versions: DataFrame, date: String): DataFrame =
+    versions.filter(col("valid_from") <= lit(date) &&
+      (col("valid_to").isNull || col("valid_to") > lit(date)))
 }

@@ -33,6 +33,51 @@ object RelQueries extends QueryFamily {
   private val revenueUnitsSql =
     s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
 
+  /** The rel_scd2 fixture version table (shared by the as-of snapshot):
+    * customer history + one deterministic upsert batch merged at
+    * 1995-06-17 — see rel_scd2's comment for the three legs. */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Scd
+    val c = Tables.customer(s, d)
+    val history = c.select(col("c_custkey"), col("c_mktsegment"),
+      lit("1992-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val incoming = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("V2_"), col("c_mktsegment")).as("c_mktsegment"))
+      .unionAll(c.filter(col("c_custkey") % 11 === 0 &&
+          col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      .unionAll(c.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment")))
+    Scd.scd2Merge(history, incoming, "c_custkey",
+      Seq("c_mktsegment"), "1995-06-17")
+  }
+
+  /** Oracle mirror of [[scd2Versions]] — the hist/inc/j/merged CTE block
+    * rel_scd2 and rel_scd2_asof both build on. */
+  private val scd2VersionsCte: String =
+    """WITH hist AS (SELECT c_custkey, c_mktsegment, '1992-01-01' AS valid_from,
+      |               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current FROM customer),
+      |inc AS (
+      |  SELECT c_custkey, 'V2_' || c_mktsegment AS seg FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      |  UNION ALL SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 500 = 0),
+      |j AS (SELECT h.c_custkey AS hk, h.c_mktsegment, h.valid_from, h.valid_to, h.is_current,
+      |             i.c_custkey AS ik, i.seg
+      |      FROM hist h FULL JOIN inc i ON h.c_custkey = i.c_custkey),
+      |merged AS (
+      |  SELECT hk AS c_custkey, c_mktsegment, valid_from, valid_to, is_current
+      |  FROM j WHERE hk IS NOT NULL AND (ik IS NULL OR NOT (c_mktsegment IS DISTINCT FROM seg))
+      |  UNION ALL
+      |  SELECT hk, c_mktsegment, valid_from, '1995-06-17', FALSE
+      |  FROM j WHERE hk IS NOT NULL AND ik IS NOT NULL AND (c_mktsegment IS DISTINCT FROM seg)
+      |  UNION ALL
+      |  SELECT ik, seg, '1995-06-17', CAST(NULL AS VARCHAR), TRUE
+      |  FROM j WHERE ik IS NOT NULL AND (hk IS NULL OR (c_mktsegment IS DISTINCT FROM seg)))""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // -- aggregation --------------------------------------------------
     "rel_pricing_summary" -> ((s, d) =>
@@ -856,25 +901,54 @@ object RelQueries extends QueryFamily {
     // explicit no-op rows for custkey%11, brand-new keys for custkey%500
     // — merged so changed keys close their old version at the batch date
     // and open a new one. Full version table out, every leg exercised.
-    "rel_scd2" -> ((s, d) => {
+    "rel_scd2" -> ((s, d) =>
+      scd2Versions(s, d).orderBy(col("c_custkey"), col("valid_from"))),
+
+    // point-in-time (time-travel) snapshot of the SCD2 dimension — the
+    // query every slowly-changing-dimension design exists to answer:
+    // "what did the segment mix look like AS OF date X". Two snapshots
+    // straddling the merge date prove the reconstruction: 1994 shows the
+    // pre-batch world (no V2_/NEWSEG), 1996 the post-batch one. The
+    // as-of filter is a pure narrow predicate (Scd.asOf) — at scale it
+    // rides valid_to/is_current partition pruning, never a join.
+    "rel_scd2_asof" -> ((s, d) => {
       import graft.operators.Scd
+      val versions = scd2Versions(s, d)
+      Seq("1994-01-01", "1996-01-01").map { dt =>
+        Scd.asOf(versions, dt)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_keys"))
+          .select(lit(dt).as("as_of"), col("c_mktsegment"), col("n_keys"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("as_of"), col("c_mktsegment"))
+    }),
+
+    // snapshot diff — the data-versioning audit between two table
+    // versions (yesterday's load vs today's): keys added / removed /
+    // changed / unchanged, counted from ONE full-outer key join (the
+    // new version deterministically drops %13 keys, rewrites %7
+    // segments, adds %500 keys). At 100 TB both sides bucket by the key
+    // and the diff is co-located; the status rollup is a 4-row agg.
+    "rel_snapshot_diff" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val history = c.select(col("c_custkey"), col("c_mktsegment"),
-        lit("1992-01-01").as("valid_from"),
-        lit(null).cast("string").as("valid_to"),
-        lit(true).as("is_current"))
-      val incoming = c.filter(col("c_custkey") % 7 === 0)
+      val oldV = c.select(col("c_custkey"), col("c_mktsegment"))
+      val newV = c.filter(col("c_custkey") % 13 =!= 0)
         .select(col("c_custkey"),
-          concat(lit("V2_"), col("c_mktsegment")).as("c_mktsegment"))
-        .unionAll(c.filter(col("c_custkey") % 11 === 0 &&
-            col("c_custkey") % 7 =!= 0)
-          .select(col("c_custkey"), col("c_mktsegment")))
+          when(col("c_custkey") % 7 === 0,
+            concat(lit("V2_"), col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
         .unionAll(c.filter(col("c_custkey") % 500 === 0)
           .select((col("c_custkey") + 1000000).as("c_custkey"),
             lit("NEWSEG").as("c_mktsegment")))
-      Scd.scd2Merge(history, incoming, "c_custkey",
-        Seq("c_mktsegment"), "1995-06-17")
-        .orderBy(col("c_custkey"), col("valid_from"))
+      oldV.select(col("c_custkey"), col("c_mktsegment").as("seg_old"))
+        .join(newV.select(col("c_custkey"), col("c_mktsegment").as("seg_new")),
+          Seq("c_custkey"), "full_outer")
+        .select(when(col("seg_old").isNull, "added")
+          .when(col("seg_new").isNull, "removed")
+          .when(col("seg_old") =!= col("seg_new"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("status"))
     }),
 
     // closed-form OLS per group (normal equations over one-pass exact
@@ -1471,25 +1545,35 @@ object RelQueries extends QueryFamily {
     // changed + new keys; history slice is all-current so the closed
     // pass-through leg is empty here
     "rel_scd2" ->
-      """WITH hist AS (SELECT c_custkey, c_mktsegment, '1992-01-01' AS valid_from,
-        |               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current FROM customer),
-        |inc AS (
-        |  SELECT c_custkey, 'V2_' || c_mktsegment AS seg FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
-        |  UNION ALL SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 500 = 0),
-        |j AS (SELECT h.c_custkey AS hk, h.c_mktsegment, h.valid_from, h.valid_to, h.is_current,
-        |             i.c_custkey AS ik, i.seg
-        |      FROM hist h FULL JOIN inc i ON h.c_custkey = i.c_custkey),
-        |merged AS (
-        |  SELECT hk AS c_custkey, c_mktsegment, valid_from, valid_to, is_current
-        |  FROM j WHERE hk IS NOT NULL AND (ik IS NULL OR NOT (c_mktsegment IS DISTINCT FROM seg))
+      s"""$scd2VersionsCte
+         |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+    // the same version table filtered by the as-of predicate at two
+    // dates straddling the merge; ISO strings compare chronologically
+    "rel_scd2_asof" ->
+      s"""$scd2VersionsCte,
+         |s1 AS (SELECT '1994-01-01' AS as_of, c_mktsegment, COUNT(*) AS n_keys FROM merged
+         |       WHERE valid_from <= '1994-01-01' AND (valid_to IS NULL OR valid_to > '1994-01-01')
+         |       GROUP BY 2),
+         |s2 AS (SELECT '1996-01-01' AS as_of, c_mktsegment, COUNT(*) AS n_keys FROM merged
+         |       WHERE valid_from <= '1996-01-01' AND (valid_to IS NULL OR valid_to > '1996-01-01')
+         |       GROUP BY 2)
+         |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
+         |ORDER BY as_of, c_mktsegment""".stripMargin,
+    // one full-outer key join, CASE status, 4-row rollup
+    "rel_snapshot_diff" ->
+      """WITH oldv AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |newv AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'V2_' || c_mktsegment ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
         |  UNION ALL
-        |  SELECT hk, c_mktsegment, valid_from, '1995-06-17', FALSE
-        |  FROM j WHERE hk IS NOT NULL AND ik IS NOT NULL AND (c_mktsegment IS DISTINCT FROM seg)
-        |  UNION ALL
-        |  SELECT ik, seg, '1995-06-17', CAST(NULL AS VARCHAR), TRUE
-        |  FROM j WHERE ik IS NOT NULL AND (hk IS NULL OR (c_mktsegment IS DISTINCT FROM seg)))
-        |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+        |  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 500 = 0),
+        |d AS (SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |              WHEN n.c_custkey IS NULL THEN 'removed'
+        |              WHEN o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |      FROM oldv o FULL JOIN newv n ON o.c_custkey = n.c_custkey)
+        |SELECT status, COUNT(*) AS n_keys FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // verbatim mirror of Profile.linReg's fixed double derivation over
     // HUGEINT-exact moments (same discipline as rel_corr_moments)
     "rel_linreg" -> {

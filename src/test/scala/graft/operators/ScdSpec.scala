@@ -54,4 +54,19 @@ class ScdSpec extends GraftSparkSpec {
       Row(3L, "W", "2000-01-01", "2001-01-01", false),
       Row(3L, "V", "2001-01-01", null, true)))
   }
+
+  test("asOf reconstructs each era; boundary day belongs to the new version") {
+    val versions = df(Seq(
+      (1L, "A", "1992-01-01", "1995-06-17", false),
+      (1L, "B", "1995-06-17", null, true),
+      (2L, "C", "1993-01-01", null, true)))
+    def snap(dt: String) = Scd.asOf(versions, dt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap("1994-01-01") === Map(1L -> "A", 2L -> "C"))
+    assert(snap("1996-01-01") === Map(1L -> "B", 2L -> "C"))
+    // the merge day itself: old version closed (valid_to NOT >), new open
+    assert(snap("1995-06-17") === Map(1L -> "B", 2L -> "C"))
+    // before any version of key 2 exists
+    assert(snap("1992-06-01") === Map(1L -> "A"))
+  }
 }
