@@ -69,6 +69,9 @@ case class SceneCuts(doc_id: Long, n_frames: Int, n_transitions: Int,
   * discrimination battery: Scheirer & Slaney 1997) — all integer-exact
   * on the centered 8-bit samples, so an oracle replay from the synthesis
   * rule is a bit-for-bit roundtrip proof like [[AudioStats]]. */
+case class GoertzelRow(doc_id: Long, n_samples: Long, p1k: Double,
+    p2k: Double, dominant: String)
+
 case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
     energy: Long, ac1: Long, ac2: Long, ac4: Long, ac8: Long,
     best_lag: Int)
@@ -754,6 +757,48 @@ object Multimodal {
         }
         AudioFeatures(r.doc_id, n.toLong, zcr, energy,
           ac(0), ac(1), ac(2), ac(3), lags(best))
+      }
+    }
+  }
+
+  /** Goertzel tone detection (Goertzel 1958) — the single-bin DFT every
+    * embedded DSP stack uses when it needs ONE frequency's power, not a
+    * full FFT: sₙ = xₙ + 2cos(ω)·sₙ₋₁ − sₙ₋₂ over the decoded PCM, then
+    * P = s₁² + s₂² − 2cos(ω)·s₁·s₂. Probed at two bins chosen for
+    * portability: 1 kHz @ 8 kHz (ω = π/4, coefficient √2 — IEEE sqrt is
+    * correctly rounded, so `sqrt(2.0)` is the SAME double in any
+    * engine) and 2 kHz (ω = π/2, coefficient exactly 0). The recursion
+    * is a position-ordered fold with two doubles of state — the same
+    * fixed-IEEE-sequence contract as Holt/SES, so the oracle replays it
+    * bit-for-bit with the [x, 0] list-state trick. Decoded-side like
+    * [[audioFeatures]]: samples come from the `AudioSystem`-parsed
+    * stream, so oracle equality is also a codec-roundtrip proof.
+    * Scale: embarrassingly parallel mapPartitions, O(1) state/clip. */
+  def goertzel(wavs: Dataset[WavRow]): Dataset[GoertzelRow] = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    val C = math.sqrt(2.0)
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val buf = ais.readAllBytes()
+        var a1 = 0.0; var a2 = 0.0 // ω = π/4 state
+        var b1 = 0.0; var b2 = 0.0 // ω = π/2 state
+        var i = 0
+        while (i < buf.length) {
+          val x = ((buf(i) & 0xFF) - 128).toDouble
+          val sa = x + C * a1 - a2; a2 = a1; a1 = sa
+          val sb = x + 0.0 * b1 - b2; b2 = b1; b1 = sb
+          i += 1
+        }
+        val p1k = a1 * a1 + a2 * a2 - C * a1 * a2
+        val p2k = b1 * b1 + b2 * b2
+        GoertzelRow(r.doc_id, buf.length.toLong, p1k, p2k,
+          if (p1k >= p2k) "1k" else "2k")
       }
     }
   }

@@ -158,6 +158,17 @@ object MultimodalQueries extends QueryFamily {
         Multimodal.encodeAudio(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // single-bin DFT (Goertzel) tone power at 1 kHz/2 kHz off the REAL
+    // decoded PCM — the embedded-DSP primitive; the π/4 bin's 2cos(ω)
+    // coefficient is sqrt(2.0) (IEEE-correctly-rounded, engine-equal)
+    // and the π/2 bin's is exactly 0, so both recursions are fixed IEEE
+    // sequences the oracle replays with the [x, 0] list-state fold.
+    "mm_goertzel" -> ((s, d) =>
+      Multimodal.goertzel(
+        Multimodal.encodeAudio(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
   )
 
   private val mimeSql =
@@ -405,5 +416,28 @@ object MultimodalQueries extends QueryFamily {
         |            WHEN ac2 >= ac4 AND ac2 >= ac8 THEN 2
         |            WHEN ac4 >= ac8 THEN 4 ELSE 8 END AS INT) AS best_lag
         |FROM a ORDER BY doc_id""".stripMargin,
+    // the [x, 0] list-state fold replays both recursions in sample
+    // order: (x + coeff·s₁) − s₂ with coeff = sqrt(2.0) and 0.0 — the
+    // exact expression trees the engine's while-loop executes
+    "mm_goertzel" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |sm AS (SELECT doc_id, nb, i,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT - 128 AS c
+        |       FROM (SELECT doc_id, hx, nb, unnest(range(0, CAST(nb AS BIGINT))) AS i FROM b) u),
+        |ls AS (SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS n_samples,
+        |         list([CAST(c AS DOUBLE), 0.0] ORDER BY i) AS xs
+        |       FROM sm GROUP BY 1),
+        |g AS (SELECT doc_id, n_samples,
+        |        list_reduce(xs, (st, e) -> [e[1] + sqrt(2.0) * st[1] - st[2], st[1]]) AS sa,
+        |        list_reduce(xs, (st, e) -> [e[1] + 0.0 * st[1] - st[2], st[1]]) AS sb
+        |      FROM ls),
+        |p AS (SELECT doc_id, n_samples,
+        |        sa[1] * sa[1] + sa[2] * sa[2] - sqrt(2.0) * sa[1] * sa[2] AS p1k,
+        |        sb[1] * sb[1] + sb[2] * sb[2] AS p2k
+        |      FROM g)
+        |SELECT doc_id, n_samples, p1k, p2k,
+        |  CASE WHEN p1k >= p2k THEN '1k' ELSE '2k' END AS dominant
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -261,4 +261,26 @@ class MultimodalSpec extends GraftSparkSpec {
     // ac1=335, ac2=-1116 → lag 1 wins
     assert(f1.best_lag === 1)
   }
+
+  test("goertzel: hand-stepped recursion; square waves pick their bin") {
+    val s = spark
+    import s.implicits._
+    // "AB" → centered −63, −62. π/4 bin: s₁=−63 then
+    // s=−62+√2·(−63)−0; π/2 bin: states (−62, −63) → P = 62²+63²
+    val c2 = math.sqrt(2.0)
+    val docs = Seq((0L, "AB"),
+      // period-8 square wave (4 high + 4 low) ×4 → 1 kHz fundamental
+      (1L, "zzzz    " * 4),
+      // period-4 square wave (2+2) ×8 → 2 kHz fundamental
+      (2L, "zz  " * 8)).toDF("doc_id", "text")
+    val got = Multimodal.goertzel(Multimodal.encodeAudio(docs))
+      .collect().map(g => g.doc_id -> g).toMap
+    val g0 = got(0L)
+    val sa2 = -63.0
+    val sa1 = -62.0 + c2 * -63.0 - 0.0
+    assert(g0.p1k === (sa1 * sa1 + sa2 * sa2 - c2 * sa1 * sa2))
+    assert(g0.p2k === (62.0 * 62 + 63.0 * 63))
+    assert(got(1L).dominant === "1k" && got(1L).p1k > got(1L).p2k * 10)
+    assert(got(2L).dominant === "2k" && got(2L).p2k > got(2L).p1k * 10)
+  }
 }
