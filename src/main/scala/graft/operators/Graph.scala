@@ -468,6 +468,46 @@ object Graph {
     r
   }
 
+  /** WEIGHTED PageRank over a directed weighted edge list (src, dst, w)
+    * — the [[pageRank]] conventions (integer fixed-point at 1e-9 grain,
+    * damping 85/100, FIXED iteration count so the operator is a pure
+    * function of its input and the unrolled oracle exact by
+    * construction), with mass flowing ∝ edge weight: each source
+    * contributes `score·w DIV W(src)` per out-edge (W = Σ out-weights).
+    * BIGINT bound: score·w ≤ ~1e9·w — safe to w ≈ 9e9 per edge.
+    * Directed — unlike [[pageRank]], edges are NOT symmetrized: the
+    * natural input is a transition-count graph (who hands traffic to
+    * whom), where direction is the signal. Nodes with no outgoing edges
+    * would leak mass; callers feed transition graphs where every
+    * observed node has out-mass (a lag-pair extraction guarantees this
+    * for all but each user's final state — acceptable leak, documented).
+    * Plan per iteration: one src-keyed equi-join + one dst-keyed agg;
+    * the node table is |nodes|-bounded and broadcasts. */
+  def weightedPageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"),
+      col(cols(2)).as("w"))
+    val out = e.groupBy(col("a")).agg(sum(col("w")).as("wout"))
+      .select(col("a").as("id"), col("wout"))
+    // nodes = every endpoint (a sink-only node still accumulates score)
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct().join(out, Seq("id"), "left")
+      .select(col("id"), coalesce(col("wout"), lit(0L)).as("wout"))
+    var r = nodes.withColumn("score", lit(1000000000L))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(r.select(col("id").as("a"), col("score"), col("wout")), Seq("a"))
+        .select(col("b"), expr("score * w DIV wout").as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("in_sum"))
+        .select(col("b").as("id"), col("in_sum"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("wout"),
+          (lit(150000000L) +
+            expr("coalesce(in_sum, 0) * 85 DIV 100")).as("score"))
+    }
+    r
+  }
+
   /** Label-propagation community detection (Raghavan et al. 2007) over an
     * undirected edge list — the cheap linear-time community pass a dedup
     * pipeline runs when connected components are too coarse (one bridge

@@ -511,6 +511,29 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // WEIGHTED PageRank over the event-type transition graph — "which
+    // page class accumulates navigation mass": the markov-transition
+    // counts (per-user lag pairs at the shared µs grain) feed
+    // Graph.weightedPageRank — integer fixed-point, damping 85/100,
+    // 5 fixed iterations, mass per edge ∝ transition count. The node
+    // domain is |event types| (bounded), so every per-iteration join
+    // broadcasts; the one data-sized pass is the lag/count extraction
+    // the markov query already registers. Bit-checkable: all-integer,
+    // unrolled in the oracle.
+    "ref_weighted_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      val edges = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.weightedPageRank(edges, iters = 5)
+        .select(col("id").as("event_type"), col("wout"), col("score"))
+        .orderBy(col("score").desc, col("event_type"))
+    }),
+
     // two-proportion z-test (pooled) — the A/B significance workhorse:
     // does the purchase share of events differ between arms? (User-grain
     // conversion is degenerate on this fixture — every user converts,
@@ -925,6 +948,30 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same integer fixed-point recursion unrolled (dd_pagerank
+    // convention), mass ∝ weight via score*w DIV wout
+    "ref_weighted_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.id, n.wout,
+           |  CAST(150000000 + (COALESCE(m.in_sum, 0) * 85) // 100 AS BIGINT) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(p.score * e.w // p.wout) AS BIGINT) AS in_sum
+           |    FROM e JOIN r${i - 1} p ON e.src = p.id GROUP BY 1) m USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (SELECT event_type,
+         |             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+         |           FROM events),
+         |e AS (SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+         |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+         |nodes AS (SELECT id, COALESCE(wout, 0) AS wout FROM (
+         |            SELECT src AS id FROM e UNION SELECT dst FROM e) nn
+         |          LEFT JOIN outw USING (id)),
+         |r0 AS (SELECT id, wout, CAST(1000000000 AS BIGINT) AS score FROM nodes),
+         |$steps
+         |SELECT id AS event_type, wout, score FROM r5
+         |ORDER BY score DESC, event_type""".stripMargin
+    },
     // same exact counts, same IEEE text for p̂ and z, same CASE guard
     "ref_ab_ztest" ->
       """WITH a AS (SELECT user_id % 2 AS arm, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ FROM events),

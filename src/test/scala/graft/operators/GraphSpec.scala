@@ -205,6 +205,25 @@ class GraphSpec extends GraftSparkSpec {
     assert(got(1L) === ((0, 1L)) && got(2L) === ((0, 2L)))
   }
 
+  test("weightedPageRank: heavier in-edge wins; sink collects, leaks nothing in") {
+    val s = spark
+    import s.implicits._
+    // A splits 3:1 to B:C; B and C return all mass to A. D is a sink
+    // fed 1 from A? — no: keep D sink-only via C→D… simplest: A→B w3,
+    // A→C w1, B→A w4, C→D w1: D has wout 0 (sink) and still scores.
+    val e = Seq(("A", "B", 3L), ("A", "C", 1L), ("B", "A", 4L), ("C", "D", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(e, iters = 1).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // iteration 1 from 1e9 each: in(B) = 1e9·3 DIV 4 = 75e7 →
+    // score(B) = 15e7 + 75e7·85 DIV 100; in(C) = 25e7; in(A) = 1e9;
+    // in(D) = 1e9·1 DIV 1 = 1e9
+    assert(r("B") === ((4L, 150000000L + 750000000L * 85 / 100)))
+    assert(r("C") === ((1L, 150000000L + 250000000L * 85 / 100)))
+    assert(r("A") === ((4L, 150000000L + 1000000000L * 85 / 100)))
+    assert(r("D") === ((0L, 150000000L + 1000000000L * 85 / 100)))
+  }
+
   test("assortativity: star is exactly −1, regular graph NULLs") {
     val s = spark
     import s.implicits._
