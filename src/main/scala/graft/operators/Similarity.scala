@@ -716,8 +716,21 @@ object Similarity {
     * Plan at scale: the self-join on vec_id fans each vector to d²
     * element pairs — the declarative scatter; the d×d agg shuffles only
     * the 4096-cell grid (map-side partials do the heavy summing). The
-    * eigen-solve touches 1-row frames only. */
-  def pcaTopComponent(corpus: DataFrame, iters: Int = 8, dim: Int = 64): DataFrame = {
+    * eigen-solve touches 1-row frames only.
+    *
+    * Storage hygiene (ARCHITECTURE "Iterative-operator storage
+    * hygiene"): each iteration's localCheckpoint blocks are released
+    * the moment the next materializes — O(1) rounds held, not
+    * O(iters); the final round registers with the caller's
+    * [[CacheScope]]. */
+  def pcaTopComponent(corpus: DataFrame, iters: Int = 8, dim: Int = 64,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    def releaseCkpt(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val xs = corpus.select(col("vec_id"),
       posexplode(transform(col("embedding"),
         x => round(x.cast("double") * 1000000).cast("long"))))
@@ -749,10 +762,15 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val step = vf.select(col("mat"), matvec(col("v")).as("u")).localCheckpoint()
-      vf = step.select(col("mat"),
+      releaseCkpt(vf) // previous round: dead once `step` materialized
+      val next = step.select(col("mat"),
         transform(col("u"), x => x / sqrt(norm2(col("u")))).as("v"))
         .localCheckpoint()
+      releaseCkpt(step)
+      vf = next
     }
+    val lastCkpt = vf
+    scope.onRelease(() => releaseCkpt(lastCkpt))
     val fin = vf.select(col("v"), matvec(col("v")).as("u"))
       .select(col("v"),
         aggregate(zip_with(col("v"), col("u"), (a, b) => a * b),

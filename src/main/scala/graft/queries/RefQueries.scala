@@ -511,6 +511,27 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // burstiness screen: Fano factor (variance-to-mean ratio) of each
+    // type's daily volume — the index-of-dispersion that separates
+    // Poisson-like arrivals (F≈1) from bursty campaign/incident traffic
+    // (F≫1) and metronomic bots (F≪1). Moments are EXACT BIGINTs over
+    // the calendar-bounded daily table; var/mean/Fano are a fixed IEEE
+    // sequence ((n·Σx²−(Σx)²)/n² then ÷ mean) replicated textually.
+    "ref_fano_burstiness" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)").as("mean_daily"),
+          expr("(CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))")
+            .as("var_daily"),
+          expr("(CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))")
+            .as("fano"))
+        .orderBy(col("event_type"))),
+
     // WEIGHTED PageRank over the event-type transition graph — "which
     // page class accumulates navigation mass": the markov-transition
     // counts (per-user lag pairs at the shared µs grain) feed
@@ -948,6 +969,17 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact BIGINT moments, same IEEE text
+    "ref_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS s,
+        |        CAST(SUM(cnt * cnt) AS BIGINT) AS ss FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+        |  (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) AS var_daily,
+        |  (CAST(n_days AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
     // the same integer fixed-point recursion unrolled (dd_pagerank
     // convention), mass ∝ weight via score*w DIV wout
     "ref_weighted_pagerank" -> {

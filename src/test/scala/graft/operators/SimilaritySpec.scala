@@ -349,8 +349,13 @@ class SimilaritySpec extends GraftSparkSpec {
     val vecs = spark.createDataFrame((0L until 40L).map { i =>
       (i, (Array(i / 1000.0f) ++ Array.fill(15)(0.1f)), 0)
     }).toDF("vec_id", "embedding", "label")
-    val out = Similarity.pcaTopComponent(vecs, iters = 8, dim = 16)
-      .collect().sortBy(_.getLong(0))
+    val ckptsBefore = spark.sparkContext.getPersistentRDDs.size
+    val out = CacheScope.using(
+      s => Similarity.pcaTopComponent(vecs, iters = 8, dim = 16, scope = s))(
+      _.collect()).sortBy(_.getLong(0))
+    // storage hygiene: the 17 per-iteration localCheckpoints must not
+    // outlive the scope (the CacheScopeSpec zero-blocks precondition)
+    assert(spark.sparkContext.getPersistentRDDs.size === ckptsBefore)
     assert(out.length === 16)
     assert(out.head.getDouble(1) === 1.0) // loading on dim 1
     out.tail.foreach(r => assert(r.getDouble(1) === 0.0))
