@@ -909,4 +909,55 @@ object TextOps {
           (col("nb").cast(dec) * col("cnt1").cast(dec) *
             col("cnt2").cast(dec)).cast("double")).as("lift"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic unsupervised
+    * keyphrase pass: candidate phrases are the maximal stopword-free token
+    * runs, each word scores degree/frequency (degree = Σ length of the
+    * phrases it appears in — words living in longer phrases rank higher),
+    * and a phrase scores the sum of its member-word scores.
+    *
+    * Determinism: freq and degree are exact BIGINTs; each word score is
+    * ONE IEEE division; a phrase's score folds member scores in POSITION
+    * order (0.0-seeded, the cross-engine fold contract); ranking
+    * (score DESC, doc_id, seg) is total.
+    *
+    * Plan at scale: phrase segmentation is one per-doc cumulative window
+    * at the token grain (partitioned by doc — parallel), word stats one
+    * vocabulary-keyed agg, scoring one vocabulary-keyed probe join —
+    * nothing all-pairs; `maxLen` caps degenerate stopword-free documents
+    * from producing document-sized phrases. */
+  def rakeKeywords(docs: DataFrame, stop: Seq[String], k: Int,
+      maxLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nonStop = toks
+      .withColumn("is_stop", col("term").isin(stop.map(s => s: Any): _*))
+      .withColumn("seg", sum(col("is_stop").cast("long")).over(w))
+      .filter(!col("is_stop"))
+    val phrases = nonStop.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          p => p.getField("term"))).as("phrase"))
+      .filter(col("plen") <= maxLen)
+    val members = nonStop.join(phrases, Seq("doc_id", "seg"))
+      .select(col("doc_id"), col("seg"), col("plen"), col("phrase"),
+        col("pos"), col("term"))
+    val wstats = members.groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("term"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+    members.join(wstats, Seq("term"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(max(col("plen")).as("n_words"), max(col("phrase")).as("phrase"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("pos"), col("wscore").as("s")))),
+          p => p.getField("s")), lit(0.0), (a, x) => a + x).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("seg"))
+      .limit(k)
+      .select(col("doc_id"), col("phrase"), col("n_words"), col("score"))
+  }
 }

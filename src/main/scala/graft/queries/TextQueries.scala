@@ -402,6 +402,14 @@ object TextQueries extends QueryFamily {
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(100)),
 
+    // RAKE keyphrase extraction (Rose et al. 2010): stopword-delimited
+    // candidate phrases ('a'/'the' are the corpus's stopwords), word
+    // score = degree/frequency, phrase score = Σ member scores folded
+    // in position order — top-20 corpus keyphrases. Exact counts + one
+    // division per word + the deterministic fold contract.
+    "txt_rake" -> ((s, d) =>
+      TextOps.rakeKeywords(docs(s, d), Seq("a", "the"), 20)),
+
     // sparse-cosine document KNN over the term-count vectors — the
     // classic INVERTED-INDEX similarity search (the sparse complement
     // of the dense sim_topk_* family): candidate pairs come from a
@@ -911,6 +919,33 @@ object TextQueries extends QueryFamily {
         |  CAST(CAST(nb AS HUGEINT) * CAST(u1.cnt AS HUGEINT) * CAST(u2.cnt AS HUGEINT) AS DOUBLE) AS lift
         |FROM pr JOIN uc u1 ON u1.term = pr.w1 JOIN uc u2 ON u2.term = pr.w2 CROSS JOIN tot
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+    // identical segmentation (cumulative stopword count), phrase
+    // reassembly in position order, deg/freq word scores, 0.0-seeded
+    // position-ordered phrase fold, and the same total rank
+    "txt_rake" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |           FROM documents),
+        |s AS (SELECT doc_id, pos, term,
+        |        term IN ('a', 'the') AS is_stop,
+        |        SUM(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        |      FROM t),
+        |m0 AS (SELECT doc_id, pos, term, seg FROM s WHERE NOT is_stop),
+        |ph AS (SELECT doc_id, seg, COUNT(*) AS plen,
+        |         string_agg(term, ' ' ORDER BY pos) AS phrase
+        |       FROM m0 GROUP BY 1, 2 HAVING COUNT(*) <= 8),
+        |mem AS (SELECT m0.doc_id, m0.seg, ph.plen, ph.phrase, m0.pos, m0.term
+        |        FROM m0 JOIN ph USING (doc_id, seg)),
+        |ws AS (SELECT term,
+        |         CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wscore
+        |       FROM mem GROUP BY 1),
+        |sc AS (SELECT doc_id, seg, MAX(plen) AS n_words, MAX(phrase) AS phrase,
+        |         list_reduce(list_prepend(0.0, list(wscore ORDER BY pos)), (a, b) -> a + b) AS score
+        |       FROM mem JOIN ws USING (term) GROUP BY 1, 2)
+        |SELECT doc_id, phrase, n_words, score FROM (
+        |  SELECT * FROM sc ORDER BY score DESC, doc_id, seg LIMIT 20) f
+        |ORDER BY score DESC, doc_id, seg""".stripMargin,
     // identical inverted-index join, exact integer dot/norm/ppm and the
     // same integer-total rank
     "txt_sparse_knn" ->

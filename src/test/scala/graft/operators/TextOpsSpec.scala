@@ -20,6 +20,21 @@ class TextOpsSpec extends GraftSparkSpec {
       .head().getSeq[String](0).toSet === Set("a b a", "b a b"))
   }
 
+  test("RAKE: degree/frequency scores, stopword segmentation, maxLen cap") {
+    val s = spark
+    import s.implicits._
+    // "x y the x": phrases "x y" (len 2) and "x" (len 1);
+    // x: freq 2, deg 3 → 1.5; y: freq 1, deg 2 → 2.0;
+    // scores: "x y" = 3.5, "x" = 1.5
+    val docs = Seq((0L, "x y the x")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, Seq("the"), 10)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("x y", 2L, 3.5), ("x", 1L, 1.5)))
+    // a phrase longer than maxLen disappears AND its words don't score
+    val long = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    assert(TextOps.rakeKeywords(long, Seq("the"), 10, maxLen = 4).count() === 0)
+  }
+
   test("regex tokenizer splits punctuation like a BPE pretokenizer") {
     val toks = one("hello, world! x2").select(TextOps.regexTokens(col("text")))
       .head().getSeq[String](0)
