@@ -511,6 +511,49 @@ object RefQueries extends QueryFamily {
         .orderBy(col("event_type"))
     }),
 
+    // next-event prediction eval — the train/score split harness (the
+    // txt_kn_screen discipline, applied to the Markov model): transition
+    // counts TRAIN on the first half of the calendar, the argmax-next
+    // predictor is scored on the second half. Split day = integer
+    // midpoint of the observed day span (data-derived, exact); a lag
+    // pair belongs to its LATER event's day, so boundary-spanning pairs
+    // score rather than leak into training. Argmax tie-breaks to the
+    // smallest type (MIN(struct(-cnt, type)) — the LPA convention);
+    // accuracy is exact counts + one division. Plan: the lag window is
+    // the markov extraction; everything after runs on |types|²-bounded
+    // frames.
+    "ref_markov_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("day", expr("ts DIV 86400000000000"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"), col("day"))
+      val split = pairs.agg(
+        expr("(min(day) + max(day) + 1) DIV 2").as("split_day"))
+      val tagged = pairs.crossJoin(broadcast(split))
+      val model = tagged.filter(col("day") < col("split_day"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("prev_type"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("next_type").as("t")))
+          .as("best"))
+        .select(col("prev_type"), col("best").getField("t").as("predicted"))
+      tagged.filter(col("day") >= col("split_day"))
+        .join(broadcast(model), Seq("prev_type"), "left")
+        .groupBy(col("prev_type"))
+        .agg(count(lit(1)).as("n_test"),
+          max(col("predicted")).as("predicted"),
+          sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("prev_type"), col("predicted"), col("n_test"),
+          col("n_correct"),
+          expr("CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)").as("acc"))
+        .orderBy(col("prev_type"))
+    }),
+
     // burstiness screen: Fano factor (variance-to-mean ratio) of each
     // type's daily volume — the index-of-dispersion that separates
     // Poisson-like arrivals (F≈1) from bursty campaign/incident traffic
@@ -969,6 +1012,24 @@ object RefQueries extends QueryFamily {
         |  MIN(CASE WHEN cum >= CEIL(0.9 * n_gaps) THEN gap_us END) AS p90_us,
         |  MAX(gap_us) AS max_us
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same split-day arithmetic, argmax via MIN(-cnt, type), exact
+    // counts + one division
+    "ref_markov_eval" ->
+      """WITH p0 AS (SELECT event_type,
+        |              lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |              epoch_ns(ts) // 86400000000000 AS day
+        |            FROM events),
+        |p AS (SELECT prev_type, event_type AS next_type, day FROM p0 WHERE prev_type IS NOT NULL),
+        |sp AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM p),
+        |tr AS (SELECT prev_type, next_type, COUNT(*) AS cnt FROM p, sp WHERE day < split_day GROUP BY 1, 2),
+        |md AS (SELECT prev_type, MIN(struct_pack(nc := -cnt, t := next_type)).t AS predicted FROM tr GROUP BY 1),
+        |te AS (SELECT p.prev_type, p.next_type, md.predicted
+        |       FROM p CROSS JOIN sp LEFT JOIN md ON md.prev_type = p.prev_type
+        |       WHERE day >= split_day)
+        |SELECT prev_type, MAX(predicted) AS predicted, COUNT(*) AS n_test,
+        |  CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc
+        |FROM te GROUP BY 1 ORDER BY 1""".stripMargin,
     // same exact BIGINT moments, same IEEE text
     "ref_fano_burstiness" ->
       """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt

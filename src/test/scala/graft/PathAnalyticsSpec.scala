@@ -37,6 +37,29 @@ class PathAnalyticsSpec extends GraftSparkSpec {
       Row("view", "click", "cart", 1L)))
   }
 
+  test("ref_markov_eval: midpoint split, argmax tie-break, unseen-prev NULL") {
+    // day span 0..3 → split day 2. Train pairs (day 0): (A,B),(B,A),(A,C)
+    // → A predicts B (tie 1-1 broken to smallest), B predicts A.
+    // Test pairs (day 2): (C,A) — C unseen as prev → NULL predicted,
+    // (A,B) correct, (B,B) incorrect.
+    def ns(day: Long, us: Long) = (day * 86400000000L + us) * 1000L
+    val d = Files.createTempDirectory("graft-mkv-").toString
+    val rows = Seq(
+      (0L, ns(0, 1), 1L, "A", 1.0, "{}"), (1L, ns(0, 2), 1L, "B", 1.0, "{}"),
+      (2L, ns(0, 3), 1L, "A", 1.0, "{}"), (3L, ns(0, 4), 1L, "C", 1.0, "{}"),
+      (4L, ns(2, 1), 1L, "A", 1.0, "{}"), (5L, ns(2, 2), 1L, "B", 1.0, "{}"),
+      (6L, ns(2, 3), 1L, "B", 1.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("ref_markov_eval")(spark, d).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("A") === ((Some("B"), 1L, 1L, 1.0)))
+    assert(got("B") === ((Some("A"), 1L, 0L, 0.0)))
+    assert(got("C") === ((None, 1L, 0L, 0.0)))
+  }
+
   test("ref_gap_quantiles cuts the gap histogram at ceil(p*N)") {
     val out = SparkEntry.queries("ref_gap_quantiles")(spark, dir).collect()
     // same-type gaps: click -> [2 µs (user 1: 1→3), 1 µs (user 2: 1→2)];
