@@ -23,12 +23,20 @@ class CacheScopeSpec extends GraftSparkSpec {
       .toDF("doc_id", "text", "source")
   }
 
-  private def cachedBlocks(): Int =
-    spark.sparkContext.getPersistentRDDs.size
+  // The session is shared across suites (TestSpark.spark), and earlier suites
+  // legitimately pin localCheckpoint RDDs that catalog.clearCache() does not
+  // (and must not) drop. The contract under test is therefore a DELTA: no
+  // persistent RDD *created inside the scope* may outlive it — not that the
+  // whole session is cache-free.
+  private def persistentIds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def leakedAfter(baseline: Set[Int]): Set[Int] =
+    persistentIds() -- baseline
 
   test("CacheScope.using releases every operator cache after the loan block") {
     spark.catalog.clearCache()
-    assert(cachedBlocks() === 0)
+    val baseline = persistentIds()
     val operators = Seq[(String, CacheScope => org.apache.spark.sql.DataFrame)](
       "jaccard" -> (s => Dedup.jaccardPairsExact(docs, 0.5, s)),
       "ppjoin" -> (s => Dedup.ppjoinPairs(docs, 0.5, s)),
@@ -39,14 +47,16 @@ class CacheScopeSpec extends GraftSparkSpec {
     operators.foreach { case (name, build) =>
       val n = CacheScope.using(build) { pairs =>
         val c = pairs.count() // materializes the operator's lazy cache()s
-        assert(cachedBlocks() > 0, s"$name: expected live caches inside the scope")
+        assert(leakedAfter(baseline).nonEmpty,
+          s"$name: expected live caches inside the scope")
         c
       }
       assert(n >= 0)
       // unpersist(blocking = false) is async; poll briefly for drain
       val deadline = System.nanoTime() + 10e9.toLong
-      while (cachedBlocks() > 0 && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(cachedBlocks() === 0,
+      while (leakedAfter(baseline).nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(leakedAfter(baseline) === Set.empty[Int],
         s"$name: cached blocks outlived the CacheScope.using block")
     }
   }
@@ -63,6 +73,7 @@ class CacheScopeSpec extends GraftSparkSpec {
 
   test("release is exception-safe: caches freed when the loan block throws") {
     spark.catalog.clearCache()
+    val baseline = persistentIds()
     intercept[RuntimeException] {
       CacheScope.using(s => Dedup.minhashPairs(docs, 0.5, s)) { pairs =>
         pairs.count()
@@ -70,7 +81,8 @@ class CacheScopeSpec extends GraftSparkSpec {
       }
     }
     val deadline = System.nanoTime() + 10e9.toLong
-    while (cachedBlocks() > 0 && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(cachedBlocks() === 0)
+    while (leakedAfter(baseline).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leakedAfter(baseline) === Set.empty[Int])
   }
 }
