@@ -136,6 +136,22 @@ object DedupQueries extends QueryFamily {
         Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
           .select(col("doc_a"), col("doc_b")))),
 
+    // link prediction on the embedding near-dup graph
+    // (Graph.linkPrediction): non-adjacent distance-2 pairs ranked by
+    // common neighbors + the Resource-Allocation index in exact integer
+    // micros — the "edge the pair generation probably missed"
+    // re-examination queue of a threshold pipeline. The EMBEDDING graph
+    // is the substrate (cosine graphs chain through hub vectors, so open
+    // wedges exist; the trigram-Jaccard dup graph is perfect cliques by
+    // construction — every distance-2 pair is already an edge). Wedge
+    // enumeration + one keyed agg; top-k, never a global sort.
+    "dd_link_predict" -> ((s, d) =>
+      Graph.linkPrediction(
+        Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
+          .select(col("vec_a"), col("vec_b")), 20)
+        .select(col("node_a").as("vec_a"), col("node_b").as("vec_b"),
+          col("n_common"), col("ra_micros"))),
+
     // soft dedup: down-WEIGHT near-dup clusters instead of dropping
     // (keep every doc, weight 1/cluster_size — each cluster contributes
     // unit mass, so the weighted corpus equals the hard-dedup corpus in
@@ -598,6 +614,30 @@ object DedupQueries extends QueryFamily {
          |  CASE WHEN (SELECT n_wedges FROM wg) > 0
          |    THEN 3.0 * CAST((SELECT n_triangles FROM tri) AS DOUBLE) / CAST((SELECT n_wedges FROM wg) AS DOUBLE)
          |  END AS clustering_coeff""".stripMargin,
+    // exact brute-force cosine edge set (identical CTE to dd_embedding)
+    // → symmetric neighbor table → wedge pairs minus existing edges;
+    // identical integer-micros RA terms, identical integer rank order
+    "dd_link_predict" ->
+      """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id) p
+        |  WHERE cosine >= 0.4),
+        |nb AS (SELECT vec_a AS x, vec_b AS y FROM e UNION ALL SELECT vec_b, vec_a FROM e),
+        |deg AS (SELECT x AS v, COUNT(*) AS d FROM nb GROUP BY 1),
+        |w AS (SELECT n1.y AS a, n2.y AS b, 1000000 // deg.d AS ra_term
+        |      FROM nb n1 JOIN nb n2 ON n1.x = n2.x AND n1.y < n2.y
+        |      JOIN deg ON deg.v = n1.x),
+        |na AS (SELECT w.a, w.b, w.ra_term FROM w
+        |       LEFT JOIN e ON e.vec_a = w.a AND e.vec_b = w.b
+        |       WHERE e.vec_a IS NULL)
+        |SELECT a AS vec_a, b AS vec_b, COUNT(*) AS n_common,
+        |       CAST(SUM(ra_term) AS BIGINT) AS ra_micros
+        |FROM na GROUP BY 1, 2
+        |ORDER BY ra_micros DESC, n_common DESC, vec_a, vec_b LIMIT 20""".stripMargin,
     "dd_containment" ->
       s"""$shCte
          |SELECT doc_a, doc_b, containment, jaccard FROM (

@@ -249,4 +249,35 @@ class GraphSpec extends GraftSparkSpec {
     val got = bfsOf(2, 8, 2L -> 7L, 1L -> 5L, 5L -> 6L, 6L -> 7L)
     assert(got(7L) === ((1, 2L)))
   }
+
+  private def predictOf(k: Int, pairs: (Long, Long)*): Seq[(Long, Long, Long, Long)] =
+    Graph.linkPrediction(edges(pairs: _*), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("linkPrediction: path predicts the closing pair with RA = 1e6 DIV deg(apex)") {
+    // 1-2-3: only candidate (1,3) through apex 2 (deg 2) → 500000
+    assert(predictOf(10, 1L -> 2L, 2L -> 3L) === Seq((1L, 3L, 1L, 500000L)))
+  }
+
+  test("linkPrediction: clique has no missing edges — empty output") {
+    assert(predictOf(10, 1L -> 2L, 2L -> 3L, 1L -> 3L).isEmpty)
+  }
+
+  test("linkPrediction: two shared neighbors sum their RA terms exactly") {
+    // 4-cycle 1-2-3-4: (1,3) shares apexes 2,4 (each deg 2) → n_common 2,
+    // ra 1000000; same for (2,4) — rank ties break on (node_a, node_b)
+    val got = predictOf(10, 1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    assert(got === Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: hub apex contributes less than a bottleneck apex") {
+    // star apex 0 with leaves 1..4 (deg 4) plus path 10-11-12 (apex deg 2):
+    // leaf pairs score 250000 each, (10,12) scores 500000 and ranks first;
+    // topK truncates the integer total order deterministically
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    val path = Seq(10L -> 11L, 11L -> 12L)
+    val got = predictOf(3, (star ++ path): _*)
+    assert(got === Seq((10L, 12L, 1L, 500000L),
+      (1L, 2L, 1L, 250000L), (1L, 3L, 1L, 250000L)))
+  }
 }
