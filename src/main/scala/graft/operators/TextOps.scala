@@ -960,4 +960,65 @@ object TextOps {
       .limit(k)
       .select(col("doc_id"), col("phrase"), col("n_words"), col("score"))
   }
+
+  /** DSIR-style importance screen (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how much their hashed n-gram profile looks like a
+    * TARGET distribution rather than the raw one — the published recipe
+    * for "select pretraining data that resembles the high-quality set".
+    * Features are DSIR's: unigrams ∪ bigrams, hashed into `numBuckets`
+    * via the portable 60-bit md5 hash (the [[Sampling.hash60]] trick —
+    * vocabulary-free, so there is NO dimension join at 100 TB).
+    *
+    * Exactness convention: DSIR's per-feature log-ratio
+    * log(p_t(b)/p_r(b)) is replaced by the exact-integer ppm DIFFERENCE
+    * ppm_t(b) − ppm_r(b) (each side `count·1e6 DIV total` — the linear
+    * contrast of the same two distributions; ln is not bit-portable, the
+    * same reason PMI ranks by its exact LIFT ratio here). Doc score =
+    * Σ_b c_b·(ppm_t(b) − ppm_r(b)): every term BIGINT, the sum
+    * order-independent, the (score DESC, doc_id) rank a total integer
+    * order — temperature-0 selection in place of the paper's
+    * Gumbel-noised resampling, which an engine result must not carry
+    * RNG for. DECIMAL lift documented: at ≥~1e13 features per corpus
+    * the ppm numerator needs DECIMAL(38,0).
+    *
+    * Plan at 100 TB: ONE explode pass over the token stream → ONE
+    * (doc_id, bucket)-keyed count shuffle; the target/raw bucket tables
+    * derive from that doc×bucket grain (never a second scan of the
+    * exploded stream), are `numBuckets` rows each, and broadcast; top-k
+    * is TakeOrderedAndProject, never a global sort. */
+  def dsirScreen(docs: DataFrame, isTarget: Column, numBuckets: Int,
+      k: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), isTarget.as("is_target"),
+      tokens(col("text")).as("toks"))
+    val uni = t.select(col("doc_id"), col("is_target"),
+      explode(col("toks")).as("feat"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("feat"))
+    val perDoc = uni.union(bi)
+      .select(col("doc_id"), col("is_target"),
+        (Sampling.hash60(col("feat")) % numBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val raw = perDoc.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgt = perDoc.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tot_r"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("tot_t")))
+    val dim = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (expr("ct * 1000000 DIV tot_t") -
+          expr("cr * 1000000 DIV tot_r")).as("dppm"))
+    perDoc.join(broadcast(dim), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("dppm")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -466,6 +466,17 @@ object TextQueries extends QueryFamily {
         .agg(count(lit(1)).as("f"))
         .orderBy(col("doc_id"), col("bucket"))),
 
+    // DSIR importance screen (TextOps.dsirScreen, Xie et al. 2023):
+    // top-25 raw docs whose hashed unigram∪bigram profile contrasts
+    // toward the lang='en' target distribution — the published
+    // "select pretraining data resembling the quality set" recipe,
+    // log-ratio replaced by the exact-integer ppm difference (ln is
+    // not bit-portable) and Gumbel resampling by the temperature-0
+    // integer rank. One explode pass, one doc×bucket shuffle, 64-row
+    // broadcast dimension, TakeOrderedAndProject top-k.
+    "txt_dsir_screen" -> ((s, d) =>
+      TextOps.dsirScreen(docs(s, d), col("lang") === "en", 64, 25)),
+
     // rank-based AUC (Mann-Whitney U ≡ area under the ROC curve) of a
     // classifier score against a binary label — the quality-filter EVAL
     // primitive: here "does token count discriminate English docs", the
@@ -973,6 +984,28 @@ object TextQueries extends QueryFamily {
         |  COUNT(*) AS f
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // identical md5 bucket hash, identical integer ppm contrast and
+    // integer rank; positive operands so // and DIV agree exactly
+    "txt_dsir_screen" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, is_t, unnest(toks) AS feat FROM t),
+        |b AS (SELECT doc_id, is_t, toks[i] || ' ' || toks[i+1] AS feat
+        |      FROM t, UNNEST(range(1, len(toks))) r(i) WHERE len(toks) >= 2),
+        |f AS (SELECT doc_id, is_t,
+        |        ('0x' || substr(md5(CAST(feat AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+        |      FROM (SELECT * FROM u UNION ALL SELECT * FROM b) a),
+        |pd AS (SELECT doc_id, is_t, bucket, COUNT(*) AS c FROM f GROUP BY 1, 2, 3),
+        |rw AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr FROM pd GROUP BY 1),
+        |tg AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS ct FROM pd WHERE is_t GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT SUM(cr) FROM rw) AS BIGINT) AS tot_r,
+        |               CAST((SELECT SUM(ct) FROM tg) AS BIGINT) AS tot_t),
+        |dim AS (SELECT rw.bucket,
+        |          (COALESCE(tg.ct, 0) * 1000000 // tot.tot_t) - (rw.cr * 1000000 // tot.tot_r) AS dppm
+        |        FROM rw LEFT JOIN tg ON tg.bucket = rw.bucket, tot)
+        |SELECT pd.doc_id, CAST(SUM(pd.c) AS BIGINT) AS n_feats,
+        |       CAST(SUM(pd.c * dim.dppm) AS BIGINT) AS dsir_score
+        |FROM pd JOIN dim ON dim.bucket = pd.bucket
+        |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 25""".stripMargin,
     // identical tie-aware integer pair identity over the distinct-score
     // histogram; one final division
     "txt_rank_auc" ->

@@ -314,4 +314,45 @@ class TextOpsSpec extends GraftSparkSpec {
     // means probabilities never reach the raw MLE c2/c1
     assert(r(0).getDouble(3) < (2.0 / 2 + 1.0 / 1 + 2.0 / 2) / 3)
   }
+
+  private def dsirDocs(rows: (Long, String, Boolean)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text", "is_t")
+
+  test("dsirScreen: target == raw makes every contrast exactly zero") {
+    // when every doc is in the target, ct == cr and tot_t == tot_r per
+    // bucket, so the integer ppm difference cancels to 0 identically and
+    // the rank falls back to doc_id
+    val docs = dsirDocs(1L -> ("aa bb cc", true), 2L -> ("dd ee", true),
+      3L -> ("aa ee ff", true))
+    val got = TextOps.dsirScreen(docs, org.apache.spark.sql.functions.col("is_t"), 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === Seq(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("dsirScreen: target-vocabulary doc outranks disjoint-vocabulary doc") {
+    // target speaks {alpha beta}; raw adds {zork quux} noise. A raw doc
+    // written in target vocabulary must score strictly above one written
+    // in the noise vocabulary, and n_feats counts unigrams + bigrams
+    val docs = dsirDocs(
+      1L -> ("alpha beta alpha", true), 2L -> ("beta alpha beta", true),
+      10L -> ("alpha beta", false), 11L -> ("zork quux", false))
+    val got = TextOps.dsirScreen(docs, org.apache.spark.sql.functions.col("is_t"), 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 === 3L) // 2 unigrams + 1 bigram
+    assert(byId(10L)._3 > byId(11L)._3)
+    assert(got.map(_._1).indexOf(10L) < got.map(_._1).indexOf(11L))
+  }
+
+  test("dsirScreen: topK truncates the deterministic rank") {
+    val docs = dsirDocs(1L -> ("x y", true), 2L -> ("x y", false),
+      3L -> ("x y", false), 4L -> ("p q", false))
+    val got = TextOps.dsirScreen(docs, org.apache.spark.sql.functions.col("is_t"), 16, 2)
+      .collect().map(_.getLong(0)).toSeq
+    // docs 1-3 tie on the target-vocab score; doc_id breaks the tie
+    assert(got === Seq(1L, 2L))
+  }
+
+  private implicit def tupleToTriple(t: (Long, (String, Boolean))): (Long, String, Boolean) =
+    (t._1, t._2._1, t._2._2)
 }
