@@ -680,6 +680,48 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Hard-negative triplet mining for embedding-model training — the
+    * contrastive-learning data-prep pass (the "hard negatives beat
+    * random negatives" recipe of the dense-retrieval literature, e.g.
+    * ANCE, Xiong et al. 2021): for every anchor vector, the POSITIVE is
+    * its most-cosine-similar same-label neighbor and the HARD NEGATIVE
+    * its most-similar different-label neighbor; margin = pos − neg (one
+    * IEEE subtraction of two bit-deterministic [[cosineSeq]] values, so
+    * the whole row is engine-exact). Anchors missing a same- or
+    * different-label partner surface NULLs rather than dropping.
+    *
+    * Determinism: per (anchor, same?) group the argmax is
+    * `row_number() OVER (ORDER BY cosine DESC, cand)` — a total order
+    * even under cosine ties.
+    *
+    * Scale: the anchor×corpus cross join is the declared
+    * error-isolation baseline (same convention as [[bruteForceTopK]]);
+    * the 100 TB plan generates candidates from the sign-LSH buckets
+    * ([[lshTopK]] / [[embeddingDupPairsLsh]]'s equi-join) — exactly
+    * right for mining, since hard negatives are by definition NEAR the
+    * anchor and bucket recall concentrates there. */
+  def tripletMine(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = corpus.select(col("vec_id").as("anchor"),
+      col("label").as("a_label"), col("embedding").as("va"))
+    val c = corpus.select(col("vec_id").as("cand"),
+      col("label").as("c_label"), col("embedding").as("vc"))
+    val scored = a.crossJoin(c).filter(col("anchor") =!= col("cand"))
+      .select(col("anchor"), col("cand"),
+        (col("c_label") === col("a_label")).as("same"),
+        cosineSeq(col("va"), col("vc")).as("cosine"))
+    val w = Window.partitionBy(col("anchor"), col("same"))
+      .orderBy(col("cosine").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("anchor"))
+      .agg(max(when(col("same"), struct(col("cand"), col("cosine")))).as("p"),
+        max(when(!col("same"), struct(col("cand"), col("cosine")))).as("n"))
+      .select(col("anchor"),
+        col("p.cand").as("pos_id"), col("p.cosine").as("pos_cos"),
+        col("n.cand").as("neg_id"), col("n.cosine").as("neg_cos"),
+        (col("p.cosine") - col("n.cosine")).as("margin"))
+  }
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact but O(n²) — the capability baseline;
     * [[embeddingDupPairsLsh]] is the 100 TB plan. */

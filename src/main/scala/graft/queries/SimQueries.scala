@@ -24,6 +24,16 @@ object SimQueries extends QueryFamily {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queriesSubset(s, d), K)
         .orderBy(col("query_id"), col("rank"))),
 
+    // hard-negative triplet mining (Similarity.tripletMine): per anchor
+    // the nearest same-label positive + nearest different-label hard
+    // negative by bit-deterministic cosine, margin = one IEEE
+    // subtraction — the contrastive-training data-prep pass (ANCE);
+    // brute-force candidate pass is the declared baseline, LSH-bucket
+    // candidates are the registered scale sibling.
+    "sim_triplet_mine" -> ((s, d) =>
+      Similarity.tripletMine(Tables.embeddings(s, d))
+        .orderBy(col("anchor"))),
+
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         probeHamming = 1)
@@ -476,6 +486,23 @@ object SimQueries extends QueryFamily {
        |FROM qtk JOIN rec USING (query_id) ORDER BY qtk.query_id, qtk.rank""".stripMargin
 
   val oracles: ListMap[String, String] = ListMap(
+    // identical sequential cosine folds, identical (cosine DESC, cand)
+    // argmax per (anchor, same-label?) side, one IEEE margin subtraction
+    "sim_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand, a.label = b.label AS same,
+        |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor, same ORDER BY cosine DESC, cand) AS rn FROM p)
+        |SELECT anchor,
+        |  MAX(CASE WHEN same THEN cand END) AS pos_id,
+        |  MAX(CASE WHEN same THEN cosine END) AS pos_cos,
+        |  MAX(CASE WHEN NOT same THEN cand END) AS neg_id,
+        |  MAX(CASE WHEN NOT same THEN cosine END) AS neg_cos,
+        |  MAX(CASE WHEN same THEN cosine END) - MAX(CASE WHEN NOT same THEN cosine END) AS margin
+        |FROM r WHERE rn = 1 GROUP BY anchor ORDER BY anchor""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 5 = 0),

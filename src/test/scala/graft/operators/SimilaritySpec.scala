@@ -383,4 +383,39 @@ class SimilaritySpec extends GraftSparkSpec {
     // missing-list rank columns surface as NULL, not 0
     assert(out(1).isNullAt(3) && out(3).isNullAt(2))
   }
+
+  test("tripletMine: axis geometry picks the same-label positive and cross-label hard negative") {
+    // label 0: e1-ish vectors 0,1 (cos(0,1)≈1); label 1: e2 vector 2 and a
+    // 45° vector 3. Anchor 0: positive=1; hard negative=3 (45° beats 90°)
+    val corpus = spark.createDataFrame(Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(1f, 1f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.tripletMine(corpus).orderBy("anchor").collect()
+    val a0 = rows(0)
+    assert(a0.getLong(1) === 1L && a0.getDouble(2) === 1.0)
+    assert(a0.getLong(3) === 3L)
+    // margin is exactly pos − neg for the same doubles
+    assert(a0.getDouble(5) === a0.getDouble(2) - a0.getDouble(4))
+  }
+
+  test("tripletMine: unique label yields NULL positive, never drops the anchor") {
+    val corpus = spark.createDataFrame(Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 1), (2L, Array(1f, 1f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.tripletMine(corpus).orderBy("anchor").collect()
+    assert(rows.length === 3)
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(5))
+    assert(!rows(0).isNullAt(3)) // hard negative still mined
+  }
+
+  test("tripletMine: cosine ties break on the smaller candidate id") {
+    // 1 and 2 are the same direction as anchor 0 — exact tie; pick 1
+    val corpus = spark.createDataFrame(Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(3f, 0f), 0), (2L, Array(5f, 0f), 0),
+      (9L, Array(0f, 1f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.tripletMine(corpus).orderBy("anchor").collect()
+    assert(rows(0).getLong(1) === 1L)
+  }
 }
