@@ -1021,4 +1021,42 @@ object TextOps {
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978): cumulative
+    * distinct-term count as the corpus grows doc by doc, reported at
+    * `nBuckets` checkpoints — the diminishing-returns diagnostic behind
+    * "how much NEW vocabulary does the next shard of crawl buy" and the
+    * sizing input for tokenizer training. All EXACT integers (the
+    * V ≈ K·T^β power-law FIT needs log-log regression, which a 10-row
+    * client-side step does better than a non-bit-portable ln here).
+    *
+    * The naive "distinct terms over every prefix" is quadratic; the
+    * distributed form is the FIRST-APPEARANCE trick: a term enters the
+    * vocabulary exactly once, at min(bucket of its first doc) — so
+    * cumulative vocab at checkpoint k = terms whose min-bucket ≤ k.
+    * One [[OrderStats.withGlobalRank]] range-partitioned rank (never a
+    * single-partition global window), one explode pass, one term-keyed
+    * min-agg, then all windows run on the bounded `nBuckets`-row frame. */
+  def heapsGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val ranked = OrderStats.withGlobalRank(t, Seq(col("doc_id")))
+      .select(col("toks"), expr(s"(rn - 1) * $nBuckets DIV n").as("bucket"))
+    val tok = ranked.select(col("bucket"), explode(col("toks")).as("term"))
+    val docsPer = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("nd"))
+    val toksPer = tok.groupBy(col("bucket")).agg(count(lit(1)).as("nt"))
+    val vocabPer = tok.groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nv"))
+    // unpartitioned cumulative window: safe — the frame is nBuckets rows
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(toksPer, Seq("bucket"))
+      .join(vocabPer, Seq("bucket"), "left")
+      .na.fill(0L, Seq("nv"))
+      .select(col("bucket"),
+        sum(col("nd")).over(w).as("cum_docs"),
+        sum(col("nt")).over(w).as("cum_tokens"),
+        sum(col("nv")).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
 }

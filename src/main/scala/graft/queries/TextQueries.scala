@@ -477,6 +477,14 @@ object TextQueries extends QueryFamily {
     "txt_dsir_screen" -> ((s, d) =>
       TextOps.dsirScreen(docs(s, d), col("lang") === "en", 64, 25)),
 
+    // Heaps'-law vocabulary growth (TextOps.heapsGrowth): cumulative
+    // docs/tokens/distinct-vocab at 10 corpus checkpoints via the
+    // first-appearance trick (a term counts once, at the bucket of its
+    // first doc) — exact integers; range-partitioned global rank, one
+    // explode, one term-keyed min-agg, windows on the 10-row frame.
+    "txt_heaps_law" -> ((s, d) =>
+      TextOps.heapsGrowth(docs(s, d), 10)),
+
     // rank-based AUC (Mann-Whitney U ≡ area under the ROC curve) of a
     // classifier score against a binary label — the quality-filter EVAL
     // primitive: here "does token count discriminate English docs", the
@@ -1006,6 +1014,26 @@ object TextQueries extends QueryFamily {
         |       CAST(SUM(pd.c * dim.dppm) AS BIGINT) AS dsir_score
         |FROM pd JOIN dim ON dim.bucket = pd.bucket
         |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 25""".stripMargin,
+    // identical bucket rule ((rn-1)*10 // n), identical first-appearance
+    // min-bucket vocabulary counting, cumulative sums on the 10-row frame
+    "txt_heaps_law" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |r AS (SELECT toks,
+        |        (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 10 // (SELECT COUNT(*) FROM t) AS bucket
+        |      FROM t),
+        |tok AS (SELECT bucket, unnest(toks) AS term FROM r),
+        |dp AS (SELECT bucket, COUNT(*) AS nd FROM r GROUP BY 1),
+        |tp AS (SELECT bucket, COUNT(*) AS nt FROM tok GROUP BY 1),
+        |vp AS (SELECT bucket, COUNT(*) AS nv FROM
+        |         (SELECT term, MIN(bucket) AS bucket FROM tok GROUP BY 1) f GROUP BY 1)
+        |SELECT dp.bucket,
+        |  CAST(SUM(dp.nd) OVER w AS BIGINT) AS cum_docs,
+        |  CAST(SUM(tp.nt) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(vp.nv, 0)) OVER w AS BIGINT) AS cum_vocab
+        |FROM dp JOIN tp ON tp.bucket = dp.bucket
+        |LEFT JOIN vp ON vp.bucket = dp.bucket
+        |WINDOW w AS (ORDER BY dp.bucket ROWS UNBOUNDED PRECEDING)
+        |ORDER BY dp.bucket""".stripMargin,
     // identical tie-aware integer pair identity over the distinct-score
     // histogram; one final division
     "txt_rank_auc" ->

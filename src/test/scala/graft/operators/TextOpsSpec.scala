@@ -355,4 +355,28 @@ class TextOpsSpec extends GraftSparkSpec {
 
   private implicit def tupleToTriple(t: (Long, (String, Boolean))): (Long, String, Boolean) =
     (t._1, t._2._1, t._2._2)
+
+  test("heapsGrowth: first-appearance counting matches the hand-built curve") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "c d"), (4L, "a d")))
+      .toDF("doc_id", "text")
+    // 2 buckets of 2 docs: bucket 0 sees {a,b,c} (3 new), bucket 1 adds {d}
+    val got = TextOps.heapsGrowth(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 2L, 4L, 3L), (1L, 4L, 8L, 4L)))
+  }
+
+  test("heapsGrowth: final checkpoint equals the whole-corpus distinct vocabulary") {
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"w${i % 7} w${i % 11} shared")))
+      .toDF("doc_id", "text")
+    val curve = TextOps.heapsGrowth(docs, 5).collect()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(curve.last.getLong(3) === vocab)
+    assert(curve.last.getLong(1) === 30L)
+    // vocab growth is monotone non-decreasing
+    val vs = curve.map(_.getLong(3)).toSeq
+    assert(vs === vs.sorted)
+  }
 }
