@@ -987,34 +987,73 @@ object TextOps {
     * derive from that doc×bucket grain (never a second scan of the
     * exploded stream), are `numBuckets` rows each, and broadcast; top-k
     * is TakeOrderedAndProject, never a global sort. */
-  def dsirScreen(docs: DataFrame, isTarget: Column, numBuckets: Int,
-      k: Int): DataFrame = {
-    val t = docs.select(col("doc_id"), isTarget.as("is_target"),
-      tokens(col("text")).as("toks"))
-    val uni = t.select(col("doc_id"), col("is_target"),
-      explode(col("toks")).as("feat"))
+  /** DSIR's hashed feature stream: one (doc_id [, keep...], bucket) row
+    * per unigram/bigram occurrence — the shared explode pass behind
+    * [[dsirScreen]] / [[dsirDim]] / [[dsirScore]]. */
+  private def dsirFeatures(docs: DataFrame, numBuckets: Int,
+      keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    val t = docs.select((col("doc_id") +: kept :+
+      tokens(col("text")).as("toks")): _*)
+    val uni = t.select((col("doc_id") +: kept :+
+      explode(col("toks")).as("feat")): _*)
     val bi = t.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("is_target"),
+      .select((col("doc_id") +: kept :+
         explode(transform(sequence(lit(0), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("feat"))
-    val perDoc = uni.union(bi)
-      .select(col("doc_id"), col("is_target"),
-        (Sampling.hash60(col("feat")) % numBuckets).as("bucket"))
-      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+            element_at(col("toks"), i + 2)))).as("feat")): _*)
+    uni.union(bi)
+      .select((col("doc_id") +: kept :+
+        (Sampling.hash60(col("feat")) % numBuckets).as("bucket")): _*)
+  }
+
+  /** The dppm contrast table derived from a doc×bucket count frame that
+    * carries an `is_target` flag — shared by the one-pass [[dsirScreen]]
+    * and the frozen-model [[dsirDim]]. */
+  private def dsirDimOf(perDoc: DataFrame): DataFrame = {
     val raw = perDoc.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
     val tgt = perDoc.filter(col("is_target"))
       .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
     val totals = raw.agg(sum(col("cr")).as("tot_r"))
       .crossJoin(tgt.agg(sum(col("ct")).as("tot_t")))
-    val dim = raw.join(tgt, Seq("bucket"), "left")
+    raw.join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (expr("ct * 1000000 DIV tot_t") -
           expr("cr * 1000000 DIV tot_r")).as("dppm"))
-    perDoc.join(broadcast(dim), Seq("bucket"))
+  }
+
+  /** The frozen DSIR model: `numBuckets` rows of (bucket, dppm) trained
+    * on a static corpus — what a production pipeline persists and what
+    * the ingest-path [[graft.streaming.DsirScreen]] probes per batch. */
+  def dsirDim(corpus: DataFrame, isTarget: Column,
+      numBuckets: Int): DataFrame =
+    dsirDimOf(dsirFeatures(corpus.withColumn("is_target", isTarget),
+      numBuckets, Seq("is_target"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Score ANY doc frame against a frozen (bucket, dppm) dimension:
+    * (doc_id, n_feats, dsir_score), no selection applied. The dim
+    * broadcasts; the docs side is one explode + one doc×bucket agg. */
+  def dsirScore(docs: DataFrame, dim: DataFrame,
+      numBuckets: Int): DataFrame =
+    dsirFeatures(docs, numBuckets, Seq.empty)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(dim), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("dppm")).as("dsir_score"))
+
+  def dsirScreen(docs: DataFrame, isTarget: Column, numBuckets: Int,
+      k: Int): DataFrame = {
+    val perDoc = dsirFeatures(docs.withColumn("is_target", isTarget),
+      numBuckets, Seq("is_target"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(dsirDimOf(perDoc)), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("dppm")).as("dsir_score"))
