@@ -895,6 +895,38 @@ object RelQueries extends QueryFamily {
       DataQuality.audit(checks)
     }),
 
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    // classic fraud/DQ screen on financial amounts): observed
+    // first-significant-digit distribution of l_extendedprice vs the
+    // log10(1+1/d) expectation. ENTIRELY integer: the digit comes from
+    // regexp_extract('[1-9]') over the double's shortest-round-trip
+    // string (identical across engines for identical doubles, notation-
+    // proof — works for 0.04 and 6.8E7 alike); observed share in exact
+    // ppm (n·1e6 DIV total); the Benford expectation as pre-rounded
+    // integer-ppm LITERALS, so delta_ppm is an exact BIGINT. One narrow
+    // projection + one 9-key agg + a broadcast total — scan-bound at
+    // 100 TB.
+    "rel_benford_audit" -> ((s, d) => {
+      val benford = typedLit(Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L))
+      // filter the no-match empty string BEFORE the cast: ANSI mode
+      // throws on CAST('' AS INT) (a zero-valued amount has no
+      // significant digit and is out of Benford's domain anyway)
+      val obs = Tables.lineitem(s, d)
+        .select(regexp_extract(col("l_extendedprice").cast("string"),
+          "[1-9]", 0).as("raw"))
+        .filter(col("raw") =!= "")
+        .select(col("raw").cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      obs.crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("total"))))
+        .select(col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 DIV total").as("obs_ppm"),
+          benford(col("digit")).as("benford_ppm"))
+        .withColumn("delta_ppm", col("obs_ppm") - col("benford_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // SCD Type-2 dimension merge (Kimball; the Delta/Iceberg MERGE INTO
     // shape as a pure join+union plan): initial customer history + one
     // deterministic upsert batch — segment changes for custkey%7,
@@ -1519,6 +1551,19 @@ object RelQueries extends QueryFamily {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical check arithmetic: conditional sums per table, left-join
     // orphan counts, grouped-frame duplicate counts, one double division
+    // identical shortest-repr string → first [1-9] digit, identical
+    // integer ppm shares and pre-rounded Benford ppm literals
+    "rel_benford_audit" ->
+      """WITH o AS (SELECT CAST(NULLIF(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]'), '') AS INT) AS digit FROM lineitem),
+        |g AS (SELECT digit, COUNT(*) AS n_obs FROM o WHERE digit IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM g),
+        |b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT g.digit, g.n_obs,
+        |  g.n_obs * 1000000 // t.total AS obs_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(g.n_obs * 1000000 // t.total - b.benford_ppm AS BIGINT) AS delta_ppm
+        |FROM g JOIN b USING (digit), t ORDER BY g.digit""".stripMargin,
     "rel_dq_audit" ->
       """WITH ev AS (SELECT COUNT(*) AS n_rows,
         |    CAST(SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,

@@ -367,4 +367,20 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq((3L, 1L, 1L, 0L), (1L, -1L, 0L, 1L), (2L, 0L, 0L, 1L)))
   }
+
+  test("benford digit extraction is notation-proof on the double's string form") {
+    // the rel_benford_audit digit rule: first [1-9] of the shortest-repr
+    // string is the first SIGNIFICANT digit in plain, sub-1, and
+    // scientific notations alike (a scientific mantissa always leads
+    // with a nonzero digit, so exponent digits can never match first)
+    val df = spark.createDataFrame(Seq(
+      Tuple1(68423.46), Tuple1(0.042), Tuple1(9.5e8), Tuple1(1.0), Tuple1(0.0)))
+      .toDF("x")
+    val got = df.select(
+      regexp_extract(col("x").cast("string"), "[1-9]", 0).as("raw"))
+      .filter(col("raw") =!= "") // ANSI cast throws on '' — the query filters first
+      .select(col("raw").cast("int").as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(6, 4, 9, 1)) // 0.0 has no significant digit — dropped
+  }
 }
