@@ -626,6 +626,44 @@ object RefQueries extends QueryFamily {
           expr("""CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END""")
             .as("z"))),
 
+    // Welch's unequal-variance t-test (Welch 1947) — the MEANS sibling
+    // of ref_ab_ztest's proportion z: mean event value between the same
+    // user-parity arms. Everything derives from SIX exact integers (per
+    // arm: n, Σcents, Σcents² in DECIMAL(38,0) — order-independent), and
+    // the t statistic + Welch–Satterthwaite df are ONE fixed IEEE
+    // sequence on them, replicated textually in the oracle. Degenerate
+    // zero-variance/singleton arms NULL identically on both engines.
+    // Plan: one arm-keyed agg with map-side partials; nothing else
+    // touches the stream. DECIMAL lift: Σcents² stays exact to ~1e25.
+    "ref_welch_ttest" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val v = QueryFamily.cents(col("value")).cast(dec)
+      Tables.events(s, d)
+        .select((col("user_id") % 2).as("arm"), v.as("v"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("v") * col("v")).as("sxx"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+          max(when(col("arm") === 0, col("sx"))).as("sx_a"),
+          max(when(col("arm") === 0, col("sxx"))).as("sxx_a"),
+          max(when(col("arm") === 1, col("n"))).as("n_b"),
+          max(when(col("arm") === 1, col("sx"))).as("sx_b"),
+          max(when(col("arm") === 1, col("sxx"))).as("sxx_b"))
+        .withColumn("mean_a", expr("CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+        .withColumn("mean_b", expr("CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+        .withColumn("var_a", expr(
+          "(CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))"))
+        .withColumn("var_b", expr(
+          "(CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))"))
+        .withColumn("se2", expr(
+          "var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)"))
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          expr("CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END")
+            .as("t_welch"),
+          expr("CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN se2 * se2 / ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) END")
+            .as("df_welch"))
+    }),
+
     // behavioral-diversity screen: per-user Gini impurity of the
     // event-type mix, 1 − Σ pᵢ² — the ENTROPY stand-in that stays in
     // exact arithmetic (Shannon entropy needs ln, which is not
@@ -1066,6 +1104,25 @@ object RefQueries extends QueryFamily {
          |ORDER BY score DESC, event_type""".stripMargin
     },
     // same exact counts, same IEEE text for p̂ and z, same CASE guard
+    // six exact integers, then the identical fixed IEEE derivation
+    // sequence (means, sample variances, se2, t, Welch df), textually
+    "ref_welch_ttest" ->
+      """WITH a AS (SELECT user_id % 2 AS arm, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT arm, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx FROM a GROUP BY 1),
+        |p AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a, MAX(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+        |  MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx_a, MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |  MAX(CASE WHEN arm = 1 THEN sx END) AS sx_b, MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx_b FROM g),
+        |m AS (SELECT *,
+        |  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS var_a,
+        |  (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS var_b
+        |  FROM p),
+        |s AS (SELECT *, var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) AS se2 FROM m)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END AS t_welch,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN se2 * se2 / ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) END AS df_welch
+        |FROM s""".stripMargin,
     "ref_ab_ztest" ->
       """WITH a AS (SELECT user_id % 2 AS arm, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ FROM events),
         |g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(succ) AS BIGINT) AS x FROM a GROUP BY 1),

@@ -383,4 +383,32 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got === Seq(6, 4, 9, 1)) // 0.0 has no significant digit — dropped
   }
+
+  test("welch t: hand-computed statistic, and zero-variance arms go NULL") {
+    val s = spark
+    import s.implicits._
+    // arm 0 (even users): values 1.00, 3.00; arm 1 (odd): 2.00, 2.00, 5.00
+    val rows = Seq(
+      (0L, 1000L, 2L, "view", 1.0, "{}"), (1L, 2000L, 4L, "view", 3.0, "{}"),
+      (2L, 3000L, 1L, "view", 2.0, "{}"), (3L, 4000L, 3L, "view", 2.0, "{}"),
+      (4L, 5000L, 5L, "view", 5.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-welch-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.SparkEntry.queries("ref_welch_ttest")(spark, d).head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    // cents: arm0 {100,300} mean 200, s²=20000; arm1 {200,200,500} mean 300, s²=30000
+    assert(r.getDouble(2) === 200.0 && r.getDouble(3) === 300.0)
+    val se2 = 20000.0 / 2.0 + 30000.0 / 3.0
+    assert(r.getDouble(4) === (200.0 - 300.0) / math.sqrt(se2))
+    assert(r.getDouble(5) ===
+      se2 * se2 / (10000.0 * 10000.0 / 1.0 + 10000.0 * 10000.0 / 2.0))
+    // constant values: both variances 0 → se2 = 0 → t and df NULL
+    val d2 = java.nio.file.Files.createTempDirectory("graft-welch2-").toString
+    rows.map(t => t.copy(_5 = 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val r2 = graft.SparkEntry.queries("ref_welch_ttest")(spark, d2).head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
 }
