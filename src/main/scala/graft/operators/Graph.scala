@@ -242,6 +242,75 @@ object Graph {
       .limit(topK)
   }
 
+  /** Harmonic centrality (Marchiori & Latora 2000; the centrality
+    * Boldi & Vigna 2014 axiomatize as the well-behaved closeness):
+    * H(v) = Σ_{u≠v} 1/d(u,v), with unreachable pairs contributing 0 —
+    * the geodesic complement of the eigen family ([[pageRank]], HITS)
+    * and the peel family ([[kCore]]) over the same dup-graph substrate.
+    *
+    * Exactness: each term is `1e6 DIV d` integer micros, so H is an
+    * order-independent BIGINT sum (same convention as the RA index in
+    * [[linkPrediction]]).
+    *
+    * Distributed form: per-source BFS as one (src, node, d) state table
+    * grown frontier-by-frontier — each round ONE id-keyed equi-join of
+    * the frontier against the symmetric neighbor table + one anti-join
+    * against the reached set (the [[bfsHops]] delta iteration, carrying
+    * the source instead of collapsing to one seed), localCheckpoint +
+    * eager release per round. State is Σ|component|² rows — bounded on
+    * a near-dup graph, whose components dedup itself keeps small.
+    * `maxDepth` caps rounds; the oracle mirrors the cap (the
+    * [[bfsHops]] truncation convention), so a deeper-than-cap pair is
+    * identically absent on both engines. */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int = 6,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val e = edges.toDF("a", "b").distinct()
+    val nbr = scope.track(
+      e.select(col("a").as("x"), col("b").as("y"))
+        .union(e.select(col("b").as("x"), col("a").as("y"))))
+    var reached = nbr.select(col("x").as("v")).distinct()
+      .select(col("v").as("src"), col("v").as("node"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = reached
+    var staleReached = reached
+    var staleFrontier: DataFrame = null
+    var depth = 0
+    var converged = false
+    // same stale-tracking checkpoint lifecycle as [[bfsHops]]
+    while (!converged && depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(nbr, frontier("node") === nbr("x"))
+        .select(col("src"), col("y").as("node"), lit(depth).as("d"))
+        .distinct()
+        .join(reached, Seq("src", "node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) {
+        converged = true
+        releaseCheckpoint(next) // empty; nothing downstream reads it
+      } else {
+        val merged = reached.unionByName(next).localCheckpoint()
+        releaseCheckpoint(staleReached)
+        if (staleFrontier ne null) releaseCheckpoint(staleFrontier)
+        staleReached = merged
+        staleFrontier = next
+        reached = merged
+        frontier = next
+      }
+    }
+    val f1 = staleReached
+    val f2 = staleFrontier
+    scope.onRelease(() => {
+      releaseCheckpoint(f1)
+      if (f2 ne null) releaseCheckpoint(f2)
+    })
+    reached.filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 DIV d")).as("harmonic_micros"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(col("node"))
+  }
+
   /** k-core of an undirected graph (Seidman 1983): the maximal subgraph
     * in which every vertex has degree ≥ k, via the standard distributed
     * peel — each round recomputes degrees over the SURVIVING edge set

@@ -152,6 +152,19 @@ object DedupQueries extends QueryFamily {
         .select(col("node_a").as("vec_a"), col("node_b").as("vec_b"),
           col("n_common"), col("ra_micros"))),
 
+    // harmonic centrality of the embedding near-dup graph
+    // (Graph.harmonicCentrality): Σ 1e6 DIV d(u,v) over reachable pairs
+    // within depth 6 — the geodesic centrality (which vector sits
+    // nearest to everything in its dup neighborhood) complementing the
+    // eigen (pagerank/HITS) and peel (k-core) views; per-source BFS as
+    // a delta iteration, every term exact integer micros.
+    "dd_harmonic" -> ((s, d) =>
+      Graph.harmonicCentrality(
+        Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
+          .select(col("vec_a"), col("vec_b")), 6)
+        .select(col("node").as("vec_id"), col("harmonic_micros"),
+          col("n_reached"))),
+
     // soft dedup: down-WEIGHT near-dup clusters instead of dropping
     // (keep every doc, weight 1/cluster_size — each cluster contributes
     // unit mass, so the weighted corpus equals the hard-dedup corpus in
@@ -614,6 +627,27 @@ object DedupQueries extends QueryFamily {
          |  CASE WHEN (SELECT n_wedges FROM wg) > 0
          |    THEN 3.0 * CAST((SELECT n_triangles FROM tri) AS DOUBLE) / CAST((SELECT n_wedges FROM wg) AS DOUBLE)
          |  END AS clustering_coeff""".stripMargin,
+    // recursive walk over the same cosine edge set, MIN(d) per (src,
+    // node) with the SAME depth-6 cap as the engine's BFS (bfs_hops
+    // truncation convention), identical 1e6 DIV d integer terms
+    "dd_harmonic" ->
+      """WITH RECURSIVE emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
+        |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
+        |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id) p
+        |  WHERE cosine >= 0.4),
+        |nb AS (SELECT vec_a AS x, vec_b AS y FROM e UNION ALL SELECT vec_b, vec_a FROM e),
+        |walk(src, node, d) AS (
+        |  SELECT DISTINCT x, x, 0 FROM nb
+        |  UNION
+        |  SELECT w.src, nb.y, w.d + 1 FROM walk w JOIN nb ON nb.x = w.node WHERE w.d < 6),
+        |dist AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+        |SELECT node AS vec_id, CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micros,
+        |       COUNT(*) AS n_reached
+        |FROM dist WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact brute-force cosine edge set (identical CTE to dd_embedding)
     // → symmetric neighbor table → wedge pairs minus existing edges;
     // identical integer-micros RA terms, identical integer rank order

@@ -270,6 +270,30 @@ class GraphSpec extends GraftSparkSpec {
     assert(got === Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
   }
 
+  private def harmonicOf(depth: Int, pairs: (Long, Long)*): Seq[(Long, Long, Long)] =
+    Graph.harmonicCentrality(edges(pairs: _*), depth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("harmonicCentrality: path hand-math — middle node dominates") {
+    // 1-2-3: H(1)=1e6+5e5, H(2)=2e6, H(3)=1e6+5e5
+    assert(harmonicOf(6, 1L -> 2L, 2L -> 3L) ===
+      Seq((1L, 1500000L, 2L), (2L, 2000000L, 2L), (3L, 1500000L, 2L)))
+  }
+
+  test("harmonicCentrality: unreachable pairs contribute exactly zero") {
+    // two disjoint edges: every node sees only its partner
+    assert(harmonicOf(6, 1L -> 2L, 10L -> 11L) ===
+      Seq((1L, 1000000L, 1L), (2L, 1000000L, 1L),
+        (10L, 1000000L, 1L), (11L, 1000000L, 1L)))
+  }
+
+  test("harmonicCentrality: maxDepth truncates exactly like the unrolled sum") {
+    // path 1-2-3-4 at depth 1: only direct neighbors count
+    assert(harmonicOf(1, 1L -> 2L, 2L -> 3L, 3L -> 4L) ===
+      Seq((1L, 1000000L, 1L), (2L, 2000000L, 2L),
+        (3L, 2000000L, 2L), (4L, 1000000L, 1L)))
+  }
+
   test("linkPrediction: hub apex contributes less than a bottleneck apex") {
     // star apex 0 with leaves 1..4 (deg 4) plus path 10-11-12 (apex deg 2):
     // leaf pairs score 250000 each, (10,12) scores 500000 and ranks first;
