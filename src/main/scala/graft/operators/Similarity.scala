@@ -701,7 +701,6 @@ object Similarity {
     * right for mining, since hard negatives are by definition NEAR the
     * anchor and bucket recall concentrates there. */
   def tripletMine(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = corpus.select(col("vec_id").as("anchor"),
       col("label").as("a_label"), col("embedding").as("va"))
     val c = corpus.select(col("vec_id").as("cand"),
@@ -710,6 +709,13 @@ object Similarity {
       .select(col("anchor"), col("cand"),
         (col("c_label") === col("a_label")).as("same"),
         cosineSeq(col("va"), col("vc")).as("cosine"))
+    tripletArgmax(scored)
+  }
+
+  /** The per-(anchor, same?) argmax + margin tail shared by
+    * [[tripletMine]] and [[tripletMineLsh]]. */
+  private def tripletArgmax(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("anchor"), col("same"))
       .orderBy(col("cosine").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -720,6 +726,36 @@ object Similarity {
         col("p.cand").as("pos_id"), col("p.cosine").as("pos_cos"),
         col("n.cand").as("neg_id"), col("n.cosine").as("neg_cos"),
         (col("p.cosine") - col("n.cosine")).as("margin"))
+  }
+
+  /** [[tripletMine]]'s registered 100 TB plan: candidates from the
+    * sign-LSH bucket equi-join (hamming-1 multi-probe on the anchor
+    * side, exact corpus buckets — the [[lshTopK]] probe sequence
+    * verbatim) instead of the anchor×corpus cross join; exact cosine +
+    * the same argmax/margin tail within the candidate set. A recall
+    * subset of the exact pass — and the loss concentrates where it
+    * matters least, since hard negatives are by definition NEAR the
+    * anchor, where bucket recall is highest. Anchors whose probed
+    * buckets hold no candidate drop out (identically on both engines)
+    * rather than surfacing a worse-than-available triplet. */
+  def tripletMineLsh(corpus: DataFrame, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val probe = cb.select(col("vec_id").as("anchor"),
+      col("label").as("a_label"), col("embedding").as("va"),
+      explode(array(col("bucket") +:
+        (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+        .as("bucket"))
+    // probe buckets distinct, corpus buckets exact → no pair dedup needed
+    val scored = probe.join(
+      cb.select(col("vec_id").as("cand"), col("label").as("c_label"),
+        col("embedding").as("vc"), col("bucket")), Seq("bucket"))
+      .filter(col("anchor") =!= col("cand"))
+      .select(col("anchor"), col("cand"),
+        (col("c_label") === col("a_label")).as("same"),
+        cosineSeq(col("va"), col("vc")).as("cosine"))
+    tripletArgmax(scored)
   }
 
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.

@@ -34,6 +34,14 @@ object SimQueries extends QueryFamily {
       Similarity.tripletMine(Tables.embeddings(s, d))
         .orderBy(col("anchor"))),
 
+    // the registered scale sibling: the same mining argmax over LSH
+    // bucket candidates (hamming-1 multi-probe, lshTopK's sequence)
+    // instead of the cross join — Σ bucket² work, recall loss lands on
+    // far pairs, which hard-negative mining does not want anyway.
+    "sim_triplet_lsh" -> ((s, d) =>
+      Similarity.tripletMineLsh(Tables.embeddings(s, d))
+        .orderBy(col("anchor"))),
+
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), queriesSubset(s, d), K,
         probeHamming = 1)
@@ -503,6 +511,38 @@ object SimQueries extends QueryFamily {
         |  MAX(CASE WHEN NOT same THEN cosine END) AS neg_cos,
         |  MAX(CASE WHEN same THEN cosine END) - MAX(CASE WHEN NOT same THEN cosine END) AS margin
         |FROM r WHERE rn = 1 GROUP BY anchor ORDER BY anchor""".stripMargin,
+    // identical literal hyperplanes + bucket ids + hamming-1 probe
+    // sequence as the sim_topk_lsh oracle, then the identical
+    // argmax/margin tail over the bucket candidate set
+    "sim_triplet_lsh" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |planes AS (SELECT * FROM ${planesSql()}),
+         |buck AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, p.b,
+         |      list_reduce(list_transform(e.v, (x,i) -> x * p.h[i]), (x,y) -> x + y) AS dot
+         |    FROM e CROSS JOIN planes p) d
+         |  GROUP BY vec_id),
+         |aprobe AS (
+         |  SELECT vec_id AS anchor,
+         |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
+         |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r),
+         |p AS (
+         |  SELECT q.anchor, c.vec_id AS cand, ea.label = ec.label AS same,
+         |    ${cosineSql("ea.v", "ec.v")} AS cosine
+         |  FROM aprobe q
+         |  JOIN buck c ON q.bucket = c.bucket AND q.anchor <> c.vec_id
+         |  JOIN e ea ON ea.vec_id = q.anchor
+         |  JOIN e ec ON ec.vec_id = c.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor, same ORDER BY cosine DESC, cand) AS rn FROM p)
+         |SELECT anchor,
+         |  MAX(CASE WHEN same THEN cand END) AS pos_id,
+         |  MAX(CASE WHEN same THEN cosine END) AS pos_cos,
+         |  MAX(CASE WHEN NOT same THEN cand END) AS neg_id,
+         |  MAX(CASE WHEN NOT same THEN cosine END) AS neg_cos,
+         |  MAX(CASE WHEN same THEN cosine END) - MAX(CASE WHEN NOT same THEN cosine END) AS margin
+         |FROM r WHERE rn = 1 GROUP BY anchor ORDER BY anchor""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 5 = 0),

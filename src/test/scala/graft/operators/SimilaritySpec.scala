@@ -409,6 +409,22 @@ class SimilaritySpec extends GraftSparkSpec {
     assert(!rows(0).isNullAt(3)) // hard negative still mined
   }
 
+  test("tripletMineLsh: bucket candidates are a recall subset of the exact pass") {
+    // law: LSH mining can only see FEWER candidates, so for every anchor
+    // it emits, its positive/negative cosines are <= the exact pass's
+    val exact = Similarity.tripletMine(vectors).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lsh = Similarity.tripletMineLsh(vectors, dim = 16).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val e = exact(r.getLong(0))
+      if (!r.isNullAt(2) && !e.isNullAt(2))
+        assert(r.getDouble(2) <= e.getDouble(2))
+      if (!r.isNullAt(4) && !e.isNullAt(4))
+        assert(r.getDouble(4) <= e.getDouble(4))
+    }
+  }
+
   test("tripletMine: cosine ties break on the smaller candidate id") {
     // 1 and 2 are the same direction as anchor 0 — exact tie; pick 1
     val corpus = spark.createDataFrame(Seq(
