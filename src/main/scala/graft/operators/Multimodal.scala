@@ -29,6 +29,11 @@ case class ImageRow(doc_id: Long, png: Array[Byte])
 case class ImageStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
     px_sum: Long, n_distinct_px: Int, mean_px: Double)
 
+/** 16-bin luminance histogram of one decoded raster, with the exposure
+  * audit's integer aggregates (see [[Multimodal.decodeHistogram]]). */
+case class HistStats(doc_id: Long, n_pixels: Int, n_bins_hit: Int,
+    mode_bin: Int, chi2_num: Long)
+
 /** Roundtrip statistics of a LOSSY (JPEG) codec. Unlike [[ImageStats]],
   * the pixel plane cannot be oracle-exact — JPEG quantization error is
   * codec-implementation-specific — so the exactness contract splits:
@@ -250,6 +255,54 @@ object Multimodal {
         }
         ImageStats(r.doc_id, w, h, w * h, sum, nDistinct,
           sum.toDouble / (w * h))
+      }
+    }
+  }
+
+  /** Luminance-histogram exposure audit over the REAL decoded raster —
+    * the classic image-QC pass (flat/clipped/low-contrast screens run on
+    * every ingest pipeline's thumbnails): 16-bin histogram (bin =
+    * v DIV 16), bins-hit count, mode bin (ties to the SMALLER bin — a
+    * strict `>` scan in bin order), and the uniformity χ² NUMERATOR in
+    * exact integers — Σ_b (16·c_b − n)², the (O−E)² sum with E = n/16
+    * cleared of its denominator (the ref_chisq_type_dow rearrangement),
+    * zero-count bins included. All four aggregates are integer, so the
+    * oracle's synthesis-rule replay is bit-checkable; matching it proves
+    * the histogram came off a real PNG decode. Embarrassingly parallel
+    * mapPartitions, no shuffle. */
+  def decodeHistogram(images: Dataset[ImageRow]): Dataset[HistStats] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            bins(raster.getSample(x, y, 0) >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w * h
+        var hit = 0
+        var mode = 0
+        var chi2 = 0L
+        var b = 0
+        while (b < 16) {
+          if (bins(b) > 0) hit += 1
+          if (bins(b) > bins(mode)) mode = b
+          val d = 16L * bins(b) - n
+          chi2 += d * d
+          b += 1
+        }
+        HistStats(r.doc_id, n, hit, mode, chi2)
       }
     }
   }

@@ -60,6 +60,16 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // luminance-histogram exposure audit off the REAL decoded raster
+    // (Multimodal.decodeHistogram): 16-bin histogram, bins hit, mode
+    // bin, uniformity χ² numerator — all exact integers, zero-count
+    // bins included, the flat/clipped/low-contrast QC screen.
+    "mm_histogram" -> ((s, d) =>
+      Multimodal.decodeHistogram(
+        Multimodal.encodeImages(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // REAL audio codec roundtrip — the second modality off the stub:
     // text bytes → 8-bit PCM samples → actual RIFF/WAVE (AudioSystem
     // encode) → header parse + frame decode → stats from the DECODED
@@ -253,6 +263,37 @@ object MultimodalQueries extends QueryFamily {
          |  CAST(SUM(v) AS DOUBLE) / (width * height) AS mean_px
          |FROM px GROUP BY doc_id, width, height
          |ORDER BY doc_id""".stripMargin,
+    // same synthesis-rule pixel replay as mm_decode, bucketed DIV 16
+    // with zero-count bins present, the same argmax tie rule, and the
+    // denominator-cleared χ² numerator in exact integers
+    "mm_histogram" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, hx, nb,
+         |         CAST(1 + nb % 16 AS INT) AS width,
+         |         CAST(1 + (nb // 16) % 16 AS INT) AS height
+         |  FROM b),
+         |px AS (
+         |  SELECT doc_id, width * height AS n,
+         |         ('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT // 16 AS bin
+         |  FROM (SELECT doc_id, hx, nb, width, height,
+         |          unnest(range(0, CAST(width * height AS BIGINT))) AS i
+         |        FROM g) u),
+         |pc AS (SELECT doc_id, bin, COUNT(*) AS c FROM px GROUP BY 1, 2),
+         |f AS (SELECT d.doc_id, d.n, bb.bin, COALESCE(pc.c, 0) AS c
+         |      FROM (SELECT DISTINCT doc_id, n FROM px) d
+         |      CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb
+         |      LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.bin = bb.bin),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn FROM f)
+         |SELECT f.doc_id, CAST(MAX(f.n) AS INT) AS n_pixels,
+         |  CAST(SUM(CASE WHEN f.c > 0 THEN 1 ELSE 0 END) AS INT) AS n_bins_hit,
+         |  CAST(MAX(CASE WHEN r.rn = 1 THEN r.bin END) AS INT) AS mode_bin,
+         |  CAST(SUM((16 * f.c - f.n) * (16 * f.c - f.n)) AS BIGINT) AS chi2_num
+         |FROM f JOIN r ON r.doc_id = f.doc_id AND r.bin = f.bin
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     // the geometry rule replayed in SQL; TRUE is the determinism
     // expectation — the engine side computes the flag by comparing two
     // independent decodes of the same JPEG bytes, so a nondeterministic

@@ -58,6 +58,24 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(b.n_distinct_px === 1)
   }
 
+  test("histogram audit: bins, mode, and chi-square numerator by hand") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "ab"), (1L, "x" * 20), (2L, ""))
+      .toDF("doc_id", "text")
+    val hist = Multimodal.decodeHistogram(Multimodal.encodeImages(docs))
+      .collect().sortBy(_.doc_id)
+    assert(hist.length === 2)
+    // "ab" → 3×1 raster [97, 98, 97]: all in bin 6 (97>>4 = 98>>4 = 6)
+    val a = hist(0)
+    assert((a.n_pixels, a.n_bins_hit, a.mode_bin) === (3, 1, 6))
+    assert(a.chi2_num === (16L * 3 - 3) * (16L * 3 - 3) + 15L * 3 * 3)
+    // "x"*20 → 5×2 raster of 120s: bin 7, maximal concentration
+    val b = hist(1)
+    assert((b.n_pixels, b.n_bins_hit, b.mode_bin) === (10, 1, 7))
+    assert(b.chi2_num === (16L * 10 - 10) * (16L * 10 - 10) + 15L * 10 * 10)
+  }
+
   test("real JPEG roundtrip: dims exact, decode deterministic, loss bounded") {
     val s = spark
     import s.implicits._
