@@ -3,6 +3,7 @@ package graft.queries
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -685,6 +686,33 @@ object RefQueries extends QueryFamily {
             .as("gini_ppm"))
         .orderBy(col("user_id"))),
 
+    // source-concentration audit (bot/power-user screen): what share of
+    // each event type's volume comes from its top-10 users? The CR-k
+    // concentration ratio, surfaced in exact integer ppm
+    // (top10·1e6 DIV total) so the oracle compare is bit-exact. Rank ties
+    // break on (cnt DESC, user_id ASC) — fully deterministic. Plan: the
+    // fact table collapses FIRST to the distinct (type, user) count spine
+    // (one keyed agg, map-side partial), so the row_number window sorts
+    // only that spine — #active pairs, not #events; at extreme user
+    // cardinality the bounded-heap Aggregator pattern (functions/TopK
+    // .scala) is the drop-in replacement for the window.
+    "ref_type_concentration" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = cnt.withColumn("rk",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("user_id"))))
+      ranked.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_users"),
+          sum(when(col("rk") <= 10, col("cnt")).otherwise(lit(0L)))
+            .as("top10_events"))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          col("top10_events"),
+          expr("top10_events * 1000000 DIV n_events").as("cr10_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pearson χ² test of independence (event type × day-of-week) — the
     // A/B-era contingency workhorse: does behavior mix shift by weekday?
     // Exactness: each cell's (O−E)²/E is algebraically rearranged to
@@ -1141,6 +1169,18 @@ object RefQueries extends QueryFamily {
         |SELECT user_id, n_events, n_types,
         |  1000000 - sum_sq * 1000000 // (n_events * n_events) AS gini_ppm
         |FROM u ORDER BY user_id""".stripMargin,
+    // identical exact-ppm CR-10 with the same deterministic tiebreak
+    "ref_type_concentration" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk
+        |      FROM c),
+        |g AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS n_users,
+        |        CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_events
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_events, n_users, top10_events,
+        |  top10_events * 1000000 // n_events AS cr10_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
     // identical integer rearrangement (O·T−R·C)²/(T·R·C), one division
     // per cell, total folded in the same (type, dow) order
     "ref_chisq_type_dow" ->

@@ -227,6 +227,26 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 2L, 500000L), (2L, 3L, 1L, 0L)))
   }
 
+  test("type concentration: CR-10 ppm exact, tail user excluded") {
+    val s = spark
+    import s.implicits._
+    // type A: user 1 has 3 events, users 2..12 have 1 each → 14 events,
+    // 12 users; top-10 = user 1 (3) + users 2..10 (9) = 12 events →
+    // CR10 = 12e6 DIV 14 = 857142 ppm. type B: one user → 1000000 ppm.
+    val rows = (Seq.fill(3)(1L) ++ (2L to 12L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, 1000L + i, u, "A", 1.0, "{}")
+    } ++ Seq((99L, 9000L, 50L, "B", 1.0, "{}"))
+    val d = java.nio.file.Files.createTempDirectory("graft-cr10-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_type_concentration")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(("A", 14L, 12L, 12L, 857142L),
+      ("B", 1L, 1L, 1L, 1000000L)))
+  }
+
   test("rank AUC: tie-aware Mann-Whitney identity on a hand fixture") {
     val s = spark
     import s.implicits._
