@@ -76,4 +76,27 @@ object DataQuality {
       .withColumn("violation_share",
         col("n_violations").cast("double") / col("n_rows").cast("double"))
       .orderBy(col("check_name"))
+
+  /** ZERO-extra-pass pipeline metrics via the Observation API
+    * (SPARK-34806): the metric aggregates ride the SAME job `drive` runs —
+    * computed per-task on rows as they stream through the observe node and
+    * merged on the driver through an accumulator, no second scan and no
+    * shuffle of their own. This is the 100 TB counterpart of
+    * [[columnChecks]]: columnChecks is the standalone audit (its own scan);
+    * observedMetrics instruments a pass the pipeline ALREADY pays for
+    * (e.g. the write of a curated corpus) and records the audit for free.
+    *
+    * `drive` must run an action that consumes EVERY row of the observed
+    * frame (a full aggregate, a write) — observed metrics cover exactly the
+    * rows the action processed, so a LIMIT-style partial action would
+    * under-count (same contract as Spark's own docs). Returns the metric
+    * values keyed by their aliases. */
+  def observedMetrics(df: DataFrame, metrics: Seq[Column],
+      drive: DataFrame => Unit): Map[String, Any] = {
+    require(metrics.nonEmpty, "observedMetrics needs at least one metric")
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    drive(observed)
+    obs.get
+  }
 }

@@ -218,7 +218,14 @@ object Graph {
     * all-pairs over the corpus. */
   def linkPrediction(edges: DataFrame, topK: Int,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
-    val e = scope.track(edges.toDF("a", "b").distinct())
+    // orientation-normalize BEFORE distinct so (x,y)/(y,x) inputs collapse
+    // to one undirected edge — same contract harmonicCentrality enforces by
+    // symmetrization; callers need not pre-normalize
+    val e = scope.track(edges.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
     val nbr = scope.track(
       e.select(col("a").as("x"), col("b").as("y"))
         .union(e.select(col("b").as("x"), col("a").as("y"))))

@@ -70,13 +70,16 @@ case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
 case class SceneCuts(doc_id: Long, n_frames: Int, n_transitions: Int,
     n_cuts: Int, max_delta: Long, sum_delta: Long)
 
+/** Goertzel single-bin DFT power (Goertzel 1958) at two probe tones off
+  * DECODED PCM — the classic tone-detection primitive; `dominant` is the
+  * larger-power label with a deterministic tie-break. */
+case class GoertzelRow(doc_id: Long, n_samples: Long, p1k: Double,
+    p2k: Double, dominant: String)
+
 /** Classic time-domain audio features off DECODED PCM (speech/music
   * discrimination battery: Scheirer & Slaney 1997) — all integer-exact
   * on the centered 8-bit samples, so an oracle replay from the synthesis
   * rule is a bit-for-bit roundtrip proof like [[AudioStats]]. */
-case class GoertzelRow(doc_id: Long, n_samples: Long, p1k: Double,
-    p2k: Double, dominant: String)
-
 case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
     energy: Long, ac1: Long, ac2: Long, ac4: Long, ac8: Long,
     best_lag: Int)

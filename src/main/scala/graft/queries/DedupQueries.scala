@@ -312,7 +312,7 @@ object DedupQueries extends QueryFamily {
       val (bands, shingles) = StreamingDedup.buildIndex(hist)
       val reloaded = StreamingDedup.persistAndReload(bands,
         "graft_band_index",
-        sys.props("java.io.tmpdir") + "/graft_band_index")
+        QueryFamily.jvmScratch("graft_band_index"))
       StreamingDedup.dedupBatch(batch, reloaded, shingles, Threshold)
         .orderBy(col("doc_id"), col("dup_of"))
     }),

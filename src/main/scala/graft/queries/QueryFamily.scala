@@ -34,4 +34,12 @@ object QueryFamily {
 
   /** SQL mirror of [[dollars]]. */
   def dollarsSql(expr: String): String = s"CAST($expr AS DOUBLE) / 100"
+
+  /** Per-JVM-unique scratch path under java.io.tmpdir. Queries that
+    * materialize intermediate tables (rel_incremental_agg,
+    * dd_index_persist) MUST use this instead of a fixed path: two
+    * concurrent JVMs over the same tmpdir (driver Verify + a manual
+    * Bench) would otherwise race the same directory. */
+  def jvmScratch(name: String): String =
+    sys.props("java.io.tmpdir") + s"/$name-jvm${ProcessHandle.current().pid()}"
 }

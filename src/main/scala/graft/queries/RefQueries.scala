@@ -55,6 +55,13 @@ object RefQueries extends QueryFamily {
         .orderBy(col("service"), col("segment"))),
     "ref_observed_topics" -> ((s, d) =>
       Behavior.observedTopics(msgs(s, d)).orderBy(col("topic"))),
+    // F5 — pie-slice label `f'{service} ({count})'` (`Raport.py:152`)
+    // through the REAL report-table path (ReportSink.reportTables), so the
+    // oracle checks the exact table the S8 sink writes every tick.
+    "ref_labels" -> ((s, d) =>
+      graft.streaming.ReportSink
+        .reportTables(Behavior.valueCounts(msgs(s, d)))("clicks_by_service")
+        .orderBy(col("service"))),
 
     // T4-extension (batch form): sessionization by 30-min inactivity gap.
     // Exact integer µs arithmetic (ts DIV 1000) — µs is the only grain
@@ -852,6 +859,8 @@ object RefQueries extends QueryFamily {
       """SELECT event_type AS service, c_mktsegment AS segment, COUNT(*) AS cnt FROM events JOIN customer ON user_id = c_custkey WHERE event_type = 'click' GROUP BY 1, 2 ORDER BY 1, 2""",
     "ref_observed_topics" ->
       s"""$msgsCte SELECT topic FROM (SELECT s.service || '_' || d.dim AS topic FROM (SELECT DISTINCT $svcExpr AS service FROM msgs) s CROSS JOIN (SELECT unnest(['k','user','segment','clicks']) AS dim) d) e WHERE EXISTS (SELECT 1 FROM msgs m WHERE m.topic = e.topic) ORDER BY topic""",
+    "ref_labels" ->
+      s"""$msgsCte SELECT service, clicks, CAST(100 * clicks AS DOUBLE) / CAST(SUM(clicks) OVER () AS DOUBLE) AS pct, service || ' (' || clicks || ')' AS label FROM (SELECT $svcExpr AS service, COUNT(*) AS clicks FROM msgs WHERE ends_with(topic, '_clicks') GROUP BY 1) t ORDER BY service""",
     "ref_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |m AS (SELECT user_id, event_id, tus,

@@ -475,7 +475,7 @@ object RelQueries extends QueryFamily {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("ct"))
       val lastDay = daily.agg(max(col("day"))).head().getString(0)
-      val path = sys.props("java.io.tmpdir") + "/graft_daily_agg"
+      val path = QueryFamily.jvmScratch("graft_daily_agg")
       Layout.overwritePartitions(daily.filter(col("day") < lastDay),
         path, "day", dynamic = false)
       Layout.overwritePartitions(daily.filter(col("day") === lastDay),
@@ -895,6 +895,33 @@ object RelQueries extends QueryFamily {
       DataQuality.audit(checks)
     }),
 
+    // zero-extra-pass metrics (Observation API, SPARK-34806): the audit
+    // numbers ride the SAME job that runs the pipeline's own aggregate —
+    // per-task accumulator merge, no second scan. rel_dq_audit certifies
+    // a batch with its own scans; this is the form a 100 TB pipeline
+    // attaches to the write it already pays for. The driven action here
+    // is the q1-shaped returnflag aggregate; the emitted row is the
+    // observed metric set, oracle-checked against direct SQL — proving
+    // the accumulator path saw every row exactly once.
+    "rel_observe_metrics" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val m = DataQuality.observedMetrics(
+        Tables.lineitem(s, d),
+        Seq(
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(when(col("l_quantity") > 49, 1L).otherwise(0L)).as("n_hi_qty"),
+          max(col("l_orderkey")).as("max_orderkey")),
+        observed => { observed.groupBy(col("l_returnflag"))
+          .agg(count(lit(1))).collect(); () })
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long],
+        m("n_hi_qty").asInstanceOf[Long],
+        m("max_orderkey").asInstanceOf[Long]))
+        .toDF("n_rows", "price_cents", "n_hi_qty", "max_orderkey")
+    }),
+
     // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
     // classic fraud/DQ screen on financial amounts): observed
     // first-significant-digit distribution of l_extendedprice vs the
@@ -1073,8 +1100,13 @@ object RelQueries extends QueryFamily {
       val direct = e.agg(
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
         countDistinct(col("user_id")).as("exact_users"))
+      // merge_lossless within 1e-9 relative — exact double equality held
+      // on this Spark/DataSketches pairing but depends on HLL_4/HLL_8
+      // promotion internals inside hll_union_agg; the law itself (union at
+      // fixed lgK loses nothing) is what the flag asserts
       merged.crossJoin(direct).select(col("exact_users"),
-        (col("est_merged") === col("est_direct")).as("merge_lossless"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          lit(1e-9) * col("est_direct")).as("merge_lossless"),
         (abs(col("est_merged") - col("exact_users")) <=
           lit(0.05) * col("exact_users")).as("within_5pct"))
     }),
@@ -1585,6 +1617,14 @@ object RelQueries extends QueryFamily {
         |SELECT check_name, n_rows, n_violations,
         |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_share
         |FROM u ORDER BY check_name""".stripMargin,
+    // the observed-metrics row recomputed by direct scan — equality
+    // proves the accumulator path saw every lineitem row exactly once
+    "rel_observe_metrics" -> {
+      val cp = centsSql("l_extendedprice")
+      s"""SELECT COUNT(*) AS n_rows, CAST(SUM($cp) AS BIGINT) AS price_cents,
+         |CAST(SUM(CASE WHEN l_quantity > 49 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_qty,
+         |MAX(l_orderkey) AS max_orderkey FROM lineitem""".stripMargin
+    },
     // same three-leg merge: null-safe change test (IS DISTINCT FROM),
     // closed versions pinned to the batch date, opened versions for
     // changed + new keys; history slice is all-current so the closed

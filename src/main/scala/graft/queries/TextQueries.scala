@@ -212,6 +212,18 @@ object TextQueries extends QueryFamily {
     "txt_bpe_train" -> ((s, d) =>
       TextOps.bpeTrain(docs(s, d), rounds = 5).orderBy(col("round"))),
 
+    // BPE training at 100 TB trains the merge table on a SAMPLE, not the
+    // corpus (the SentencePiece/GPT-2 practice — merge quality saturates
+    // far below corpus scale while each round costs a full pass): same
+    // iterative loop over the deterministic 30% hash-sample of documents
+    // (content-keyed, partition-independent, engine-portable — see
+    // Sampling.hash60), so the per-round driver collects run over a
+    // bounded slice no matter the corpus size.
+    "txt_bpe_train_sampled" -> ((s, d) =>
+      TextOps.bpeTrain(
+        graft.operators.Sampling.hashSample(docs(s, d), col("doc_id"), 300),
+        rounds = 5).orderBy(col("round"))),
+
     // BPE ENCODE — train the 5-round merge table (bounded driver-side
     // artifact), then replay the merges over the distinct-word frame and
     // probe back to the token stream: per-doc piece counts + fertility,
@@ -440,6 +452,9 @@ object TextQueries extends QueryFamily {
           Seq("query_id"))
         .join(norms.select(col("doc_id").as("neighbor_id"), col("n2").as("nn2")),
           Seq("neighbor_id"))
+        // overflow bound (family convention, see rel_item_cf): dot²·1e6
+        // fits BIGINT while dot ≲ 3e6 — true at any tested SF since dot is
+        // a per-pair tf product sum; lift to DECIMAL(38,0) beyond that
         .withColumn("cos2_ppm", expr("dot * dot * 1000000 DIV (qn2 * nn2)"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("query_id"))
@@ -520,9 +535,9 @@ object TextQueries extends QueryFamily {
   /** The 5-round BPE training chain as CTE clauses (wf, s0, p1..b5, s5)
     * — shared by the train oracle (reads b1..b5) and the encode oracle
     * (extends with the replay chain e0..e5). */
-  private def bpeTrainCtes(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int, source: String = "documents"): String = {
     val sb = new StringBuilder
-    sb.append("WITH wf AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u GROUP BY 1),\n")
+    sb.append(s"WITH wf AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source) u GROUP BY 1),\n")
     sb.append("s0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq, cnt FROM wf)")
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -720,6 +735,19 @@ object TextQueries extends QueryFamily {
     "txt_bpe_train" -> {
       val sb = new StringBuilder
       sb.append(bpeTrainCtes(5))
+      sb.append("\nSELECT * FROM (")
+      sb.append((1 to 5).map(r =>
+        s"SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym, a || b AS merged, total AS pair_count FROM b$r")
+        .mkString(" UNION ALL "))
+      sb.append(") ORDER BY round")
+      sb.toString
+    },
+    // identical unrolled chain over the same deterministic hash-sample
+    "txt_bpe_train_sampled" -> {
+      val src = "(SELECT * FROM documents WHERE " +
+        graft.operators.Sampling.hash60Sql("doc_id") + " % 1000 < 300)"
+      val sb = new StringBuilder
+      sb.append(bpeTrainCtes(5, src))
       sb.append("\nSELECT * FROM (")
       sb.append((1 to 5).map(r =>
         s"SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym, a || b AS merged, total AS pair_count FROM b$r")

@@ -35,6 +35,10 @@ object ReportSink {
       .withColumn("pct",
         (lit(100) * col("clicks")).cast("double") /
           sum(col("clicks")).over(Window.partitionBy()).cast("double"))
+      // F5 — the reference's pie-slice label `f'{service} ({count})'`
+      // (`Raport.py:152`), codegen'd format_string, no UDF
+      .withColumn("label",
+        format_string("%s (%d)", col("service"), col("clicks")))
     val breakdown = valueCounts
       .select(Behavior.serviceOf(col("topic")).as("service"),
         Behavior.dimOf(col("topic")).as("dim"), col("value"), col("cnt"))

@@ -63,4 +63,29 @@ class DataQualitySpec extends GraftSparkSpec {
     assert(out.toSeq === Seq(
       Row("a_fk", 4L, 1L, 0.25), Row("b_uq", 4L, 1L, 0.25)))
   }
+
+  test("observedMetrics ride the driven job and see every row exactly once") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v").repartition(3) // metrics must merge across tasks
+    var driven = 0L
+    val m = DataQuality.observedMetrics(df,
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("k")).as("mk")),
+      observed => driven = observed.groupBy(col("k") % 2).count().count())
+    assert(driven === 2L) // the driven action really ran (2 parity groups)
+    assert(m("n") === 4L && m("sv") === 100L && m("mk") === 4L)
+
+    // a second drive over a NEW observation is independent (no leakage)
+    val m2 = DataQuality.observedMetrics(df.filter(col("k") <= 2),
+      Seq(count(lit(1)).as("n")), _.agg(count(lit(1))).collect())
+    assert(m2("n") === 2L)
+  }
+
+  test("observedMetrics rejects an empty metric list") {
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.observedMetrics(parent, Seq.empty, _ => ())
+    }
+    assert(e.getMessage.contains("at least one metric"))
+  }
 }

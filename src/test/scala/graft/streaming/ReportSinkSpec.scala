@@ -31,8 +31,11 @@ class ReportSinkSpec extends GraftSparkSpec {
       val vc0 = s.read.parquet(s"$out/batch=0/value_counts")
       assert(vc0.count() === 6) // 2 events x 3 dims, all distinct values
       val cbs0 = s.read.parquet(s"$out/batch=0/clicks_by_service")
-      assert(cbs0.columns.toSeq === Seq("service", "clicks", "pct"))
+      assert(cbs0.columns.toSeq === Seq("service", "clicks", "pct", "label"))
       assert(cbs0.agg(sum("pct")).head().getDouble(0) === 100.0)
+      // F5: the reference's pie-slice label `f'{service} ({count})'`
+      assert(cbs0.filter(col("service") === "click")
+        .head().getAs[String]("label") === "click (1)")
 
       // tick 2: the NEW batch dir must reflect FULL history (T2), so the
       // click_clicks count is 2 (one from each tick)
