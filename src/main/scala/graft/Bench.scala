@@ -53,25 +53,14 @@ import org.apache.spark.sql.SparkSession
   *      LAST parseable line of the tail.
   */
 object Bench {
-  /** Prior-round per-query seconds, parsed from BENCH_PRIOR.json if the
-    * file exists (one JSON line in this program's own output format). A
-    * hand-rolled regex keeps the dependency surface at zero; the file is
-    * machine-written so the simple `"name":number` shape is reliable.
-    */
+  /** Prior-round per-query seconds from BENCH_PRIOR.json if the file
+    * exists (one JSON line in this program's own output format; parsing
+    * in [[BenchCore.parsePrior]]). */
   private def loadPrior(): Map[String, Double] = {
     val f = new java.io.File("BENCH_PRIOR.json")
     if (!f.isFile) return Map.empty
-    try {
-      val text = scala.io.Source.fromFile(f, "UTF-8").mkString
-      val qStart = text.indexOf("\"queries\":{")
-      if (qStart < 0) return Map.empty
-      val qEnd = text.indexOf('}', qStart)
-      val body = text.substring(qStart, if (qEnd < 0) text.length else qEnd)
-      val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
-      pair.findAllMatchIn(body).collect {
-        case m if m.group(1) != "queries" => m.group(1) -> m.group(2).toDouble
-      }.toMap
-    } catch { case _: Throwable => Map.empty }
+    try BenchCore.parsePrior(scala.io.Source.fromFile(f, "UTF-8").mkString)
+    catch { case _: Throwable => Map.empty }
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,89 +79,41 @@ object Bench {
     // optional comma-separated name prefixes for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val harnessT0 = System.nanoTime()
     val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }.sortBy(_._1)
-    // merged per-query run times across both passes (insertion order =
-    // alphabetical, the order the artifact reports)
-    val allRuns = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    // name -> first exception message. A query is only REPORTED failed
-    // (-1.0) when it has NO successful runs at all: a query that measured
-    // cleanly in pass 0 and threw in pass 1 (transient host/FS hiccup)
-    // keeps its valid pass-0 best-of, and the error message still
-    // surfaces on the detail line.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // pass 0: alphabetical, warmup + 2 timed runs (+ up to 2 retries);
-    // pass 1: reverse-alphabetical, warmup + 1 timed run (+ up to 1
-    // retry). The warmup each pass repopulates the per-query caches that
-    // clearCache() released, so every timed run is warm-cache (the
-    // methodology of every prior round's artifact; cold timings measured
-    // ~4x higher on the cache-heavy dd_ queries and are not comparable).
+    val fnByName = selected.toMap
     // internal deadline, kept under the driver's kill timeout so the
     // artifact always prints from inside the JVM (see scaladoc)
     val wallBudgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2400.0)
-    def wallS: Double = (System.nanoTime() - harnessT0) / 1e9
-    def overBudget: Boolean = wallS > wallBudgetS
-    var truncated = false
-    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def currentResults: Seq[(String, Double, List[Double])] =
-      selected.map { case (name, _) =>
-        val rs = allRuns.getOrElse(name, Nil)
-        if (rs.isEmpty) (name, -1.0, List.empty[Double])
-        else (name, rs.min, rs)
-      }
-    // line-1 builder, shared by the provisional pass-0 emission and the
-    // final artifact (the only difference is the extra flag fields)
-    def artifactLine(extraFields: String): String = {
-      val results = currentResults
-      val qs = results.sortBy(_._2).map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir",$onlyTag$extraFields"queries":$qs,"value":${fmt(total)}}"""
-    }
-    for (pass <- 0 to 1) {
-      for ((name, fn) <- if (pass == 0) selected else selected.reverse) {
-        if (overBudget) truncated = true
-        else try {
-          fn(spark, sfDir).count() // warmup: codegen + JIT + cache fill
-          def timedRun(): Double = {
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          val runs = scala.collection.mutable.ArrayBuffer(timedRun())
-          if (pass == 0 && !overBudget) runs += timedRun()
-          def best: Double = (runs ++ allRuns.getOrElse(name, Nil)).min
-          def stallSuspect: Boolean =
-            runs.max > 2.0 * best ||
-              prior.get(name).exists(p => p > 0 && best > 3.0 * p)
-          val budget = if (pass == 0) 4 else 2
-          while (stallSuspect && runs.size < budget && !overBudget) runs += timedRun()
-          allRuns(name) = allRuns.getOrElse(name, Nil) ++ runs.toList
-        } catch {
-          case e: Throwable => errors.getOrElseUpdate(name,
-            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(120))
-        }
-        finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
-      }
-      if (pass == 0) {
-        // deadline insurance: one complete parseable line on stdout the
-        // moment pass 0 is done, before pass 1 risks the driver timeout
-        println(artifactLine(s""""provisional_pass":0,${if (truncated) "\"partial\":true," else ""}"""))
-        System.out.flush()
-      }
-    }
-    val results = currentResults
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // measurement mechanics (two passes, best-of, stall retries, budget
+    // truncation) + artifact-line builders live in BenchCore.Harness so
+    // the deadline defenses are unit-tested with a fake clock
+    val h = new BenchCore.Harness(
+      selected.map(_._1),
+      name => { fnByName(name)(spark, sfDir).count(); () },
+      () => System.nanoTime(),
+      wallBudgetS,
+      prior,
+      // release per-query cache() blocks (dedup operators) so runs
+      // don't accumulate; each pass's warmup repopulates them, keeping
+      // every timed run warm-cache (the methodology of every prior
+      // round's artifact; cold timings measured ~4x higher on the
+      // cache-heavy dd_ queries and are not comparable)
+      afterEach = () => spark.catalog.clearCache())
     val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
+    h.runPass(0)
+    // deadline insurance: one complete parseable line on stdout the
+    // moment pass 0 is done, before pass 1 risks the driver timeout
+    println(h.artifactLine(sfDir, onlyTag,
+      s""""provisional_pass":0,${if (h.truncated) "\"partial\":true," else ""}"""))
+    System.out.flush()
+    h.runPass(1)
     // a deadline-truncated run is labelled so its partial total can't be
     // mistaken for a full benchmark artifact; unmeasured != failed
-    val nUnmeasured = results.count(r => r._3.isEmpty && !errors.contains(r._1))
-    val partialTag = if (truncated) s""""partial":true,"n_unmeasured":$nUnmeasured,""" else ""
+    val partialTag =
+      if (h.truncated) s""""partial":true,"n_unmeasured":${h.nUnmeasured},""" else ""
     // The consumer keeps only a bounded TAIL of stdout (~2000 chars —
     // observed in BENCH_r07.json) and the full-registry queries map is
     // ~3500 chars, so the map's HEAD is always truncated away.
@@ -182,7 +123,7 @@ object Bench {
     // needs — always survive at the end of the line, right before
     // "value". JSON maps carry no key-order semantics; this only
     // controls what truncation keeps.
-    println(artifactLine(partialTag))
+    println(h.artifactLine(sfDir, onlyTag, partialTag))
     // SECOND, SHORT line: per-run detail for queries whose merged runs
     // disagreed by >2x (a stall or a bimodal plan), harness wall seconds
     // (warmups + all runs of both passes + retries — wall >> value is the
@@ -190,20 +131,12 @@ object Bench {
     // AFTER the main line so the bounded stdout tail always keeps it
     // whole — and if the consumer JSON-parses the tail's last line, it
     // gets this complete, valid object instead of a truncated fragment.
-    val perRun = results.collect {
-      case (k, _, rs) if rs.nonEmpty && rs.max > 2.0 * rs.min =>
-        "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val wall = (System.nanoTime() - harnessT0) / 1e9
-    val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
-      .mkString("{", ",", "}")
-    println(s"""{"anomalous_runs":$perRun,"errors":$errJson,"wall":${fmt(wall)},"sf":"$sfDir",$onlyTag$partialTag"value":${fmt(total)}}""")
+    println(h.detailLine(sfDir, onlyTag, partialTag))
     // THIRD, ULTRA-SHORT final line (~80 chars): guaranteed to be the
     // last line of the bounded stdout tail AND short enough that a JSON
     // parse of that last line always succeeds outright, even though the
     // full queries map above exceeds the tail. Scalars only.
-    val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","unit":"sec",$partialTag"value":${fmt(total)},"n_queries":${results.size},"n_failed":$nFailed}""")
+    println(h.finalLine(partialTag))
     spark.stop()
   }
 }

@@ -888,6 +888,7 @@ object Similarity {
           coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_vec").cast("double")), lit(0.0)))
           .as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id")).limit(k)
+    // unpartitioned window over the ALREADY-LIMITED ≤ k fused rows
     fused.withColumn("fused_rank", row_number().over(
       Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
       .select(col("fused_rank"), col("doc_id"), col("rank_text"),
