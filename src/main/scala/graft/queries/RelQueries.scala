@@ -497,6 +497,92 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    // Spark 4 recursive CTE (WITH RECURSIVE → UnionLoop): the calendar
+    // month spine from first to last order month, generated by the SQL
+    // front-end's recursion and left-joined to the monthly counts to
+    // zero-fill gap months (the rel_daily_filled contract through the
+    // standard-SQL recursion surface instead of sequence()). Scale note:
+    // recursion depth = CALENDAR months spanned (~80 here), bounded by
+    // time, never by row count — each step is a one-row frame, and the
+    // full fact table is touched exactly once by the keyed count agg.
+    // Stays under spark.sql.cteRecursionLevelLimit's default (100).
+    "rel_recursive_months" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE spine(mon, mx) AS (
+          |  SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE),
+          |         CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE)
+          |  FROM orders_rec
+          |  UNION ALL
+          |  SELECT add_months(mon, 1), mx FROM spine WHERE mon < mx
+          |)
+          |SELECT date_format(mon, 'yyyy-MM') AS month,
+          |       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+          |FROM spine
+          |LEFT JOIN (SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+          |                  COUNT(*) AS cnt
+          |           FROM orders_rec GROUP BY 1) c USING (mon)
+          |ORDER BY month""".stripMargin)
+    }),
+
+    // Spark 4.1 approx_top_k (DataSketches frequent-items): heavy
+    // hitters in ONE pass with a bounded-memory sketch — the 100 TB
+    // answer to "top event types" when the value domain is too wide for
+    // an exact groupBy to be cheap. Here |domain| ≤ maxItemsTracked, so
+    // the sketch guarantees EXACT counts and the oracle is the exact
+    // top-k — the same exactness-window pattern as the registry's other
+    // sketch queries (rel_approx_quantiles, rel_approx_users).
+    "rel_approx_topk" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 3)").as("arr"))
+        .select(explode(col("arr")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))),
+
+    // approx_top_k sketch MERGEABILITY (accumulate → combine →
+    // estimate, Spark 4.1): per-week partial sketches unioned into the
+    // global top-k — the re-aggregation law that lets a 100 TB pipeline
+    // keep per-partition/day sketch state and answer top-k over any
+    // window without re-scanning raw events (the rel_hll_reaggregate
+    // pattern for frequencies instead of cardinalities). merge_exact
+    // asserts the merged estimate equals the exact count per item
+    // (guaranteed here: |domain| ≤ maxItemsTracked ⇒ no estimation
+    // error survives the union).
+    "rel_topk_reaggregate" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_topk")
+      s.sql(
+        """WITH e AS (SELECT event_type, ts DIV 604800000000000 AS wk
+          |           FROM events_topk),
+          |weekly AS (SELECT wk, approx_top_k_accumulate(event_type) AS sk
+          |           FROM e GROUP BY wk),
+          |merged AS (SELECT explode(approx_top_k_estimate(
+          |                    approx_top_k_combine(sk), 3)) AS m
+          |           FROM weekly),
+          |exact AS (SELECT event_type, COUNT(*) AS exact_cnt
+          |          FROM e GROUP BY 1)
+          |SELECT m.item AS event_type, exact_cnt,
+          |       m.count = exact_cnt AS merge_exact
+          |FROM merged JOIN exact ON m.item = exact.event_type
+          |ORDER BY exact_cnt DESC, event_type""".stripMargin)
+    }),
+
+    // Spark 4 VARIANT for the semi-structured props column: parse ONCE
+    // into the binary variant encoding, then typed-path extraction —
+    // the parse-once/probe-many shape a 100 TB pipeline wants when a
+    // JSON column is probed by many downstream expressions (contrast
+    // get_json_object, which re-parses the string per probe; see also
+    // functions/JsonFast for the single-probe fast path). Both engines
+    // agree on the string view of scalar leaves, so the oracle is the
+    // plain JSON probe.
+    "rel_variant_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "string").as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"), col("k"))),
+
     // simple-exponential-smoothing level per event type over the daily
     // series (Brown 1956; the α=1/4 EWMA every ops dashboard runs):
     // s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ — a POSITION-ORDERED fold over
@@ -1367,6 +1453,29 @@ object RelQueries extends QueryFamily {
       """SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey""",
     "rel_daily_events" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt, ${dollarsSql(s"SUM(${centsSql("value")})")} AS total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the variant path's string view of a scalar leaf == the JSON probe
+    "rel_variant_props" ->
+      """SELECT event_type, json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // DuckDB's own WITH RECURSIVE generates the identical month spine
+    "rel_recursive_months" ->
+      """WITH RECURSIVE spine(mon, mx) AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE mon < mx
+        |)
+        |SELECT strftime(mon, '%Y-%m') AS month, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+        |FROM spine
+        |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1) c USING (mon)
+        |ORDER BY month""".stripMargin,
+    // |event_type domain| ≤ maxItemsTracked ⇒ the sketch is exact and
+    // the top-k equals the exact top-k (counts distinct at this SF, so
+    // the k-boundary is unambiguous)
+    "rel_approx_topk" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""",
+    "rel_topk_reaggregate" ->
+      """SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS merge_exact FROM events GROUP BY 1 ORDER BY exact_cnt DESC, event_type LIMIT 3""",
     // full recompute — equality proves the on-disk history + dynamic-
     // partition-overwrite delta merge reproduces it exactly
     "rel_incremental_agg" ->
