@@ -124,11 +124,30 @@ object BehaviorStream {
     * purchase_id, purchase_ts). */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
       maxDelay: String = "30 minutes"): DataFrame =
+    clickAttributionJoin(clicks, purchases, maxDelay, "inner")
+
+  /** Extension — LEFT OUTER stream–stream join: like [[clickAttribution]]
+    * but every click is emitted exactly once — joined rows as matches
+    * arrive, and an UNMATCHED click with null purchase columns once the
+    * watermark proves no match can still arrive (the row cannot be
+    * emitted earlier: a matching purchase might still be in flight, so
+    * the null emission is *driven by state expiry*, not by the batch the
+    * click arrived in). This is the streaming "converted or churned"
+    * classifier: downstream consumers see one definitive row per click
+    * without ever re-scanning history. Same bounded-state property as
+    * the inner form. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+      maxDelay: String = "30 minutes"): DataFrame =
+    clickAttributionJoin(clicks, purchases, maxDelay, "left_outer")
+
+  private def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame,
+      maxDelay: String, joinType: String): DataFrame =
     clicks.withWatermark("click_ts", maxDelay)
       .join(purchases.withWatermark("purchase_ts", maxDelay),
         expr(s"""user_id = p_user_id AND
                  purchase_ts >= click_ts AND
-                 purchase_ts <= click_ts + interval $maxDelay"""))
+                 purchase_ts <= click_ts + interval $maxDelay"""),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
 

@@ -204,6 +204,45 @@ class StreamingSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks with nulls " +
+    "only after the watermark proves no match can arrive") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = BehaviorStream.clickAttributionOuter(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user_id", "purchase_id", "purchase_ts"),
+      "30 minutes")
+    val q = joined.writeStream.queryName("attr_outer_test")
+      .outputMode("append").format("memory").start()
+    try {
+      clicks.addData((1L, 100L, ts(0)), (2L, 101L, ts(0)))
+      purchases.addData((1L, 900L, ts(10))) // matches click 100
+      q.processAllAvailable()
+      def snap() = s.sql(
+        "SELECT user_id, click_id, purchase_id FROM attr_outer_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      // click 101 is unmatched so far, but its null row must NOT appear
+      // yet: a purchase inside its 30-minute window could still arrive
+      assert(snap() === Set((1L, 100L, Some(900L))))
+
+      // advance both watermarks far past click 101's window: the state
+      // expiry emits the definitive unmatched row with null purchase
+      clicks.addData((9L, 999L, ts(120)))
+      purchases.addData((8L, 998L, ts(120)))
+      q.processAllAvailable()
+      q.processAllAvailable() // null emission lands in the next trigger
+      assert(snap().contains((2L, 101L, None)))
+      // ...and the matched click is never re-emitted as unmatched
+      assert(!snap().contains((1L, 100L, None)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups redelivered event ids") {
     val s = spark
     import s.implicits._
