@@ -243,6 +243,47 @@ object RefQueries extends QueryFamily {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // multi-touch TIME-DECAY attribution — the third classic credit
+    // model beside last-touch (ref_attribution) and linear
+    // (ref_attribution_linear): recent touches earn exponentially more,
+    // discretized so the arithmetic stays EXACT integer: weight =
+    // 2^(3 − age DIV 10min) ∈ {8,4,2,1} over the 30-min window (halving
+    // per 10-min bucket), credit_micros = (1e6·w) DIV Σw with the
+    // flooring remainder assigned to the most recent touch — every
+    // purchase's credit sums to exactly 1,000,000, bit-equal across
+    // engines (no float decay factors to disagree on). Same bounded
+    // per-purchase windows as the linear model.
+    "ref_attribution_decay" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val windowUs = 1800L * 1000000L
+      val ev = Tables.events(s, d).withColumn("tus", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tus").as("ptus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tus").as("ctus"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("ctus") <= col("ptus") &&
+          col("ptus") - col("ctus") <= windowUs)
+        .withColumn("w", expr(
+          "CAST(shiftleft(1, CAST(3 - (ptus - ctus) DIV 600000000 AS INT)) AS BIGINT)"))
+      val wk = Window.partitionBy(col("purchase_id"))
+      val wr = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("ctus").desc, col("click_id").desc)
+      touches
+        .withColumn("sw", sum(col("w")).over(wk))
+        .withColumn("floor_credit", expr("(1000000 * w) DIV sw"))
+        .withColumn("rem", lit(1000000L) - sum(col("floor_credit")).over(wk))
+        .withColumn("recency_rank", row_number().over(wr))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          col("recency_rank"), col("w").as("weight"),
+          (col("floor_credit") +
+            when(col("recency_rank") === 1, col("rem")).otherwise(0L))
+            .as("credit_micros"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // weekly cohort retention: cohort = a user's first active week,
     // matrix cell (cohort, offset) = users from that cohort active
     // `offset` weeks later. Exact integer week arithmetic on the raw ns
@@ -911,6 +952,25 @@ object RefQueries extends QueryFamily {
         |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |  CAST(cum_events AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         |FROM c ORDER BY decile""".stripMargin,
+    // same discretized 2^(3 − age DIV 10min) weights, same integer
+    // floor-credit + remainder-to-most-recent rule
+    "ref_attribution_decay" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS ptus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS ctus FROM e WHERE event_type = 'click'),
+        |t AS (SELECT p.purchase_id, p.user_id, c.click_id, c.ctus,
+        |        CAST(1 << CAST(3 - (p.ptus - c.ctus) // 600000000 AS INT) AS BIGINT) AS w
+        |      FROM p JOIN c ON p.user_id = c.user_id AND c.ctus <= p.ptus AND p.ptus - c.ctus <= 1800000000),
+        |k AS (SELECT purchase_id, user_id, click_id, ctus, w,
+        |        SUM(w) OVER (PARTITION BY purchase_id) AS sw,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ctus DESC, click_id DESC) AS INT) AS recency_rank
+        |      FROM t),
+        |f AS (SELECT *, (1000000 * w) // sw AS floor_credit,
+        |        1000000 - SUM((1000000 * w) // sw) OVER (PARTITION BY purchase_id) AS rem
+        |      FROM k)
+        |SELECT purchase_id, user_id, click_id, recency_rank, w AS weight,
+        |  CAST(floor_credit + CASE WHEN recency_rank = 1 THEN rem ELSE 0 END AS BIGINT) AS credit_micros
+        |FROM f ORDER BY purchase_id, click_id""".stripMargin,
     // same window, same integer-micros share rule, same
     // remainder-to-most-recent tie policy
     "ref_attribution_linear" ->

@@ -497,6 +497,33 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    // HLL set ALGEBRA — audience overlap by inclusion–exclusion
+    // (|A∩B| ≈ est|A| + est|B| − est|A∪B|, the only intersection HLL
+    // supports): clickers ∩ purchasers without ever co-shuffling the
+    // two user sets — three sketch aggregates and the binary hll_union
+    // of the two sketches, each side one pass. At 100 TB the exact
+    // overlap needs a distinct-join of two giant user sets; the sketch
+    // form is three mergeable 4 KB states. The error envelope scales
+    // with the UNION (each estimate's rsd is relative to its own set),
+    // so the law flag bounds |est−exact| by 5% of the exact union.
+    "rel_hll_intersection" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "click").select(col("user_id"))
+      val b = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val sk = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+        .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+        .select(hll_sketch_estimate(col("ska")).as("est_a"),
+          hll_sketch_estimate(col("skb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_u"))
+      val exact = a.intersect(b).agg(count(lit(1)).as("exact_overlap"))
+        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
+      sk.crossJoin(exact).select(
+        col("exact_overlap"), col("exact_union"),
+        (abs(col("est_a") + col("est_b") - col("est_u")
+          - col("exact_overlap")) <= lit(0.05) * col("exact_union"))
+          .as("within_5pct_of_union"))
+    }),
+
     // Spark 4 recursive CTE (WITH RECURSIVE → UnionLoop): the calendar
     // month spine from first to last order month, generated by the SQL
     // front-end's recursion and left-joined to the monthly counts to
@@ -1456,6 +1483,13 @@ object RelQueries extends QueryFamily {
     // the variant path's string view of a scalar leaf == the JSON probe
     "rel_variant_props" ->
       """SELECT event_type, json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact overlap/union pinned; the law flag is engine-verified
+    "rel_hll_intersection" ->
+      """SELECT CAST((SELECT COUNT(DISTINCT a.user_id) FROM events a JOIN events b ON a.user_id = b.user_id
+        |             WHERE a.event_type = 'click' AND b.event_type = 'purchase') AS BIGINT) AS exact_overlap,
+        |       CAST((SELECT COUNT(DISTINCT user_id) FROM events
+        |             WHERE event_type IN ('click', 'purchase')) AS BIGINT) AS exact_union,
+        |       TRUE AS within_5pct_of_union""".stripMargin,
     // DuckDB's own WITH RECURSIVE generates the identical month spine
     "rel_recursive_months" ->
       """WITH RECURSIVE spine(mon, mx) AS (

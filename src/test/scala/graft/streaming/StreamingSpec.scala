@@ -204,6 +204,36 @@ class StreamingSpec extends GraftSparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a parquet backlog through the " +
+    "pipeline and terminates (batch-backfill / catch-up mode)") {
+    val s = spark
+    // the operational mode for reprocessing history through the SAME
+    // streaming pipeline (checkpointing + exactly-once included) without
+    // leaving a forever-running query: AvailableNow processes everything
+    // present at start, possibly as multiple rate-limited micro-batches,
+    // then stops on its own
+    val dir = java.nio.file.Files.createTempDirectory("graft_backlog_")
+      .toFile.getAbsolutePath
+    val batch = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+    batch.write.mode("overwrite").parquet(dir)
+    val backlog = s.readStream.schema(batch.schema).parquet(dir)
+    val q = BehaviorStream.cumulativeValueCounts(
+      Behavior.fanoutMessages(backlog), "backfill_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // self-terminates once the backlog is drained — a ProcessingTime
+      // trigger would hang here forever
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      val snap = s.sql("SELECT * FROM backfill_test")
+      val expected = Behavior.valueCounts(
+        Behavior.fanoutMessages(s.read.parquet(dir)))
+      assert(snap.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(snap).count() === 0)
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits unmatched clicks with nulls " +
     "only after the watermark proves no match can arrive") {
     val s = spark
