@@ -243,6 +243,61 @@ object RefQueries extends QueryFamily {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // Mann–Kendall trend test + Sen's slope (Mann 1945, Kendall 1975,
+    // Sen 1968) — the standard nonparametric "is traffic trending"
+    // monitor, built cross-engine-exact: S = Σ sign(cⱼ−cᵢ) over day
+    // pairs and the tie-corrected variance numerator 18·Var(S) =
+    // n(n−1)(2n+5) − Σₜ t(t−1)(2t+5) are EXACT integers; z applies the
+    // ±1 continuity correction in one fixed IEEE sequence (÷ and √ are
+    // correctly rounded — deterministic); Sen's slope is the LOWER
+    // median of floor((Δcnt·1e6)/Δdays) — floored integer micros, so
+    // the median picks from a deterministic integer multiset (the
+    // registry's bucketed-determinism convention for cross-engine
+    // medians). Scale: pairs come from the DAILY aggregate self-join —
+    // calendar² rows per type, never events²; the collected slope list
+    // is likewise calendar-bounded.
+    "ref_trend_mk" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          when(col("b.cnt") > col("a.cnt"), 1L)
+            .when(col("b.cnt") < col("a.cnt"), -1L).otherwise(0L).as("sgn"),
+          floor((col("b.cnt") - col("a.cnt")).cast("double") * lit(1000000.0) /
+            datediff(to_date(col("b.day")), to_date(col("a.day"))).cast("double"))
+            .cast("long").as("slope_micros"))
+      val ss = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("s_stat"),
+          sort_array(collect_list(col("slope_micros"))).as("sl"))
+        .select(col("event_type"), col("s_stat"),
+          element_at(col("sl"), ((size(col("sl")) + 1) / 2).cast("int"))
+            .as("sen_slope_micros"))
+      val ties = daily.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+        .select(col("event_type"), col("n_days"),
+          (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+            - col("tie_term")).as("var_num18"))
+      ss.join(ties, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var_num18"),
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") /
+              sqrt(col("var_num18").cast("double") / lit(18.0)))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") /
+                sqrt(col("var_num18").cast("double") / lit(18.0)))
+            .otherwise(lit(0.0)).as("z"),
+          col("sen_slope_micros"))
+        .orderBy(col("event_type"))
+    }),
+
     // multi-touch TIME-DECAY attribution — the third classic credit
     // model beside last-touch (ref_attribution) and linear
     // (ref_attribution_linear): recent touches earn exponentially more,
@@ -952,6 +1007,30 @@ object RefQueries extends QueryFamily {
         |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |  CAST(cum_events AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         |FROM c ORDER BY decile""".stripMargin,
+    // same integer S / tie-corrected 18·Var numerator, same fixed IEEE
+    // z sequence, same lower-median-of-floored-micros Sen slope
+    "ref_trend_mk" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type,
+        |         CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn,
+        |         CAST(FLOOR(CAST(b.cnt - a.cnt AS DOUBLE) * 1000000.0 /
+        |           CAST(date_diff('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) AS DOUBLE)) AS BIGINT) AS slope_micros
+        |       FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day),
+        |ss AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |         list(slope_micros ORDER BY slope_micros) AS sl
+        |       FROM pr GROUP BY 1),
+        |tt AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+        |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |       FROM (SELECT event_type, cnt, COUNT(*) AS t FROM daily GROUP BY 1, 2) g GROUP BY 1)
+        |SELECT ss.event_type, n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var_num18,
+        |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
+        |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
+        |       ELSE 0.0 END AS z,
+        |  sl[CAST((len(sl) + 1) // 2 AS INT)] AS sen_slope_micros
+        |FROM ss JOIN tt ON ss.event_type = tt.event_type
+        |ORDER BY ss.event_type""".stripMargin,
     // same discretized 2^(3 − age DIV 10min) weights, same integer
     // floor-credit + remainder-to-most-recent rule
     "ref_attribution_decay" ->

@@ -497,6 +497,25 @@ object RelQueries extends QueryFamily {
         .agg(count(lit(1)).as("cnt"), dollars(sum(cents(col("value")))).as("total_value"))
         .orderBy(col("day"), col("event_type"))),
 
+    // correlated LATERAL subquery (SQL:1999 surface; Spark 4 supports
+    // it in the front-end): top-2 customers by balance PER NATION
+    // expressed as the per-row dependent subquery every analyst writes
+    // first. Catalyst decorrelates it into a joined window/limit plan —
+    // the declarative form costs nothing over the hand-written
+    // row_number pipeline (rel_rank_lines), which remains the
+    // documented 100 TB shape.
+    "rel_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM nation_lat n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    }),
+
     // HLL set ALGEBRA — audience overlap by inclusion–exclusion
     // (|A∩B| ≈ est|A| + est|B| − est|A∪B|, the only intersection HLL
     // supports): clickers ∩ purchasers without ever co-shuffling the
@@ -1483,6 +1502,14 @@ object RelQueries extends QueryFamily {
     // the variant path's string view of a scalar leaf == the JSON probe
     "rel_variant_props" ->
       """SELECT event_type, json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // DuckDB's own LATERAL decorrelation over the same tables
+    "rel_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
     // exact overlap/union pinned; the law flag is engine-verified
     "rel_hll_intersection" ->
       """SELECT CAST((SELECT COUNT(DISTINCT a.user_id) FROM events a JOIN events b ON a.user_id = b.user_id
