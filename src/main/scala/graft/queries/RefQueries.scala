@@ -243,6 +243,76 @@ object RefQueries extends QueryFamily {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // Gini–Simpson diversity of each user's event-type mix (Simpson
+    // 1949) — "how specialized is this user", the bot/scraper screen
+    // complementary to ref_type_concentration's volume view. Shannon
+    // entropy needs ln (not bit-portable across math libraries — see
+    // TextOps.tfIdf note), so the registry's diversity measure is the
+    // quadratic one, EXACT in integer ppm: D = 1e6·Σnᵢ(nᵢ−1) DIV
+    // (N(N−1)) is the interspecific-encounter probability's complement
+    // numerator — all BIGINT, bit-equal engines. One keyed agg to the
+    // (user, type) spine, one to the user; histogram of diversity ppm
+    // deciles keeps the output bounded.
+    "ref_simpson_diversity" -> ((s, d) => {
+      val byType = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+      byType.groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n"),
+          sum(col("ni") * (col("ni") - 1)).as("same_pairs"))
+        .filter(col("n") > 1)
+        .select(col("user_id"),
+          expr("1000000 * same_pairs DIV (n * (n - 1))").as("simpson_ppm"))
+        .groupBy(expr("simpson_ppm DIV 100000").cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("simpson_ppm")).as("min_ppm"),
+          max(col("simpson_ppm")).as("max_ppm"))
+        .orderBy(col("decile"))
+    }),
+
+    // isotonic regression of the daily purchase rate (PAV fit — the
+    // standard classifier-calibration primitive, Ayer et al. 1955; every
+    // quality-score calibration in a training-data pipeline runs this):
+    // computed by the closed max–min formula fitted(i) = max_{j≤i}
+    // min_{k≥i} rate(j..k) rather than the sequential pool-adjacent
+    // stack, because the formula is PURE joins/aggregates over the
+    // CALENDAR-bounded daily frame (intervals = days², candidate triples
+    // = days³ at worst — bounded by time, never events). Interval rates
+    // are exact-integer sums divided ONCE (IEEE ÷ identical engines);
+    // min/max over doubles is order-independent, so the whole fit is
+    // bit-deterministic with no transcendental in sight. The events
+    // table is touched once by the keyed daily agg; the cumulative
+    // window runs over the bounded daily frame.
+    "ref_isotonic_rate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      // unpartitioned cumulative window: safe — the frame is the daily
+      // aggregate (calendar-bounded rows)
+      val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      val pre = daily.select(col("day"), col("n"), col("k"),
+        (sum(col("n")).over(w) - col("n")).as("pn"),
+        (sum(col("k")).over(w) - col("k")).as("pk"),
+        sum(col("n")).over(w).as("cn"),
+        sum(col("k")).over(w).as("ck"))
+      val intervals = pre.as("a").join(pre.as("b"), col("a.day") <= col("b.day"))
+        .select(col("a.day").as("j"), col("b.day").as("kday"),
+          ((col("b.ck") - col("a.pk")).cast("double") /
+            (col("b.cn") - col("a.pn")).cast("double")).as("rate"))
+      val fitted = pre.select(col("day"))
+        .join(intervals,
+          col("j") <= col("day") && col("day") <= col("kday"))
+        .groupBy(col("day"), col("j")).agg(min(col("rate")).as("mnr"))
+        .groupBy(col("day")).agg(max(col("mnr")).as("fitted_rate"))
+      daily.join(fitted, Seq("day"))
+        .select(col("day"), col("n"), col("k"),
+          (col("k").cast("double") / col("n").cast("double")).as("raw_rate"),
+          col("fitted_rate"))
+        .orderBy(col("day"))
+    }),
+
     // Mann–Kendall trend test + Sen's slope (Mann 1945, Kendall 1975,
     // Sen 1968) — the standard nonparametric "is traffic trending"
     // monitor, built cross-engine-exact: S = Σ sign(cⱼ−cᵢ) over day
@@ -1007,6 +1077,35 @@ object RefQueries extends QueryFamily {
         |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |  CAST(cum_events AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         |FROM c ORDER BY decile""".stripMargin,
+    // same integer ppm rule (// is floor division; operands positive so
+    // it equals Spark's truncating DIV)
+    "ref_simpson_diversity" ->
+      """WITH bt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ni FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(ni * (ni - 1)) AS BIGINT) AS same_pairs FROM bt GROUP BY 1),
+        |p AS (SELECT user_id, CAST(1000000 * same_pairs // (n * (n - 1)) AS BIGINT) AS simpson_ppm FROM u WHERE n > 1)
+        |SELECT CAST(simpson_ppm // 100000 AS INT) AS decile, COUNT(*) AS n_users,
+        |       MIN(simpson_ppm) AS min_ppm, MAX(simpson_ppm) AS max_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same max–min formula over the same exact interval sums; one IEEE
+    // division per interval, min/max order-independent
+    "ref_isotonic_rate" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |               FROM events GROUP BY 1),
+        |pre AS (SELECT day, n, k,
+        |          SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - n AS pn,
+        |          SUM(k) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - k AS pk,
+        |          SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cn,
+        |          SUM(k) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ck
+        |        FROM daily),
+        |iv AS (SELECT a.day AS j, b.day AS kday,
+        |         CAST(b.ck - a.pk AS DOUBLE) / CAST(b.cn - a.pn AS DOUBLE) AS rate
+        |       FROM pre a JOIN pre b ON a.day <= b.day),
+        |mn AS (SELECT i.day AS day, iv.j, MIN(rate) AS mnr
+        |       FROM pre i JOIN iv ON iv.j <= i.day AND i.day <= iv.kday GROUP BY 1, 2),
+        |f AS (SELECT day, MAX(mnr) AS fitted_rate FROM mn GROUP BY 1)
+        |SELECT d.day, d.n, d.k, CAST(d.k AS DOUBLE) / CAST(d.n AS DOUBLE) AS raw_rate, fitted_rate
+        |FROM daily d JOIN f ON d.day = f.day ORDER BY d.day""".stripMargin,
     // same integer S / tie-corrected 18·Var numerator, same fixed IEEE
     // z sequence, same lower-median-of-floored-micros Sen slope
     "ref_trend_mk" ->
