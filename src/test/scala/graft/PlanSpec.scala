@@ -96,6 +96,28 @@ class PlanSpec extends GraftSparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-k:\n$plan")
   }
 
+  test("correlated LATERAL top-n decorrelates to WindowGroupLimit + broadcast, " +
+    "never a nested-loop per outer row") {
+    val df = SparkEntry.queries("rel_lateral_topn")(spark, sf)
+    val plan = physical(df)
+    // rank-based group-limit pushdown: each partition keeps <= k rows per
+    // nation BEFORE the shuffle — the plan that survives 100x fact growth
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral executed as a per-row nested loop:\n$plan")
+  }
+
+  test("recursive month spine keeps the fact scan out of the loop: one keyed " +
+    "agg broadcast-joined to the UnionLoop") {
+    val df = SparkEntry.queries("rel_recursive_months")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("UnionLoop"), s"recursion did not plan as UnionLoop:\n$plan")
+    // the monthly counts aggregate once and broadcast to the tiny spine —
+    // the orders table must never be re-scanned per recursion step
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("runtime bloom-filter pre-filtering injects on a selective shuffle join") {
     // at 100 TB a selective dim filter should reach the fact side BEFORE
     // the shuffle as a bloom probe (Spark's runtime row-level filtering);
