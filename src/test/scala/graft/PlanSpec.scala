@@ -140,6 +140,31 @@ class PlanSpec extends GraftSparkSpec {
       s"no runtime bloom filter injected:\n$optimized")
   }
 
+  test("partition-pruned read: a day predicate on a day-partitioned table " +
+    "scans ONE partition via PartitionFilters, not a post-scan filter") {
+    // the on-disk layout contract rel_incremental_agg relies on: at
+    // 100 TB a date predicate must prune directories at planning time
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_")
+      .toFile.getAbsolutePath
+    Tables.events(spark, sf)
+      .withColumn("day", date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    // partition-type inference reads `day` back as DATE; toString keeps
+    // the yyyy-MM-dd form either way
+    val days = spark.read.parquet(dir).select(col("day")).distinct()
+      .orderBy(col("day")).collect().map(_.get(0).toString)
+    assert(days.length > 1, "fixture must span multiple days")
+    val df = spark.read.parquet(dir).filter(col("day") === days.head)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val plan = physical(df)
+    assert(plan.contains(s"PartitionFilters: [isnotnull(day"),
+      s"day predicate did not become a partition filter:\n$plan")
+    // the pruned scan reads exactly one of the day directories
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scanned.contains(days.last), s"unpruned partition in scan:\n$scanned")
+  }
+
   test("sequence packing sorts via range partitioning, not one global window") {
     val df = operators.TextOps.packSequences(Tables.documents(spark, sf), 256)
     val plan = physical(df)
