@@ -140,6 +140,32 @@ class PlanSpec extends GraftSparkSpec {
       s"no runtime bloom filter injected:\n$optimized")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (the default " +
+    "skew defense saltedJoin escalates from)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // shrink the skew thresholds so the fixture's hot key qualifies
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // 90% of the big side on one key — one reducer would own the join
+    val big = s.range(0, 100000)
+      .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val joined = big.join(dim, Seq("k"))
+    // execute THIS queryExecution (count() would plan a separate query
+    // and leave joined's adaptive plan unexecuted/non-final)
+    val n = joined.collect().length
+    assert(n === 90100) // 90k hot-key rows + the 100 tail keys inside dim
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew="), s"AQE did not mark the skewed join:\n$finalPlan")
+  }
+
   test("partition-pruned read: a day predicate on a day-partitioned table " +
     "scans ONE partition via PartitionFilters, not a post-scan filter") {
     // the on-disk layout contract rel_incremental_agg relies on: at
