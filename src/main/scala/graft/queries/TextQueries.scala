@@ -54,6 +54,30 @@ object TextQueries extends QueryFamily {
     "txt_quality" -> ((s, d) =>
       TextOps.qualityFeatures(docs(s, d)).orderBy(col("doc_id"))),
 
+    // per-SOURCE quota enforcement (the RefinedWeb "to each his own"
+    // cap: no source may contribute more than `cap` documents, best
+    // docs first) — the corpus-balancing pass between quality scoring
+    // and mixture weighting (txt_budget_mix). Keep decision =
+    // row_number over (n_toks DESC, doc_id) per source — a source-keyed
+    // partitioned window, so at 100 TB each source ranks independently
+    // after one shuffle on the bounded source key; output is the
+    // per-source kept/dropped budget report.
+    "txt_source_cap" -> ((s, d) => {
+      val cap = 150
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      docs(s, d).select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rnk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rnk") <= cap, col("n_toks")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(col("n_toks")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "txt_fingerprints" -> ((s, d) =>
       docs(s, d)
         .groupBy(col("source"))
@@ -602,6 +626,16 @@ object TextQueries extends QueryFamily {
       """SELECT lang, term, cnt, rn FROM (SELECT lang, term, cnt, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn FROM (SELECT lang, term, COUNT(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) u GROUP BY lang, term) g) w WHERE rn <= 5 ORDER BY lang, rn""",
     "txt_langid" ->
       s"""SELECT doc_id, lang, $markerCnt AS en_markers, CASE WHEN $nToks = 0 THEN 'und' WHEN CAST($markerCnt AS DOUBLE) / $nToks >= 0.02 THEN 'en' ELSE 'und' END AS predicted FROM documents ORDER BY doc_id""",
+    // same (n_toks DESC, doc_id) rank, same cap
+    "txt_source_cap" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST($nToks AS BIGINT) AS n_toks FROM documents),
+        |r AS (SELECT source, doc_id, n_toks,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id) AS rnk FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rnk <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rnk <= 150 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "txt_quality" ->
       s"""SELECT doc_id, $nToks AS n_tokens, CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks AS mean_token_len, CAST($markerCnt AS DOUBLE) / $nToks AS stopword_ratio, CAST($nToks BETWEEN 20 AND 100000 AND (CAST(length(text) - ($nToks - 1) AS DOUBLE) / $nToks) BETWEEN 2.0 AND 12.0 AS INT) AS is_quality FROM documents ORDER BY doc_id""",
     "txt_fingerprints" ->
