@@ -431,4 +431,26 @@ class AnalyticsOpsSpec extends GraftSparkSpec {
     val r2 = graft.SparkEntry.queries("ref_welch_ttest")(spark, d2).head()
     assert(r2.isNullAt(4) && r2.isNullAt(5))
   }
+
+  test("isotonic rate: PAV hand-math — violators pool to the block mean, " +
+    "fit is monotone, raw rates untouched") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // daily purchase rates .5, .25, .25, .75 → PAV pools days 0-2 to
+    // (2+1+1)/(4+4+4) = 1/3 and leaves day 3 at .75
+    def evs(d: Int, k: Int, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, d * day + 1000L, 1L,
+        if (i < k) "purchase" else "view", 1.0, "{}"))
+    val rows = evs(0, 2, 4, 0) ++ evs(1, 1, 4, 100) ++
+      evs(2, 1, 4, 200) ++ evs(3, 3, 4, 300)
+    val d = java.nio.file.Files.createTempDirectory("graft-pav-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = graft.SparkEntry.queries("ref_isotonic_rate")(spark, d)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq(0.5, 0.25, 0.25, 0.75))
+    assert(got.map(_._2).toSeq === Seq(4.0 / 12.0, 4.0 / 12.0, 4.0 / 12.0, 0.75))
+    assert(got.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "fit not monotone")
+  }
 }
