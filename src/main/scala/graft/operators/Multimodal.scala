@@ -84,6 +84,10 @@ case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
     energy: Long, ac1: Long, ac2: Long, ac4: Long, ac8: Long,
     best_lag: Int)
 
+/** Silence-run profile of a decoded clip (integer-exact VAD-lite). */
+case class SilenceStats(doc_id: Long, n_samples: Long,
+    silent_samples: Long, n_runs: Long, longest_run: Long)
+
 /** One encoded multi-frame payload (real multi-page TIFF bytes). */
 case class TiffRow(doc_id: Long, tiff: Array[Byte])
 
@@ -770,6 +774,48 @@ object Multimodal {
     * `AudioSystem`-parsed frame stream, so the oracle equality is a
     * roundtrip proof. Scale: embarrassingly parallel mapPartitions,
     * O(1) state per clip, nothing shuffles but the 9-column result. */
+  /** Silence-run detection over the DECODED PCM (VAD-lite — the
+    * trim/segment pass every speech-data pipeline runs before feature
+    * extraction): a sample is silent when |centered| < `threshold`; a
+    * RUN is a maximal consecutive silent stretch, reported when ≥
+    * `minRun` samples. Run structure is ORDER-SENSITIVE, so the oracle's
+    * gaps-and-islands replay from the synthesis rule is another proof
+    * the byte stream really decoded in sequence (a sample swap changes
+    * run boundaries even when totals survive). All-integer state, one
+    * pass per clip, embarrassingly parallel. */
+  def audioSilence(wavs: Dataset[WavRow], threshold: Int = 16,
+      minRun: Int = 4): Dataset[SilenceStats] = {
+    val spark = wavs.sparkSession
+    import spark.implicits._
+    wavs.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"doc ${r.doc_id}: unexpected decoded format $fmt")
+        val buf = ais.readAllBytes()
+        var silent = 0L
+        var nRuns = 0L
+        var longest = 0L
+        var run = 0L
+        var i = 0
+        while (i <= buf.length) {
+          val isSilent = i < buf.length &&
+            math.abs((buf(i) & 0xFF) - 128) < threshold
+          if (isSilent) { silent += 1; run += 1 }
+          else {
+            if (run >= minRun) nRuns += 1
+            if (run > longest) longest = run
+            run = 0
+          }
+          i += 1
+        }
+        SilenceStats(r.doc_id, buf.length.toLong, silent, nRuns, longest)
+      }
+    }
+  }
+
   def audioFeatures(wavs: Dataset[WavRow]): Dataset[AudioFeatures] = {
     val spark = wavs.sparkSession
     import spark.implicits._

@@ -169,6 +169,15 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // silence-run VAD-lite over the REAL decoded PCM: |sample| < 16
+    // runs, reported at >= 4 samples; the islands replay in the oracle
+    // is order-sensitive, a second structural proof of the decode
+    "mm_audio_silence" -> ((s, d) =>
+      Multimodal.audioSilence(
+        Multimodal.encodeAudio(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     // single-bin DFT (Goertzel) tone power at 1 kHz/2 kHz off the REAL
     // decoded PCM — the embedded-DSP primitive; the π/4 bin's 2cos(ω)
     // coefficient is sqrt(2.0) (IEEE-correctly-rounded, engine-equal)
@@ -457,6 +466,28 @@ object MultimodalQueries extends QueryFamily {
         |            WHEN ac2 >= ac4 AND ac2 >= ac8 THEN 2
         |            WHEN ac4 >= ac8 THEN 4 ELSE 8 END AS INT) AS best_lag
         |FROM a ORDER BY doc_id""".stripMargin,
+    // gaps-and-islands over the same centered samples: silent rows
+    // group by i − ROW_NUMBER() per doc; runs ≥ 4 count, max run of any
+    // length reported — the same maximal-stretch semantics the engine's
+    // run counter closes at stream end
+    "mm_audio_silence" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |sm AS (SELECT doc_id, nb, i,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT - 128 AS c
+        |       FROM (SELECT doc_id, hx, nb, unnest(range(0, CAST(nb AS BIGINT))) AS i FROM b) u),
+        |sil AS (SELECT doc_id, i FROM sm WHERE abs(c) < 16),
+        |isl AS (SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM sil),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS silent_samples,
+        |          CAST(SUM(CASE WHEN len >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |          CAST(MAX(len) AS BIGINT) AS longest_run
+        |        FROM runs GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_samples,
+        |  COALESCE(silent_samples, 0) AS silent_samples,
+        |  COALESCE(n_runs, 0) AS n_runs, COALESCE(longest_run, 0) AS longest_run
+        |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // the [x, 0] list-state fold replays both recursions in sample
     // order: (x + coeff·s₁) − s₂ with coeff = sqrt(2.0) and 0.0 — the
     // exact expression trees the engine's while-loop executes

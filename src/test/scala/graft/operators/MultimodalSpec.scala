@@ -280,6 +280,28 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(f1.best_lag === 1)
   }
 
+  test("audioSilence: run boundaries — min-run cutoff, stream-end close, " +
+    "sub-threshold runs still count toward longest") {
+    val s = spark
+    import s.implicits._
+    // 'x' = 120 → centered -8 (silent, |c| < 16); 'A' = 65 → -63 (loud)
+    val docs = Seq(
+      (0L, "xxxxAxxA"), // 4-run (counts) + 2-run (below minRun)
+      (1L, "AAxxxx"),   // trailing run must be closed at stream end
+      (2L, "AAA"),      // no silence at all
+      (3L, "xxx")       // entire clip one 3-run: below minRun, longest 3
+    ).toDF("doc_id", "text")
+    val got = Multimodal.audioSilence(Multimodal.encodeAudio(docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(0L).silent_samples === 6L)
+    assert(got(0L).n_runs === 1L)      // the 2-run is below minRun=4
+    assert(got(0L).longest_run === 4L)
+    assert(got(1L).n_runs === 1L && got(1L).longest_run === 4L)
+    assert(got(2L).silent_samples === 0L && got(2L).n_runs === 0L &&
+      got(2L).longest_run === 0L)
+    assert(got(3L).n_runs === 0L && got(3L).longest_run === 3L)
+  }
+
   test("goertzel: hand-stepped recursion; square waves pick their bin") {
     val s = spark
     import s.implicits._
