@@ -72,6 +72,60 @@ object Layout {
         min(col("yr")).as("y_min"), max(col("yr")).as("y_max"))
   }
 
+  /** Quantified data-skipping: how much of the table a central 2-D box
+    * predicate (x and y each restricted to the middle fifth of their
+    * range) can SKIP from per-bucket min/max stats, under the Z-order
+    * layout versus a single-column x sort — the number that justifies
+    * paying the ZORDER write. A bucket is skipped when its extent
+    * rectangle misses the box on either dimension; under the x sort the
+    * y extents are near-full-range so only x prunes, while Z buckets
+    * have tight extents on BOTH dimensions. Everything is exact integer
+    * arithmetic (scaling, box bounds, ppm rates), so the whole report is
+    * bit-portable. One narrow pass + two bounded (2^bucketBits-row)
+    * aggregates. */
+  def skipRateReport(df: DataFrame, x: Column, y: Column, bits: Int,
+      bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= bits, "bucketBits in [1, bits]")
+    val top = (1L << bits) - 1
+    val raw = df.select(x.cast("long").as("xr"), y.cast("long").as("yr"))
+    val stats = raw.agg(min(col("xr")).as("xmn"), max(col("xr")).as("xmx"),
+      min(col("yr")).as("ymn"), max(col("yr")).as("ymx"))
+    val scaled = raw.crossJoin(broadcast(stats))
+      .select(col("xr"), col("yr"),
+        when(col("xmx") === col("xmn"), lit(0L))
+          .otherwise(expr(s"((xr - xmn) * $top) DIV (xmx - xmn)")).as("xb"),
+        when(col("ymx") === col("ymn"), lit(0L))
+          .otherwise(expr(s"((yr - ymn) * $top) DIV (ymx - ymn)")).as("yb"))
+    val zBuckets = scaled.withColumn("layout", lit("zorder"))
+      .withColumn("bucket",
+        shiftright(zValue(col("xb"), col("yb"), bits), 2 * bits - bucketBits))
+    val xBuckets = scaled.withColumn("layout", lit("xsort"))
+      .withColumn("bucket", shiftright(col("xb"), bits - bucketBits))
+    val extents = zBuckets.union(xBuckets)
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xr")).as("x_min"), max(col("xr")).as("x_max"),
+        min(col("yr")).as("y_min"), max(col("yr")).as("y_max"))
+    val box = stats.select(
+      expr("xmn + (xmx - xmn) * 2 DIV 5").as("bx_lo"),
+      expr("xmn + (xmx - xmn) * 3 DIV 5").as("bx_hi"),
+      expr("ymn + (ymx - ymn) * 2 DIV 5").as("by_lo"),
+      expr("ymn + (ymx - ymn) * 3 DIV 5").as("by_hi"))
+    extents.crossJoin(broadcast(box))
+      .withColumn("skipped",
+        col("x_max") < col("bx_lo") || col("x_min") > col("bx_hi") ||
+          col("y_max") < col("by_lo") || col("y_min") > col("by_hi"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("skipped"), 1L).otherwise(0L)).as("buckets_skipped"),
+        sum(col("n_rows")).as("total_rows"),
+        sum(when(col("skipped"), col("n_rows")).otherwise(0L)).as("rows_skipped"))
+      .select(col("layout"), col("n_buckets"), col("buckets_skipped"),
+        col("total_rows"), col("rows_skipped"),
+        expr("1000000 * rows_skipped DIV total_rows").as("skip_ppm"))
+      .orderBy(col("layout"))
+  }
+
   /** Incremental maintenance of a PARTITIONED aggregate table via
     * dynamic partition overwrite — the daily-warehouse-merge pattern: an
     * initial build writes history partitions, each later merge

@@ -730,6 +730,15 @@ object RelQueries extends QueryFamily {
         bits = 16, bucketBits = 5)
         .orderBy(col("bucket"))),
 
+    // the number that justifies paying the ZORDER write: fraction of
+    // rows a central 2-D box predicate skips from per-bucket min/max
+    // stats under the Morton layout vs a single-column sort (which can
+    // only prune on its one sort key). Exact integer ppm.
+    "rel_zorder_skiprate" -> ((s, d) =>
+      graft.operators.Layout.skipRateReport(Tables.orders(s, d),
+        col("o_custkey"), shiftright(cents(col("o_totalprice")), 10),
+        bits = 16, bucketBits = 5)),
+
     // -- deterministic sampling ---------------------------------------
     // content-keyed stratified sample (portable md5 hash; rates per
     // order-status stratum), verified by per-stratum aggregates
@@ -1584,6 +1593,35 @@ object RelQueries extends QueryFamily {
          |z AS (SELECT xr, yr, ($zTerms) AS z FROM b)
          |SELECT z >> 27 AS bucket, COUNT(*) AS n_rows, MIN(xr) AS x_min, MAX(xr) AS x_max, MIN(yr) AS y_min, MAX(yr) AS y_max
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "rel_zorder_skiprate" -> {
+      // same scaled frame + Morton interleave as rel_zorder_layout, the
+      // x-sort bucketing beside it, same integer box and ppm arithmetic
+      val zTerms = ((0 until 16).map(i => s"(((xb >> $i) & 1) << ${2 * i})") ++
+        (0 until 16).map(i => s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH r AS (SELECT CAST(o_custkey AS BIGINT) AS xr, (${centsSql("o_totalprice")} >> 10) AS yr FROM orders),
+         |st AS (SELECT MIN(xr) AS xmn, MAX(xr) AS xmx, MIN(yr) AS ymn, MAX(yr) AS ymx FROM r),
+         |b AS (SELECT xr, yr,
+         |        CASE WHEN xmx = xmn THEN 0 ELSE ((xr - xmn) * 65535) // (xmx - xmn) END AS xb,
+         |        CASE WHEN ymx = ymn THEN 0 ELSE ((yr - ymn) * 65535) // (ymx - ymn) END AS yb
+         |      FROM r CROSS JOIN st),
+         |bk AS (SELECT 'zorder' AS layout, ($zTerms) >> 27 AS bucket, xr, yr FROM b
+         |       UNION ALL
+         |       SELECT 'xsort' AS layout, xb >> 11 AS bucket, xr, yr FROM b),
+         |ext AS (SELECT layout, bucket, COUNT(*) AS n_rows,
+         |          MIN(xr) AS x_min, MAX(xr) AS x_max, MIN(yr) AS y_min, MAX(yr) AS y_max
+         |        FROM bk GROUP BY 1, 2),
+         |box AS (SELECT xmn + (xmx - xmn) * 2 // 5 AS bx_lo, xmn + (xmx - xmn) * 3 // 5 AS bx_hi,
+         |               ymn + (ymx - ymn) * 2 // 5 AS by_lo, ymn + (ymx - ymn) * 3 // 5 AS by_hi FROM st),
+         |sk AS (SELECT layout, n_rows,
+         |         (x_max < bx_lo OR x_min > bx_hi OR y_max < by_lo OR y_min > by_hi) AS skipped
+         |       FROM ext CROSS JOIN box)
+         |SELECT layout, COUNT(*) AS n_buckets,
+         |  CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS buckets_skipped,
+         |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         |  CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+         |  CAST(1000000 * SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) // SUM(n_rows) AS BIGINT) AS skip_ppm
+         |FROM sk GROUP BY layout ORDER BY layout""".stripMargin
     },
     "rel_stratified_sample" -> {
       val h = graft.operators.Sampling.hash60Sql("o_orderkey")
