@@ -35,6 +35,25 @@ class LayoutSpec extends GraftSparkSpec {
     sortedExt.foreach(r => assert(r.getInt(2) - r.getInt(1) === 63))
   }
 
+  test("skipRateReport hand-math on the uniform grid: central-fifth box " +
+    "skips exactly 12/16 buckets under both layouts (the symmetric tie case)") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+    // box = [63*2 DIV 5, 63*3 DIV 5] = [25, 37] on both dims. Z buckets
+    // are 16x16 squares -> the 2x2 block of squares covering [16,47]^2
+    // survives (4), 12 skip. x-sort strips are 4 columns wide -> strips
+    // [24..39] survive (4), 12 skip. The uniform square grid with a
+    // square box is the TIE case; on skewed real data only Z keeps both
+    // dimensions tight (rel_zorder_skiprate: 874,666 vs 752,800 ppm).
+    val got = Layout.skipRateReport(grid, col("x"), col("y"),
+        bits = 6, bucketBits = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("zorder") === ((16L, 12L, 4096L, 3072L, 750000L)))
+    assert(got("xsort") === ((16L, 12L, 4096L, 3072L, 750000L)))
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val s = spark
     import s.implicits._
