@@ -96,12 +96,16 @@ object Layout {
           .otherwise(expr(s"((xr - xmn) * $top) DIV (xmx - xmn)")).as("xb"),
         when(col("ymx") === col("ymn"), lit(0L))
           .otherwise(expr(s"((yr - ymn) * $top) DIV (ymx - ymn)")).as("yb"))
-    val zBuckets = scaled.withColumn("layout", lit("zorder"))
-      .withColumn("bucket",
-        shiftright(zValue(col("xb"), col("yb"), bits), 2 * bits - bucketBits))
-    val xBuckets = scaled.withColumn("layout", lit("xsort"))
-      .withColumn("bucket", shiftright(col("xb"), bits - bucketBits))
-    val extents = zBuckets.union(xBuckets)
+    // Both layouts' bucket ids come out of ONE projection over the scan,
+    // unpivoted row-wise via inline() — a union of two branches would
+    // re-read (and re-scale) the source once per layout.
+    val extents = scaled
+      .select(col("xr"), col("yr"), inline(array(
+        struct(lit("zorder").as("layout"),
+          shiftright(zValue(col("xb"), col("yb"), bits),
+            2 * bits - bucketBits).as("bucket")),
+        struct(lit("xsort").as("layout"),
+          shiftright(col("xb"), bits - bucketBits).as("bucket")))))
       .groupBy(col("layout"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("xr")).as("x_min"), max(col("xr")).as("x_max"),

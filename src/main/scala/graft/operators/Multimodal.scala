@@ -759,21 +759,6 @@ object Multimodal {
     }
   }
 
-  /** Time-domain feature battery off REAL decoded PCM — the classic
-    * speech/music discriminators (Scheirer & Slaney 1997) in
-    * integer-exact form on centered samples c(i) = v(i) − 128:
-    *   - `zcr`: sign crossings of the centered stream (crossing iff the
-    *     pair straddles 128 — the <128 / ≥128 convention fixes the
-    *     zero-sign ambiguity identically in both engines);
-    *   - `energy`: Σ c(i)² — exact long (≤ 128²·n);
-    *   - `ac{1,2,4,8}`: raw autocorrelation Σ c(i)·c(i+L) at octave
-    *     lags — the pitch-detector's comparison row, exact long;
-    *   - `best_lag`: argmax over the four lags, smallest lag on ties —
-    *     the fundamental-period pick.
-    * Decoded-side like [[decodeAudioStats]]: every number comes from the
-    * `AudioSystem`-parsed frame stream, so the oracle equality is a
-    * roundtrip proof. Scale: embarrassingly parallel mapPartitions,
-    * O(1) state per clip, nothing shuffles but the 9-column result. */
   /** Silence-run detection over the DECODED PCM (VAD-lite — the
     * trim/segment pass every speech-data pipeline runs before feature
     * extraction): a sample is silent when |centered| < `threshold`; a
@@ -816,6 +801,21 @@ object Multimodal {
     }
   }
 
+  /** Time-domain feature battery off REAL decoded PCM — the classic
+    * speech/music discriminators (Scheirer & Slaney 1997) in
+    * integer-exact form on centered samples c(i) = v(i) − 128:
+    *   - `zcr`: sign crossings of the centered stream (crossing iff the
+    *     pair straddles 128 — the <128 / ≥128 convention fixes the
+    *     zero-sign ambiguity identically in both engines);
+    *   - `energy`: Σ c(i)² — exact long (≤ 128²·n);
+    *   - `ac{1,2,4,8}`: raw autocorrelation Σ c(i)·c(i+L) at octave
+    *     lags — the pitch-detector's comparison row, exact long;
+    *   - `best_lag`: argmax over the four lags, smallest lag on ties —
+    *     the fundamental-period pick.
+    * Decoded-side like [[decodeAudioStats]]: every number comes from the
+    * `AudioSystem`-parsed frame stream, so the oracle equality is a
+    * roundtrip proof. Scale: embarrassingly parallel mapPartitions,
+    * O(1) state per clip, nothing shuffles but the 9-column result. */
   def audioFeatures(wavs: Dataset[WavRow]): Dataset[AudioFeatures] = {
     val spark = wavs.sparkSession
     import spark.implicits._

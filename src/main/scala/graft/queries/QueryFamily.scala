@@ -39,7 +39,26 @@ object QueryFamily {
     * materialize intermediate tables (rel_incremental_agg,
     * dd_index_persist) MUST use this instead of a fixed path: two
     * concurrent JVMs over the same tmpdir (driver Verify + a manual
-    * Bench) would otherwise race the same directory. */
-  def jvmScratch(name: String): String =
-    sys.props("java.io.tmpdir") + s"/$name-jvm${ProcessHandle.current().pid()}"
+    * Bench) would otherwise race the same directory. Every path handed
+    * out is recorded and recursively deleted by a JVM shutdown hook, so
+    * repeated bench/verify runs don't accumulate scratch directories. */
+  def jvmScratch(name: String): String = {
+    val path =
+      sys.props("java.io.tmpdir") + s"/$name-jvm${ProcessHandle.current().pid()}"
+    scratchPaths.synchronized { scratchPaths += path }
+    path
+  }
+
+  private val scratchPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchPaths.synchronized(scratchPaths.toList).foreach { p =>
+        try deleteRecursively(new java.io.File(p)) catch { case _: Exception => }
+      }, "graft-scratch-cleanup"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -1056,10 +1056,12 @@ object RelQueries extends QueryFamily {
         observed => { observed.groupBy(col("l_returnflag"))
           .agg(count(lit(1))).collect(); () })
       import s.implicits._
-      Seq((m("n_rows").asInstanceOf[Long],
-        m("price_cents").asInstanceOf[Long],
-        m("n_hi_qty").asInstanceOf[Long],
-        m("max_orderkey").asInstanceOf[Long]))
+      // sum/max observe NULL over an empty input — coalesce to 0 so an
+      // empty lineitem still yields one well-formed row instead of an NPE.
+      def metric(name: String): Long =
+        Option(m(name)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      Seq((metric("n_rows"), metric("price_cents"),
+        metric("n_hi_qty"), metric("max_orderkey")))
         .toDF("n_rows", "price_cents", "n_hi_qty", "max_orderkey")
     }),
 
@@ -1355,8 +1357,12 @@ object RelQueries extends QueryFamily {
           .withColumnRenamed("freq", "freq_p"), Seq("part"))
         .join(freq.withColumnRenamed("l_partkey", "neighbor")
           .withColumnRenamed("freq", "freq_n"), Seq("neighbor"))
-        .withColumn("cos2_ppm",
-          expr("cooc * cooc * 1000000 DIV (freq_p * freq_n)"))
+        // DECIMAL(38,0) intermediates (HUGEINT in the oracle — DuckDB's
+        // DECIMAL `//` degrades to DOUBLE): exact to cooc ≲ 3e15 instead
+        // of BIGINT's ~3e6 bound; the quotient is ≤ 1e6, back in BIGINT
+        .withColumn("cos2_ppm", expr(
+          "CAST(CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000" +
+            " DIV (CAST(freq_p AS DECIMAL(38,0)) * freq_n) AS BIGINT)"))
       val w = Window.partitionBy(col("part"))
         .orderBy(col("cooc").desc, col("cos2_ppm").desc, col("neighbor"))
       directed.withColumn("rank", row_number().over(w).cast("int"))
@@ -1967,7 +1973,8 @@ object RelQueries extends QueryFamily {
         |  st[1] + st[2] AS forecast_next
         |FROM a ORDER BY event_type""".stripMargin,
     // identical basket self-join, integer ppm and (cooc, ppm, neighbor)
-    // rank; // on BIGINTs mirrors Spark's DIV floor
+    // rank; HUGEINT `//` mirrors Spark's DECIMAL(38,0) DIV floor exactly
+    // (both positive, both 128-bit-exact)
     "rel_item_cf" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |f AS (SELECT l_partkey, COUNT(*) AS freq FROM b GROUP BY 1),
@@ -1977,7 +1984,8 @@ object RelQueries extends QueryFamily {
         |dir AS (SELECT pa AS part, pb AS neighbor, cooc FROM p
         |        UNION ALL SELECT pb, pa, cooc FROM p),
         |sc AS (SELECT part, neighbor, cooc,
-        |         cooc * cooc * 1000000 // (fp.freq * fn.freq) AS cos2_ppm
+        |         CAST(CAST(cooc AS HUGEINT) * cooc * 1000000
+        |              // (CAST(fp.freq AS HUGEINT) * fn.freq) AS BIGINT) AS cos2_ppm
         |       FROM dir JOIN f fp ON fp.l_partkey = part
         |                JOIN f fn ON fn.l_partkey = neighbor),
         |r AS (SELECT part, CAST(ROW_NUMBER() OVER (PARTITION BY part

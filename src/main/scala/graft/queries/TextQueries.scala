@@ -476,10 +476,15 @@ object TextQueries extends QueryFamily {
           Seq("query_id"))
         .join(norms.select(col("doc_id").as("neighbor_id"), col("n2").as("nn2")),
           Seq("neighbor_id"))
-        // overflow bound (family convention, see rel_item_cf): dot²·1e6
-        // fits BIGINT while dot ≲ 3e6 — true at any tested SF since dot is
-        // a per-pair tf product sum; lift to DECIMAL(38,0) beyond that
-        .withColumn("cos2_ppm", expr("dot * dot * 1000000 DIV (qn2 * nn2)"))
+        // DECIMAL(38,0) intermediates: dot²·1e6 and qn2·nn2 stay exact to
+        // 1e38 (dot ≲ 3e15) instead of BIGINT's ~3e6-dot bound; scale-0
+        // decimal products never round, and DIV lands back in BIGINT
+        // (cos2_ppm ≤ 1e6 by construction). Oracle mirror uses HUGEINT —
+        // DuckDB's 128-bit integer — because its DECIMAL `//` degrades
+        // to DOUBLE; both are exact over the same range.
+        .withColumn("cos2_ppm", expr(
+          "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000" +
+            " DIV (CAST(qn2 AS DECIMAL(38,0)) * nn2) AS BIGINT)"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos2_ppm").desc, col("dot").desc, col("neighbor_id"))
@@ -1038,7 +1043,8 @@ object TextQueries extends QueryFamily {
         |dt AS (SELECT query_id, tf.doc_id AS neighbor_id, CAST(SUM(qtf * tf) AS BIGINT) AS dot
         |       FROM q JOIN tf USING (term) WHERE query_id <> tf.doc_id GROUP BY 1, 2),
         |sc AS (SELECT query_id, neighbor_id, dot,
-        |         dot * dot * 1000000 // (qn.n2 * nn.n2) AS cos2_ppm
+        |         CAST(CAST(dot AS HUGEINT) * dot * 1000000
+        |              // (CAST(qn.n2 AS HUGEINT) * nn.n2) AS BIGINT) AS cos2_ppm
         |       FROM dt JOIN n qn ON qn.doc_id = query_id
         |               JOIN n nn ON nn.doc_id = neighbor_id),
         |r AS (SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id

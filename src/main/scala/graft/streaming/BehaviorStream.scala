@@ -75,6 +75,22 @@ object BehaviorStream {
       .format("memory")
       .trigger(Trigger.ProcessingTime(cadence))
 
+  /** T2 at scale — the SURVEY §7.5 mitigation for [[cumulativeValueCounts]]'
+    * unbounded Complete-mode state: the SAME cumulative A1 aggregate
+    * (`Raport.py:76-88`), maintained as an Update-style upsert into a
+    * `partitionBy(topic)` parquet table via the [[PartitionedUpsert]]
+    * exactly-once protocol. Per micro-batch only the topics present in
+    * the batch are merged and rewritten; executor/state-store memory
+    * holds NOTHING between batches — the cumulative counts live on disk,
+    * partitioned, readable by any engine mid-stream. StreamingSpec's law:
+    * the maintained table equals batch-A1-over-prefix after every
+    * micro-batch, across a kill + checkpoint restart. */
+  def upsertValueCounts(msgs: DataFrame, path: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    new PartitionedUpsert(
+      path, partCol = "topic", keyCols = Seq("value"),
+      sumCols = Seq("cnt"), aggregate = Behavior.valueCounts).writer(msgs)
+
   /** T2/T3 extension — watermarked tumbling-window value counts. The
     * reference throws broker timestamps away (`Raport.py:62`); Spark's
     * source exposes them, enabling bounded state + late-data handling. */

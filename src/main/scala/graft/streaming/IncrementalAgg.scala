@@ -1,10 +1,161 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.operators.Layout
+
+/** Exactly-once `foreachBatch` upsert of a partitioned parquet aggregate
+  * — the shared protocol behind [[IncrementalAgg]] (daily cents table)
+  * and [[BehaviorStream.upsertValueCounts]] (the reference's A1
+  * aggregate in Update-style maintenance).
+  *
+  * Per micro-batch: `aggregate` reduces the batch to per-key deltas,
+  * ONLY the affected `partCol` partitions of the maintained table are
+  * read back (static partition pruning — the affected-partition list is
+  * bounded by one batch's span, so the `.isin` filter stays tiny), the
+  * delta is merged by summing `sumCols`, and exactly those partitions
+  * are dynamic-partition-overwritten. Untouched history is never read or
+  * rewritten — the O(batch)-not-O(history) merge that matters at 100 TB.
+  *
+  * Exactly-once — write-ahead stage/commit/publish, no table format:
+  * `foreachBatch` re-delivers a batch after a failure, and add-merge is
+  * not naturally idempotent (re-applying a delta double counts). Each
+  * batch therefore goes through three steps:
+  *
+  *   1. STAGE: the post-merge rows for the affected partitions are
+  *      written to `_staging/batch-<id>/` (computed from the CURRENT
+  *      table + the delta; nothing visible changes — `_`-prefixed dirs
+  *      are invisible to parquet readers).
+  *   2. COMMIT: the marker `_applied/batch-<id>` (content = the affected-
+  *      partition manifest) is created via write-temp + atomic RENAME.
+  *      This single rename is the commit point.
+  *   3. PUBLISH: the staged partitions are dynamic-partition-overwritten
+  *      into the table and the staging dir is deleted. Publishing only
+  *      COPIES staged bytes — it never re-merges — so it is idempotent
+  *      and can be repeated after any crash.
+  *
+  * Recovery (`recoverPending`, run at the head of every apply): a staging
+  * dir WITH its marker is a committed-but-unpublished batch → finish the
+  * publish; a staging dir WITHOUT a marker is an uncommitted crash
+  * leftover → delete it (foreachBatch will re-deliver that batch). A
+  * crash before the rename re-runs the whole merge against the unchanged
+  * table; a crash after it re-runs only the idempotent publish — no
+  * interleaving double counts (StreamingSpec's crash-between test drives
+  * each window).
+  */
+class PartitionedUpsert(
+    path: String,
+    partCol: String,
+    keyCols: Seq[String],
+    sumCols: Seq[String],
+    aggregate: DataFrame => DataFrame) extends Serializable {
+
+  private def fsOf(spark: SparkSession): (FileSystem, Path) = {
+    val hp = new Path(path)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+  }
+
+  private def markerPath(table: Path, batchId: Long): Path =
+    new Path(table, s"_applied/batch-$batchId")
+
+  private def stagingPath(table: Path, batchId: Long): Path =
+    new Path(table, s"_staging/batch-$batchId")
+
+  /** Normalizing projection: partition-column read-back as string (path
+    * discovery may type-infer it), then keys, then the summed measures. */
+  private def projection: Seq[Column] =
+    (col(partCol).cast("string").as(partCol) +:
+      keyCols.map(col)) ++ sumCols.map(col)
+
+  /** Idempotent publish: copy the staged post-merge partitions over the
+    * affected table partitions and drop the staging dir. Never re-merges. */
+  private[streaming] def publish(spark: SparkSession, batchId: Long): Unit = {
+    val (fs, table) = fsOf(spark)
+    val staging = stagingPath(table, batchId)
+    if (!fs.exists(staging)) return // already published
+    val staged = spark.read.parquet(staging.toString).select(projection: _*)
+    Layout.overwritePartitions(staged, path, partCol, dynamic = true)
+    fs.delete(staging, true)
+  }
+
+  /** Finish or discard interrupted batches: committed-but-unpublished
+    * staging dirs get published, uncommitted ones deleted. Bounded by the
+    * number of in-flight crashes (normally 0 or 1), not table history. */
+  private[streaming] def recoverPending(spark: SparkSession): Unit = {
+    val (fs, table) = fsOf(spark)
+    val stagingRoot = new Path(table, "_staging")
+    if (!fs.exists(stagingRoot)) return
+    fs.listStatus(stagingRoot).foreach { st =>
+      val id = st.getPath.getName.stripPrefix("batch-").toLong
+      if (fs.exists(markerPath(table, id))) publish(spark, id)
+      else fs.delete(st.getPath, true)
+    }
+  }
+
+  /** STAGE + COMMIT for one batch: write the post-merge partitions to
+    * staging, then atomically rename the manifest marker into place.
+    * Returns false when the batch id was already committed. Exposed
+    * separately so the crash-between-commit-and-publish window is
+    * directly testable. */
+  private[streaming] def stageAndCommit(batch: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val (fs, table) = fsOf(spark)
+    if (fs.exists(markerPath(table, batchId))) return false
+    val delta = aggregate(batch)
+    // bounded driver action: distinct partitions in ONE micro-batch (the
+    // batch's span), not the table's history
+    val parts = delta.select(col(partCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (parts.nonEmpty) {
+      val existing =
+        if (fs.exists(table))
+          spark.read.parquet(path)
+            .filter(col(partCol).isin(parts: _*))
+            .select(projection: _*)
+        else delta.select(projection: _*).limit(0)
+      val merged = existing.unionByName(delta.select(projection: _*))
+        .groupBy(partCol, keyCols: _*)
+        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      // staging write reads the live table but replaces nothing — no
+      // read-then-overwrite hazard, so no localCheckpoint needed
+      merged.write.mode("overwrite").partitionBy(partCol)
+        .parquet(stagingPath(table, batchId).toString)
+    }
+    // COMMIT POINT: write-temp + atomic rename of the manifest marker
+    val marker = markerPath(table, batchId)
+    fs.mkdirs(marker.getParent)
+    val tmp = new Path(marker.getParent, s".tmp-batch-$batchId")
+    val out = fs.create(tmp, true)
+    out.write(parts.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"marker commit failed for $marker")
+    }
+    parts.nonEmpty
+  }
+
+  /** Apply one micro-batch to the maintained table: recover any
+    * interrupted predecessor, then stage → commit → publish. */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    recoverPending(batch.sparkSession)
+    if (stageAndCommit(batch, batchId)) publish(batch.sparkSession, batchId)
+  }
+
+  /** The streaming writer: raw rows in, maintained partitioned aggregate
+    * on disk. Append mode — all state lives in the table. */
+  def writer(rows: DataFrame): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId)
+      }
+}
 
 /** STREAMING maintenance of the partitioned daily aggregate that
   * `rel_incremental_agg` maintains in batch — the judge-suggested bridge
@@ -12,74 +163,30 @@ import graft.operators.Layout
   * story: a `foreachBatch` dynamic-partition upsert keeps a
   * `partitionBy(day)` parquet table equal to the full batch recompute at
   * every micro-batch boundary (the stream==batch law StreamingSpec
-  * asserts end-to-end).
-  *
-  * Per micro-batch: aggregate the batch to per-(day, event_type) deltas,
-  * read back ONLY the affected day partitions of the maintained table
-  * (static partition pruning — the affected-day list is bounded by the
-  * batch's event-time span, so the `.isin` filter stays tiny), merge by
-  * summing, and dynamic-partition-overwrite exactly those days. Untouched
-  * history is never read or rewritten — the O(day)-not-O(history) merge
-  * that matters at 100 TB, now driven by a stream.
-  *
-  * Exactly-once: `foreachBatch` re-delivers a batch after a failure, and
-  * add-merge is not naturally idempotent (re-applying a delta double
-  * counts). The standard recipe is applied: a `_applied/batch-<id>`
-  * marker commits each batch id after its overwrite lands, and a
-  * re-delivered id short-circuits. (The marker write is not atomic with
-  * the overwrite — a crash BETWEEN them re-applies once; closing that
-  * window needs a transactional table format, which is out of scope and
-  * documented rather than faked.)
-  *
-  * The merged frame is eagerly `localCheckpoint`ed before the write: its
-  * plan READS the same partitions the write REPLACES, and materializing
-  * first is what makes read-then-overwrite safe.
-  */
+  * asserts end-to-end). Protocol and exactly-once guarantees live in
+  * [[PartitionedUpsert]]. */
 object IncrementalAgg {
+
+  private def upsert(path: String) = new PartitionedUpsert(
+    path, partCol = "day", keyCols = Seq("event_type"),
+    sumCols = Seq("cnt", "ct"),
+    aggregate = _.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("ct")))
 
   /** Apply one micro-batch of raw rows (day STRING, event_type STRING,
     * cents LONG) to the maintained table at `path`. Exposed for direct
     * testing; [[maintainDailyAgg]] wires it into foreachBatch. */
-  def applyBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(hp, s"_applied/batch-$batchId")
-    if (fs.exists(marker)) return // re-delivered batch: already applied
-    val delta = batch
-      .groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("ct"))
-    // bounded driver action: distinct days in ONE micro-batch (the
-    // batch's event-time span), not the table's history
-    val days = delta.select(col("day")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (days.nonEmpty) {
-      val existing =
-        if (fs.exists(hp))
-          spark.read.parquet(path)
-            .filter(col("day").isin(days: _*))
-            .select(col("day").cast("string").as("day"), col("event_type"),
-              col("cnt"), col("ct"))
-        else spark.emptyDataFrame
-          .withColumn("day", lit("")).withColumn("event_type", lit(""))
-          .withColumn("cnt", lit(0L)).withColumn("ct", lit(0L))
-          .limit(0)
-      val merged = existing.unionByName(delta)
-        .groupBy(col("day"), col("event_type"))
-        .agg(sum(col("cnt")).as("cnt"), sum(col("ct")).as("ct"))
-        .localCheckpoint() // materialize BEFORE overwriting what it reads
-      Layout.overwritePartitions(merged, path, "day", dynamic = true)
-    }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-  }
+  def applyBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+    upsert(path).applyBatch(batch, batchId)
+
+  /** Testing seam: STAGE + COMMIT without the publish — simulates a
+    * crash in the committed-but-unpublished window. */
+  private[streaming] def stageAndCommit(batch: DataFrame, path: String,
+      batchId: Long): Boolean =
+    upsert(path).stageAndCommit(batch, batchId)
 
   /** The streaming writer: raw event rows in, maintained partitioned
     * aggregate on disk. Append mode — all state lives in the table. */
   def maintainDailyAgg(rows: DataFrame, path: String): DataStreamWriter[Row] =
-    rows.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, path, batchId)
-      }
+    upsert(path).writer(rows)
 }

@@ -49,15 +49,22 @@ object UserStateV2 {
 
   /** Wire a streaming event frame into the stateful profile stream.
     * Requires `spark.sql.streaming.stateStore.providerClass` =
-    * RocksDBStateStoreProvider (transformWithState's runtime contract). */
+    * RocksDBStateStoreProvider (transformWithState's runtime contract).
+    *
+    * TimeMode follows the TTL: Spark's `validateTTLConfig` rejects any
+    * non-zero TTL outside ProcessingTime mode
+    * (StatefulProcessorCannotAssignTTLInTimeMode), so a TTL'd profile
+    * stream runs in ProcessingTime mode and an un-TTL'd one in None. */
   def profiles(events: DataFrame,
       ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1))
       ): Dataset[UserProfile] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events.as[UserEvent]
       .groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeMode, OutputMode.Update())
   }
 }

@@ -420,4 +420,109 @@ class StreamingSpec extends GraftSparkSpec {
       path, batchId = 99L)
     assertEqual(b1 ++ b2 ++ b3)
   }
+
+  test("upsert value counts (Update-style A1): maintained table == batch A1 " +
+    "over prefix after every micro-batch, across a kill + restart") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert_a1").toString
+    val path = root + "/table"
+    val ckpt = root + "/ckpt"
+    val input = MemoryStream[(String, String)]
+    def startQuery() = BehaviorStream
+      .upsertValueCounts(input.toDF().toDF("topic", "value"), path)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def assertEqual(data: Seq[(String, String)]): Unit = {
+      val got = s.read.parquet(path)
+        .select(col("topic").cast("string").as("topic"), col("value"), col("cnt"))
+      val want = Behavior.valueCounts(data.toDF("topic", "value"))
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    }
+    val b1 = Seq(("gitlab_clicks", "1"), ("gitlab_clicks", "1"),
+      ("gitlab_age", "31"), ("kafka_city", "Radom"))
+    val b2 = Seq(("gitlab_clicks", "1"), ("kafka_city", "Radom"),
+      ("kafka_city", "Gdynia"))
+    val b3 = Seq(("gitlab_age", "31"), ("odoo_clicks", "1"))
+    val q1 = startQuery()
+    try {
+      input.addData(b1: _*)
+      q1.processAllAvailable()
+      assertEqual(b1)
+      input.addData(b2: _*)
+      q1.processAllAvailable()
+      assertEqual(b1 ++ b2) // merge SUMS into touched topics, keeps others
+    } finally q1.stop() // kill
+    // restart from the same checkpoint: cumulative counts came from the
+    // TABLE, not from any in-memory state — the law must keep holding
+    val q2 = startQuery()
+    try {
+      input.addData(b3: _*)
+      q2.processAllAvailable()
+      assertEqual(b1 ++ b2 ++ b3)
+    } finally q2.stop()
+  }
+
+  test("incremental agg exactly-once: a crash in EITHER window around the " +
+    "marker commit never double counts") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_crash_agg").toString + "/table"
+    def maintained() = s.read.parquet(path)
+      .select(col("day").cast("string"), col("event_type"), col("cnt"), col("ct"))
+    def assertEqual(data: Seq[(String, String, Long)]): Unit = {
+      val want = data.toDF("day", "event_type", "cents")
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("ct"))
+      assert(maintained().exceptAll(want).count() === 0)
+      assert(want.exceptAll(maintained()).count() === 0)
+    }
+    val b0 = Seq(("2024-02-01", "click", 10L), ("2024-02-02", "view", 5L))
+    IncrementalAgg.applyBatch(b0.toDF("day", "event_type", "cents"), path, 0L)
+    assertEqual(b0)
+
+    // window 1: crash AFTER the marker commit, BEFORE publish. The old
+    // in-place merge re-applied the delta here (the documented re-apply-
+    // once hole); the staged protocol must finish the publish from
+    // staging on re-delivery without re-merging.
+    val b1 = Seq(("2024-02-02", "view", 7L), ("2024-02-03", "click", 2L))
+    assert(IncrementalAgg.stageAndCommit(
+      b1.toDF("day", "event_type", "cents"), path, 1L))
+    // "crash": publish never runs; table still shows only b0
+    assertEqual(b0)
+    // re-delivery of the SAME batch: recovery publishes the staged data,
+    // stageAndCommit short-circuits on the marker — applied exactly once
+    IncrementalAgg.applyBatch(b1.toDF("day", "event_type", "cents"), path, 1L)
+    assertEqual(b0 ++ b1)
+    // a second re-delivery is a pure no-op (nothing staged, marker set)
+    IncrementalAgg.applyBatch(b1.toDF("day", "event_type", "cents"), path, 1L)
+    assertEqual(b0 ++ b1)
+
+    // window 2: crash AFTER staging, BEFORE the marker commit — the
+    // batch is NOT committed, so recovery must DISCARD the orphan
+    // staging (not publish it) and the re-delivered batch re-merges
+    // from the unchanged table.
+    val b2 = Seq(("2024-02-03", "click", 100L))
+    val delta = b2.toDF("day", "event_type", "cents")
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("ct"))
+    val existing = s.read.parquet(path).filter(col("day") === "2024-02-03")
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("cnt"), col("ct"))
+    existing.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("ct")).as("ct"))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(path + "/_staging/batch-2")
+    // "crash": no marker written; table unchanged
+    assertEqual(b0 ++ b1)
+    IncrementalAgg.applyBatch(b2.toDF("day", "event_type", "cents"), path, 2L)
+    assertEqual(b0 ++ b1 ++ b2)
+    // the orphan staging was discarded and re-created, not double-applied
+    assert(!new java.io.File(path + "/_staging/batch-2").exists())
+  }
 }

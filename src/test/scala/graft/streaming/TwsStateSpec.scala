@@ -72,4 +72,47 @@ class TwsStateSpec extends GraftSparkSpec {
     assert(v2(1L) === UserProfile(1L, 3L, 2L, 1000L, 5000L))
     assert(v2(3L) === UserProfile(3L, 2L, 1L, 900L, 4000L))
   }
+
+  test("transformWithState with a TTL set starts and folds correctly") {
+    // ttl=Some(...) switches the query to TimeMode.ProcessingTime —
+    // Spark rejects a non-zero TTL in TimeMode.None
+    // (StatefulProcessorCannotAssignTTLInTimeMode). An hour-long TTL
+    // cannot expire within the test, so the fold law must still hold.
+    // ProcessingTime mode keeps scheduling no-data micro-batches for
+    // timer/TTL upkeep, so neither processAllAvailable nor AvailableNow
+    // ever reaches quiescence — poll the foreachBatch collector for the
+    // folded profile instead and stop the query once it arrives.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val out = withRocksDb {
+      collected.put("ttl", ArrayBuffer.empty)
+      val input = MemoryStream[UserEvent]
+      input.addData(
+        UserEvent(7L, "click", 100L), UserEvent(7L, "view", 200L),
+        UserEvent(7L, "click", 900L))
+      val q = UserStateV2
+        .profiles(input.toDF(), ttl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.queryName("tws_ttl").outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+          collected("ttl").synchronized { collected("ttl") ++= b.collect() }
+          ()
+        }
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def folded() = collected("ttl").synchronized {
+          collected("ttl").exists(_.n_events == 3L)
+        }
+        while (!folded() && System.nanoTime() < deadline) {
+          if (q.exception.isDefined) throw q.exception.get
+          Thread.sleep(200)
+        }
+        assert(folded(), "TTL'd query never emitted the folded profile")
+      } finally q.stop()
+      collected("ttl").synchronized { collected("ttl").maxBy(_.n_events) }
+    }
+    assert(out === UserProfile(7L, 3L, 2L, 100L, 900L))
+  }
 }
