@@ -700,8 +700,9 @@ object Similarity {
     * ([[lshTopK]] / [[embeddingDupPairsLsh]]'s equi-join) — exactly
     * right for mining, since hard negatives are by definition NEAR the
     * anchor and bucket recall concentrates there. */
-  def tripletMine(corpus: DataFrame): DataFrame = {
-    val a = corpus.select(col("vec_id").as("anchor"),
+  def tripletMine(corpus: DataFrame,
+      anchorPred: Column = lit(true)): DataFrame = {
+    val a = corpus.filter(anchorPred).select(col("vec_id").as("anchor"),
       col("label").as("a_label"), col("embedding").as("va"))
     val c = corpus.select(col("vec_id").as("cand"),
       col("label").as("c_label"), col("embedding").as("vc"))
@@ -739,10 +740,10 @@ object Similarity {
     * buckets hold no candidate drop out (identically on both engines)
     * rather than surfacing a worse-than-available triplet. */
   def tripletMineLsh(corpus: DataFrame, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, anchorPred: Column = lit(true)): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("label"), col("embedding"),
       lshBucket(col("embedding"), nBits, dim).as("bucket"))
-    val probe = cb.select(col("vec_id").as("anchor"),
+    val probe = cb.filter(anchorPred).select(col("vec_id").as("anchor"),
       col("label").as("a_label"), col("embedding").as("va"),
       explode(array(col("bucket") +:
         (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))

@@ -87,9 +87,14 @@ object MultimodalQueries extends QueryFamily {
     // decode → stats from the DECODED rasters, incl. first/last frame
     // sums proving frame ORDER survived. Oracle recomputes from the
     // synthesis rule; only compressed-codec decode stays stubbed.
+    // 1-in-4 deterministic doc sample (bench-budget bound — the TIFF
+    // encode/decode is the registry's most expensive per-row work, and a
+    // quarter of the corpus exercises every payload-length class of the
+    // geometry rule identically; the oracle filters the same docs)
     "mm_video_decode" -> ((s, d) =>
       Multimodal.decodeVideoStats(
-        Multimodal.encodeVideo(Tables.documents(s, d)))
+        Multimodal.encodeVideo(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0)))
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -152,9 +157,11 @@ object MultimodalQueries extends QueryFamily {
     // inter-frame absolute pixel deltas, cuts above threshold —
     // order-sensitive proof of the container decode (a frame swap moves
     // deltas even when total sums survive).
+    // same 1-in-4 sample as mm_video_decode (same fixture-cost bound)
     "mm_scene_cuts" -> ((s, d) =>
       Multimodal.sceneCuts(
-        Multimodal.encodeVideo(Tables.documents(s, d)))
+        Multimodal.encodeVideo(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0)))
         .toDF()
         .orderBy(col("doc_id"))),
 
@@ -343,7 +350,8 @@ object MultimodalQueries extends QueryFamily {
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS hx,
          |         octet_length(encode(text)) AS nb
-         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) > 0 AND doc_id % 4 = 0),
          |g AS (SELECT doc_id, hx, nb, LEAST(8, (nb + 15) // 16) AS nf FROM b),
          |px AS (
          |  SELECT doc_id, nf, i,
@@ -420,7 +428,8 @@ object MultimodalQueries extends QueryFamily {
     "mm_scene_cuts" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |             octet_length(encode(text)) AS nb
-        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |           FROM documents
+        |           WHERE octet_length(encode(text)) > 0 AND doc_id % 4 = 0),
         |g AS (SELECT doc_id, hx, nb, LEAST(8, (nb + 15) // 16) AS nf FROM b),
         |d AS (SELECT doc_id, i // 16 AS f,
         |        ABS(('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT -

@@ -17,7 +17,7 @@ object SimQueries extends QueryFamily {
   private val K = 3
 
   private def queriesSubset(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+    Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_bruteforce" -> ((s, d) =>
@@ -29,9 +29,13 @@ object SimQueries extends QueryFamily {
     // negative by bit-deterministic cosine, margin = one IEEE
     // subtraction — the contrastive-training data-prep pass (ANCE);
     // brute-force candidate pass is the declared baseline, LSH-bucket
-    // candidates are the registered scale sibling.
+    // candidates are the registered scale sibling. Anchors are a 1-in-3
+    // deterministic sample (what per-epoch mining does anyway — you
+    // never re-mine every example); the LSH sibling uses the SAME
+    // anchor set so the recall comparison stays aligned.
     "sim_triplet_mine" -> ((s, d) =>
-      Similarity.tripletMine(Tables.embeddings(s, d))
+      Similarity.tripletMine(Tables.embeddings(s, d),
+        anchorPred = col("vec_id") % 3 === 0)
         .orderBy(col("anchor"))),
 
     // the registered scale sibling: the same mining argmax over LSH
@@ -39,7 +43,8 @@ object SimQueries extends QueryFamily {
     // instead of the cross join — Σ bucket² work, recall loss lands on
     // far pairs, which hard-negative mining does not want anyway.
     "sim_triplet_lsh" -> ((s, d) =>
-      Similarity.tripletMineLsh(Tables.embeddings(s, d))
+      Similarity.tripletMineLsh(Tables.embeddings(s, d),
+        anchorPred = col("vec_id") % 3 === 0)
         .orderBy(col("anchor"))),
 
     "sim_topk_lsh" -> ((s, d) =>
@@ -253,7 +258,7 @@ object SimQueries extends QueryFamily {
        |  SELECT vec_id AS query_id,
        |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
        |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r
-       |  WHERE vec_id % 5 = 0),
+       |  WHERE vec_id % 10 = 0),
        |pair AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |    ${cosineSql("eq.v", "en.v")} AS cosine
@@ -322,7 +327,7 @@ object SimQueries extends QueryFamily {
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cell) AS rn
-       |    FROM $base e CROSS JOIN $cFinal c WHERE e.vec_id % 5 = 0) s
+       |    FROM $base e CROSS JOIN $cFinal c WHERE e.vec_id % 10 = 0) s
        |  WHERE rn <= 4),
        |${p}pair AS (
        |  SELECT pr.query_id, af.vec_id AS neighbor_id,
@@ -383,7 +388,7 @@ object SimQueries extends QueryFamily {
   private def pqOracleSql: String =
     s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${pqCtesSql("ef")},
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 5 = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 10 = 0),
        |p2 AS (
        |  SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v")} AS qcos
        |  FROM q CROSS JOIN epq c WHERE query_id <> c.vec_id),
@@ -393,7 +398,7 @@ object SimQueries extends QueryFamily {
        |  FROM p2) r WHERE rank <= 3),
        |ep AS (
        |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q2.v", "c.v")} AS cosine
-       |  FROM (SELECT * FROM ef WHERE vec_id % 5 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
+       |  FROM (SELECT * FROM ef WHERE vec_id % 10 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
        |etk AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -411,7 +416,7 @@ object SimQueries extends QueryFamily {
   private def pqRefineOracleSql: String =
     s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${pqCtesSql("ef")},
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 5 = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id % 10 = 0),
        |ap AS (
        |  SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v")} AS adc_cos
        |  FROM q CROSS JOIN epq c WHERE query_id <> c.vec_id),
@@ -428,7 +433,7 @@ object SimQueries extends QueryFamily {
        |  FROM rf) r WHERE rank <= 3),
        |ep AS (
        |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosineSql("q2.v", "c.v")} AS cosine
-       |  FROM (SELECT * FROM ef WHERE vec_id % 5 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
+       |  FROM (SELECT * FROM ef WHERE vec_id % 10 = 0) q2 CROSS JOIN ef c WHERE q2.vec_id <> c.vec_id),
        |etk AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -502,7 +507,8 @@ object SimQueries extends QueryFamily {
         |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
         |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 3 = 0),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor, same ORDER BY cosine DESC, cand) AS rn FROM p)
         |SELECT anchor,
         |  MAX(CASE WHEN same THEN cand END) AS pos_id,
@@ -527,7 +533,8 @@ object SimQueries extends QueryFamily {
          |aprobe AS (
          |  SELECT vec_id AS anchor,
          |    CASE WHEN pb < 0 THEN bucket ELSE xor(bucket, (CAST(1 AS BIGINT) << pb)) END AS bucket
-         |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r),
+         |  FROM buck CROSS JOIN (SELECT unnest(range(-1, 8)) AS pb) r
+         |  WHERE vec_id % 3 = 0),
          |p AS (
          |  SELECT q.anchor, c.vec_id AS cand, ea.label = ec.label AS same,
          |    ${cosineSql("ea.v", "ec.v")} AS cosine
@@ -545,7 +552,7 @@ object SimQueries extends QueryFamily {
          |FROM r WHERE rn = 1 GROUP BY anchor ORDER BY anchor""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 5 = 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
         |p AS (
         |  SELECT query_id, e.vec_id AS neighbor_id,
         |    list_reduce(list_transform(qv, (x,i) -> x * v[i]), (x,y) -> x + y) /
@@ -571,7 +578,7 @@ object SimQueries extends QueryFamily {
         |    list_reduce(list_transform(q.v, (x,i) -> x * c.v[i]), (x,y) -> x + y) /
         |    (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x + y))) AS qcos
-        |  FROM (SELECT * FROM qv WHERE vec_id % 5 = 0) q CROSS JOIN qv c WHERE q.vec_id <> c.vec_id),
+        |  FROM (SELECT * FROM qv WHERE vec_id % 10 = 0) q CROSS JOIN qv c WHERE q.vec_id <> c.vec_id),
         |tk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
         |  SELECT query_id, neighbor_id, qcos,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
@@ -581,7 +588,7 @@ object SimQueries extends QueryFamily {
         |    list_reduce(list_transform(q.v, (x,i) -> x * c.v[i]), (x,y) -> x + y) /
         |    (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x + y))) AS cosine
-        |  FROM (SELECT * FROM e WHERE vec_id % 5 = 0) q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+        |  FROM (SELECT * FROM e WHERE vec_id % 10 = 0) q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
         |etk AS (SELECT query_id, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -641,7 +648,7 @@ object SimQueries extends QueryFamily {
          |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (x,y) -> x + y) AS ns FROM e),
          |m AS (SELECT MAX(ns) AS m2 FROM n),
          |c AS (SELECT vec_id AS neighbor_id, v AS nv, list_append(v, sqrt(m2 - ns)) AS nav FROM n, m),
-         |q AS (SELECT vec_id AS query_id, v AS qv, list_append(v, CAST(0.0 AS DOUBLE)) AS qav FROM n WHERE vec_id % 5 = 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv, list_append(v, CAST(0.0 AS DOUBLE)) AS qav FROM n WHERE vec_id % 10 = 0),
          |p AS (
          |  SELECT query_id, neighbor_id,
          |    list_reduce(list_transform(qv, (x,i) -> x * nv[i]), (x,y) -> x + y) AS ip,
@@ -662,7 +669,7 @@ object SimQueries extends QueryFamily {
          |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (x,y) -> x + y) AS ns FROM e),
          |m AS (SELECT MAX(ns) AS m2 FROM n),
          |av AS (SELECT vec_id, list_append(v, sqrt(m2 - ns)) AS v FROM n, m),
-         |qv AS (SELECT vec_id, list_append(v, CAST(0.0 AS DOUBLE)) AS v FROM n WHERE vec_id % 5 = 0),
+         |qv AS (SELECT vec_id, list_append(v, CAST(0.0 AS DOUBLE)) AS v FROM n WHERE vec_id % 10 = 0),
          |planes AS (SELECT * FROM ${planesSql(8, 65)}),
          |cbuck AS (
          |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket

@@ -16,6 +16,13 @@ object TextQueries extends QueryFamily {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Bigram-LM family corpus: a deterministic 1-in-2 doc sample
+    * (bench-budget bound — the LM join is the text family's most
+    * expensive pass and every distributional property survives the
+    * halving; the lmCtes/knCtes oracles filter identically). */
+  private def lmDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") % 2 === 0)
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "txt_token_stats" -> ((s, d) => {
       val n = size(TextOps.tokens(col("text")))
@@ -320,7 +327,7 @@ object TextQueries extends QueryFamily {
     // position order, worst-50 surfaced — the perplexity-style filter
     // with ln() replaced by the monotone mean probability (bit-portable)
     "txt_lm_score" -> ((s, d) =>
-      TextOps.lmScore(docs(s, d), 50).orderBy(col("rank"))),
+      TextOps.lmScore(lmDocs(s, d), 50).orderBy(col("rank"))),
 
     // CCNet's actual output shape: the whole corpus sliced into
     // head/middle/tail terciles by LM score (not just a worst-k triage
@@ -329,7 +336,7 @@ object TextQueries extends QueryFamily {
     // bucket = (3·(rn−1)) DIV n is exact integer arithmetic.
     "txt_ccnet_buckets" -> ((s, d) => {
       val ranked = graft.operators.OrderStats.withGlobalRank(
-        TextOps.lmScoreAll(docs(s, d)),
+        TextOps.lmScoreAll(lmDocs(s, d)),
         Seq(col("lm_score"), col("doc_id")))
       ranked.select(expr("(3 * (rn - 1)) DIV n").as("bucket"), col("lm_score"))
         .groupBy(col("bucket"))
@@ -343,7 +350,7 @@ object TextQueries extends QueryFamily {
     // discounting with continuation probabilities, D=3/4) in exact
     // rational integer form — worst-50 triage list, like txt_lm_score
     "txt_lm_kn" -> ((s, d) => {
-      val all = TextOps.lmScoreKnAll(docs(s, d))
+      val all = TextOps.lmScoreKnAll(lmDocs(s, d))
         .orderBy(col("lm_kn_score").asc, col("doc_id")).limit(50)
       all.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -356,7 +363,7 @@ object TextQueries extends QueryFamily {
     // machinery as txt_ccnet_buckets, better-calibrated score underneath
     "txt_ccnet_kn_buckets" -> ((s, d) => {
       val ranked = graft.operators.OrderStats.withGlobalRank(
-        TextOps.lmScoreKnAll(docs(s, d)),
+        TextOps.lmScoreKnAll(lmDocs(s, d)),
         Seq(col("lm_kn_score"), col("doc_id")))
       ranked.select(expr("(3 * (rn - 1)) DIV n").as("bucket"), col("lm_kn_score"))
         .groupBy(col("bucket"))
@@ -376,11 +383,11 @@ object TextQueries extends QueryFamily {
     // everything else is the bucketing machinery above.
     "txt_ccnet_full" -> ((s, d) => {
       val ranked = graft.operators.OrderStats.withGlobalRank(
-        TextOps.lmScoreKnAll(docs(s, d)),
+        TextOps.lmScoreKnAll(lmDocs(s, d)),
         Seq(col("lm_kn_score"), col("doc_id")))
         .select(col("doc_id"), col("lm_kn_score"),
           expr("(3 * (rn - 1)) DIV n").as("bucket"))
-      docs(s, d).select(col("doc_id"))
+      lmDocs(s, d).select(col("doc_id"))
         .join(ranked, Seq("doc_id"), "left")
         .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
           col("lm_kn_score"))
@@ -585,7 +592,8 @@ object TextQueries extends QueryFamily {
     * (doc_id, n_bigrams, novel_bigrams, lm_score), the DuckDB replica of
     * [[graft.operators.TextOps.lmScoreAll]]. */
   private val lmCtes: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id % 2 = 0),
       |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
       |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
       |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
@@ -602,7 +610,8 @@ object TextQueries extends QueryFamily {
     * [[graft.operators.TextOps.lmScoreKnAll]] — every count BIGINT, one
     * double division per bigram, position-ordered per-doc fold. */
   private val knCtes: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id % 2 = 0),
       |b AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
       |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2) u),
       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
@@ -953,7 +962,8 @@ object TextQueries extends QueryFamily {
         |      FROM kagg),
         |j AS (SELECT d.doc_id, r.lm_kn_score,
         |        COALESCE((3 * (r.rn - 1)) // r.n, -1) AS bucket
-        |      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id)
+        |      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+        |      LEFT JOIN r ON r.doc_id = d.doc_id)
         |SELECT bucket, COUNT(*) AS n_docs, MIN(lm_kn_score) AS lo_score,
         |  MAX(lm_kn_score) AS hi_score
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -86,11 +86,16 @@ object ScaleUp {
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"),
       (df, i) => df.withColumn("text", caesar(col("text"), i)))
-    replicate("embeddings", Seq("vec_id"), (df, i) =>
-      if (i == 0) df
+    replicate("embeddings", Seq("vec_id"), (df, i) => {
+      // shift stride 7 is coprime to the 64-dim vectors: every replica
+      // i < 64 gets a DISTINCT rotation (i%8 would collide at i=8,
+      // re-creating exact cross-replica duplicates)
+      val k = (i * 7) % 64
+      if (k == 0) df
       else df.withColumn("embedding",
-        concat(expr(s"slice(embedding, ${i % 8 + 1}, size(embedding))"),
-          expr(s"slice(embedding, 1, ${i % 8})"))))
+        concat(expr(s"slice(embedding, ${k + 1}, size(embedding))"),
+          expr(s"slice(embedding, 1, $k)")))
+    })
     spark.stop()
   }
 }
