@@ -15,16 +15,19 @@ class CcnetFullSpec extends GraftSparkSpec {
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-ccnetfull-").toString
     // 6 scoreable docs (≥2 tokens) → terciles of 2/2/2; 2 unscoreable
-    // (1 token / empty-ish) → sentinel bucket
+    // (1 token / empty-ish) → sentinel bucket. All doc_ids EVEN: the
+    // LM-family queries run on the registered 1-in-2 `doc_id % 2 = 0`
+    // sample (bench diet, oracle-mirrored), so the fixture places every
+    // doc inside the sample to keep exercising the full sentinel logic.
     val rows = Seq(
       (0L, "the cat sat", "en", "web", 11L),
-      (1L, "the cat ran", "en", "web", 11L),
-      (2L, "a dog sat", "en", "web", 9L),
-      (3L, "a dog ran far", "en", "web", 13L),
-      (4L, "the dog sat", "en", "web", 11L),
-      (5L, "a cat ran", "en", "web", 9L),
-      (6L, "singleton", "en", "web", 9L),
-      (7L, "x", "en", "web", 1L))
+      (2L, "the cat ran", "en", "web", 11L),
+      (4L, "a dog sat", "en", "web", 9L),
+      (6L, "a dog ran far", "en", "web", 13L),
+      (8L, "the dog sat", "en", "web", 11L),
+      (10L, "a cat ran", "en", "web", 9L),
+      (12L, "singleton", "en", "web", 9L),
+      (14L, "x", "en", "web", 1L))
     spark.createDataFrame(rows)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
@@ -36,7 +39,7 @@ class CcnetFullSpec extends GraftSparkSpec {
     val byBucket = out.map(r => r.getLong(0) -> r).toMap
     assert(byBucket.keySet === Set(-1L, 0L, 1L, 2L))
     val sentinel = byBucket(-1L)
-    assert(sentinel.getLong(1) === 2L) // doc 6 and doc 7
+    assert(sentinel.getLong(1) === 2L) // doc 12 and doc 14
     assert(sentinel.isNullAt(2) && sentinel.isNullAt(3))
     // every document is accounted for: buckets partition the corpus
     assert(out.map(_.getLong(1)).sum === 8L)
@@ -51,8 +54,8 @@ class CcnetFullSpec extends GraftSparkSpec {
     val d2 = Files.createTempDirectory("graft-ccnetfull2-").toString
     spark.createDataFrame(Seq(
       (0L, "the cat sat", "en", "web", 11L),
-      (1L, "the cat ran", "en", "web", 11L),
-      (2L, "a dog sat", "en", "web", 9L)))
+      (2L, "the cat ran", "en", "web", 11L),
+      (4L, "a dog sat", "en", "web", 9L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
     val out = SparkEntry.queries("txt_ccnet_full")(spark, d2).collect()
