@@ -2,11 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Deadline defense (round 12 lost its ENTIRE correctness artifact — the
+  * driver recorded `{}`): two layers, mirroring Bench's.
+  *   1. oracle_sql.json (and the partial-run marker) are written BEFORE
+  *      the query loop. A mid-run SIGTERM now leaves a comparable
+  *      artifact — the already-dumped queries verify, the missing dirs
+  *      surface as per-query errors — instead of an oracle-less dump the
+  *      driver can only score as zero.
+  *   2. Queries run on a small thread pool over the shared SparkSession
+  *      (`SPARK_GRAFT_VERIFY_THREADS`, default 8). At sf0.01 the data is
+  *      ~2 MB, so per-query wall is dominated by planning + Janino codegen
+  *      + stage scheduling, which overlap across threads; the serial run
+  *      measured 784 s on an idle host, uncomfortably close to a driver
+  *      timeout once contention doubles it. Spark actions are thread-safe;
+  *      each query writes its own output dir, so results are unchanged.
+  *      Cache hygiene: `clearCache()` every 32 completions (not per-query
+  *      — a concurrent clear only costs a recompute, never correctness)
+  *      keeps dedup-family `cache()` blocks from accumulating. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,14 +39,6 @@ object Verify {
     // dumps and oracle_sql.json so tools/check.py sees a consistent pair.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally spark.catalog.clearCache() // release per-query cache() blocks (dedup operators) so runs don't accumulate
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -57,6 +67,28 @@ object Verify {
         Files.writeString(marker, s"""{"only": ${q(p.mkString(","))}}""")
       case None => Files.deleteIfExists(marker)
     }
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val tasks = SparkEntry.queries.filter(kv => keep(kv._1)).map {
+      case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              val s = (System.nanoTime() - t0) / 1e9
+              System.err.println(f"[verify] $name ok $s%.1fs")
+            } catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+            if (done.incrementAndGet() % 32 == 0) spark.catalog.clearCache()
+          }
+        })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 }
