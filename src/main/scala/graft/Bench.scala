@@ -19,11 +19,15 @@ import org.apache.spark.sql.SparkSession
   *      runs of both passes. A sustained stall window hits *different*
   *      queries in the two passes (opposite run order), so no single
   *      window can inflate one query family's best-of in both.
-  *   2. A query is re-measured within a pass (bounded: at most 1-2 extra
-  *      runs) while its observed runs disagree by more than 2x, or while
-  *      its best-of exceeds 3x the prior round's value (read from
-  *      BENCH_PRIOR.json in the working directory when present). Bounded
-  *      retries mean a real regression still surfaces; a stall does not.
+  *   2. COVERAGE-FIRST (round 13 — round 12's contended run burned its
+  *      budget on in-pass retries and left 45 queries unmeasured): each
+  *      coverage pass takes exactly warmup + ONE timed run per query;
+  *      stall suspects (merged runs disagree >2x, or best-of exceeds 3x
+  *      the prior round's value from BENCH_PRIOR.json) are re-measured
+  *      in a FINAL bounded retry phase, most-suspicious first, spending
+  *      only leftover budget. Bounded retries mean a real regression
+  *      still surfaces; a stall does not — and can no longer starve the
+  *      rest of the registry.
   *   3. Per-run times of queries whose merged runs disagreed (plus any
   *      exception messages) are emitted as a SECOND short JSON line
   *      AFTER the main artifact line — the driver captures a bounded
@@ -116,6 +120,12 @@ object Bench {
       s""""provisional_pass":0,${if (h.truncated) "\"partial\":true," else ""}"""))
     System.out.flush()
     h.runPass(1)
+    println(h.artifactLine(sfDir, onlyTag,
+      s""""provisional_pass":1,${if (h.truncated) "\"partial\":true," else ""}"""))
+    System.out.flush()
+    // leftover budget only: bounded re-measure of stall suspects
+    // (coverage-first — round 12 lost 45 queries to in-pass retries)
+    h.retryPass()
     // a deadline-truncated run is labelled so its partial total can't be
     // mistaken for a full benchmark artifact; unmeasured != failed
     val partialTag =

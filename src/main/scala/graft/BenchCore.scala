@@ -74,37 +74,84 @@ private[graft] object BenchCore {
     def wallS: Double = (nowNanos() - t0) / 1e9
     def overBudget: Boolean = wallS > budgetS
 
-    /** pass 0: alphabetical, warmup + 2 timed runs (+ up to 2 retries);
-      * pass 1: reverse-alphabetical, warmup + 1 timed run (+ up to 1
-      * retry). The warmup each pass repopulates the per-query caches
-      * that `afterEach` released, so every timed run is warm-cache.
+    /** COVERAGE-FIRST protocol (round 13; round 12's contended driver
+      * run burned its whole budget on per-query stall retries inside
+      * pass 0 and left 45 queries unmeasured — coverage must outrank
+      * sample quality):
+      *
+      *   pass 0 (alphabetical):          warmup + ONE timed run, no
+      *                                   retries — fastest path to a
+      *                                   number for every query;
+      *   pass 1 (reverse-alphabetical):  warmup + one more timed run —
+      *                                   the second best-of sample, in
+      *                                   opposite order so a stall
+      *                                   window can't hit the same
+      *                                   queries twice;
+      *   [[retryPass]] (last):           bounded re-measure of stall
+      *                                   suspects, most-suspicious
+      *                                   first, spending only LEFTOVER
+      *                                   budget.
+      *
+      * The warmup each visit repopulates the per-query caches that
+      * `afterEach` released, so every timed run is warm-cache.
       */
     def runPass(pass: Int): Unit =
       for (name <- if (pass == 0) selected else selected.reverse) {
         if (overBudget) truncated = true
         else try {
           runQuery(name) // warmup: codegen + JIT + cache fill
-          def timedRun(): Double = {
-            val s = nowNanos()
-            runQuery(name)
-            (nowNanos() - s) / 1e9
-          }
-          val runs = mutable.ArrayBuffer(timedRun())
-          if (pass == 0 && !overBudget) runs += timedRun()
-          def best: Double = (runs ++ allRuns.getOrElse(name, Nil)).min
-          def stallSuspect: Boolean =
-            runs.max > 2.0 * best ||
-              prior.get(name).exists(p => p > 0 && best > 3.0 * p)
-          val budget = if (pass == 0) 4 else 2
-          while (stallSuspect && runs.size < budget && !overBudget) runs += timedRun()
-          allRuns(name) = allRuns.getOrElse(name, Nil) ++ runs.toList
+          val s = nowNanos()
+          runQuery(name)
+          allRuns(name) =
+            allRuns.getOrElse(name, Nil) :+ (nowNanos() - s) / 1e9
         } catch {
-          case e: Throwable => errors.getOrElseUpdate(name,
-            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(120))
+          case e: Throwable => errors.getOrElseUpdate(name, errMsg(e))
         }
         finally afterEach()
       }
+
+    private def errMsg(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+        .replaceAll("[\"\\\\\n\r\t]", " ").take(120)
+
+    /** A query whose merged runs disagree >2x (stall or bimodal plan),
+      * or whose best-of exceeds 3x its prior-round value (regression —
+      * or a stall that hit every visit). */
+    def suspect(name: String): Boolean = {
+      val rs = allRuns.getOrElse(name, Nil)
+      rs.nonEmpty && (rs.max > 2.0 * rs.min ||
+        prior.get(name).exists(p => p > 0 && rs.min > 3.0 * p))
+    }
+
+    /** Final phase: re-measure stall suspects with whatever budget the
+      * two coverage passes left, most-suspicious first (largest
+      * max/min disagreement), at most `maxExtra` extra timed runs each,
+      * stopping a query's retries early once it stops being suspect.
+      * On a healthy host suspects are few and this phase is cheap; on a
+      * stalled host it is the FIRST thing the budget truncates, after
+      * coverage is already complete.
+      */
+    def retryPass(maxExtra: Int = 2): Unit = {
+      val ranked = selected.filter(suspect).sortBy { n =>
+        val rs = allRuns(n); -(rs.max / math.max(rs.min, 1e-9))
+      }
+      for (name <- ranked) {
+        if (overBudget) truncated = true
+        else try {
+          runQuery(name) // warmup refill (afterEach released the caches)
+          var extra = 0
+          while (suspect(name) && extra < maxExtra && !overBudget) {
+            val s = nowNanos()
+            runQuery(name)
+            allRuns(name) = allRuns(name) :+ (nowNanos() - s) / 1e9
+            extra += 1
+          }
+        } catch {
+          case e: Throwable => errors.getOrElseUpdate(name, errMsg(e))
+        }
+        finally afterEach()
+      }
+    }
 
     /** (name, best-of seconds or -1.0 if never measured, all runs) */
     def currentResults: Seq[(String, Double, List[Double])] =

@@ -35,9 +35,9 @@ class BenchCoreSpec extends AnyFunSuite {
 
   test("healthy run: best-of map, ascending artifact order, all three lines parse") {
     val f = new Fake(Map("qa" -> Seq(3.0), "qb" -> Seq(1.0), "qc" -> Seq(2.0)), budgetS = 1e9)
-    f.h.runPass(0); f.h.runPass(1)
-    // pass 0 = warmup + 2 timed, pass 1 = warmup + 1 timed → 3 runs kept
-    assert(f.h.allRuns("qb") === List(1.0, 1.0, 1.0))
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass()
+    // each coverage pass = warmup + 1 timed → 2 runs kept, no suspects
+    assert(f.h.allRuns("qb") === List(1.0, 1.0))
     assert(f.h.nFailed === 0 && f.h.nUnmeasured === 0 && !f.h.truncated)
     assert(math.abs(f.h.total - 6.0) < 1e-9)
     val art = f.h.artifactLine("/sf", "", "")
@@ -55,9 +55,9 @@ class BenchCoreSpec extends AnyFunSuite {
   }
 
   test("budget exceeded mid-pass-0: provisional + final lines flagged partial, unmeasured excluded from total") {
-    // each query costs 10 s/run; pass-0 measures qa fully (warmup+2 =
-    // t=30 s), then the budget check stops qb and qc before any run
-    val f = new Fake(Map("qa" -> Seq(10.0), "qb" -> Seq(10.0), "qc" -> Seq(10.0)), budgetS = 25.0)
+    // each query costs 10 s/run; pass-0 measures qa (warmup + timed =
+    // t=20 s), then the budget check stops qb and qc before any run
+    val f = new Fake(Map("qa" -> Seq(10.0), "qb" -> Seq(10.0), "qc" -> Seq(10.0)), budgetS = 15.0)
     f.h.runPass(0)
     assert(f.h.truncated)
     val prov = parse(f.h.artifactLine("/sf", "",
@@ -66,20 +66,20 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(prov.get("partial").asBoolean)
     // unmeasured queries report -1 in the map but do NOT pollute the total
     assert(prov.get("queries").get("qb").asDouble === -1.0)
-    assert(prov.get("value").asDouble === 10.0) // best-of of qa's two timed 10 s runs
-    f.h.runPass(1) // still over budget: no further measurement
+    assert(prov.get("value").asDouble === 10.0) // qa's timed 10 s run
+    f.h.runPass(1); f.h.retryPass() // still over budget: no further measurement
     assert(f.h.nUnmeasured === 2 && f.h.allRuns.size === 1)
     val fin = parse(f.h.finalLine(s""""partial":true,"n_unmeasured":${f.h.nUnmeasured},"""))
     assert(fin.get("partial").asBoolean && fin.get("n_unmeasured").asInt === 2)
   }
 
   test("pass-1 failure keeps the valid pass-0 best-of; error still surfaces on the detail line") {
-    // qa: 3 clean calls in pass 0 (warmup + 2 timed), every later call throws
+    // qa: 2 clean calls in pass 0 (warmup + timed), every later call throws
     val f = new Fake(Map("qa" -> Seq(2.0)), budgetS = 1e9,
-      failWhen = (n, i) => n == "qa" && i >= 3)
+      failWhen = (n, i) => n == "qa" && i >= 2)
     f.h.runPass(0); f.h.runPass(1)
-    assert(f.h.allRuns("qa") === List(2.0, 2.0)) // pass-0 runs retained
-    assert(f.h.nFailed === 0)                    // NOT reported failed
+    assert(f.h.allRuns("qa") === List(2.0)) // pass-0 run retained
+    assert(f.h.nFailed === 0)               // NOT reported failed
     val det = parse(f.h.detailLine("/sf", "", ""))
     assert(det.get("errors").get("qa").asText.startsWith("RuntimeException"))
     assert(parse(f.h.finalLine("")).get("n_failed").asInt === 0)
@@ -87,30 +87,51 @@ class BenchCoreSpec extends AnyFunSuite {
 
   test("no-success query reports -1 and counts failed") {
     val f = new Fake(Map("qa" -> Seq(1.0)), budgetS = 1e9, failWhen = (_, _) => true)
-    f.h.runPass(0); f.h.runPass(1)
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass()
     assert(f.h.nFailed === 1 && f.h.total === 0.0)
     assert(parse(f.h.artifactLine("/sf", "", "")).get("queries").get("qa").asDouble === -1.0)
   }
 
-  test("stall-suspect retries are bounded: at most 4 runs in pass 0, 2 in pass 1") {
-    // first timed run 1 s, all later runs 10 s → runs.max > 2x best
-    // forever, so only the bounded retry budget stops the loop
+  test("stall suspect re-measured in the final retry phase, bounded at 2 extra runs") {
+    // pass 0 sees 1 s, pass 1 and everything after see 10 s → merged
+    // runs disagree >2x forever, so only the retry cap stops the loop
     val f = new Fake(Map("qa" -> Seq(1.0, 1.0, 10.0)), budgetS = 1e9)
     f.h.runPass(0)
-    assert(f.h.allRuns("qa").size === 4)
+    assert(f.h.allRuns("qa").size === 1) // coverage pass: exactly one sample
     f.h.runPass(1)
-    assert(f.h.allRuns("qa").size === 6) // + pass-1 timed + 1 retry
+    assert(f.h.allRuns("qa").size === 2)
+    assert(f.h.suspect("qa"))
+    f.h.retryPass()
+    assert(f.h.allRuns("qa").size === 4)  // + warmup-backed 2 extras, capped
     assert(f.h.allRuns("qa").min === 1.0) // best-of survives the stall runs
     // the disagreeing runs surface on the detail line for adjudication
     val det = parse(f.h.detailLine("/sf", "", ""))
-    assert(det.get("anomalous_runs").get("qa").size === 6)
+    assert(det.get("anomalous_runs").get("qa").size === 4)
   }
 
-  test("3x-prior regression triggers bounded re-measure") {
-    // steady 9 s runs vs prior 1 s → stallSuspect via the prior branch
+  test("3x-prior regression triggers bounded re-measure in the retry phase") {
+    // steady 9 s runs vs prior 1 s → suspect via the prior branch; the
+    // suspicion never clears, so the per-query cap is what bounds it
     val f = new Fake(Map("qa" -> Seq(9.0)), budgetS = 1e9, prior = Map("qa" -> 1.0))
+    f.h.runPass(0); f.h.runPass(1)
+    assert(f.h.allRuns("qa").size === 2)
+    f.h.retryPass()
+    assert(f.h.allRuns("qa").size === 4)
+  }
+
+  test("coverage outranks retries: a stalled host measures every query before any retry spends budget") {
+    // every query 5 s/run with prior 1 s → ALL are 3x-prior suspects.
+    // Budget 45 s: pass 0 costs 30 s (3 × warmup+timed), pass 1 fits
+    // only qc (t=40), then truncation. The retry phase gets nothing —
+    // but every query HAS a measurement. Round 12's in-pass retries
+    // would have burned the budget on qa and left qc unmeasured.
+    val f = new Fake(Map("qa" -> Seq(5.0), "qb" -> Seq(5.0), "qc" -> Seq(5.0)),
+      budgetS = 45.0, prior = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0))
     f.h.runPass(0)
-    assert(f.h.allRuns("qa").size === 4) // retried to the pass-0 cap
+    assert(f.h.nUnmeasured === 0 && !f.h.truncated)
+    f.h.runPass(1); f.h.retryPass()
+    assert(f.h.truncated && f.h.nUnmeasured === 0)
+    assert(f.h.allRuns.values.forall(_.nonEmpty))
   }
 
   test("parsePrior reads this program's own artifact line") {
