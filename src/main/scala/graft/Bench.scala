@@ -126,6 +126,8 @@ object Bench {
     // leftover budget only: bounded re-measure of stall suspects
     // (coverage-first — round 12 lost 45 queries to in-pass retries)
     h.retryPass()
+    // healthy-host-only third coverage pass: sharpen best-of samples
+    h.polishPass()
     // a deadline-truncated run is labelled so its partial total can't be
     // mistaken for a full benchmark artifact; unmeasured != failed
     val partialTag =

@@ -153,6 +153,20 @@ private[graft] object BenchCore {
       }
     }
 
+    /** Optional third coverage pass, taken only when the first two
+      * passes + retries used under half the budget (a healthy host):
+      * sharpens every query's best-of back to the pre-round-13 sample
+      * count for ~10% tighter totals, at zero risk — on a contended
+      * host the gate skips it outright, and even when taken, runPass's
+      * per-query budget check truncates it safely (coverage is already
+      * complete, so truncation costs only sample quality). Returns
+      * whether the pass ran. */
+    def polishPass(): Boolean = {
+      val take = wallS < 0.5 * budgetS
+      if (take) runPass(0)
+      take
+    }
+
     /** (name, best-of seconds or -1.0 if never measured, all runs) */
     def currentResults: Seq[(String, Double, List[Double])] =
       selected.map { name =>

@@ -134,6 +134,21 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(f.h.allRuns.values.forall(_.nonEmpty))
   }
 
+  test("polish pass runs only when under half the budget was spent") {
+    // healthy: 3 queries × 2 s/run → two passes cost 12 s of a 100 s
+    // budget → polish taken, third sample lands
+    val f = new Fake(Map("qa" -> Seq(2.0), "qb" -> Seq(2.0), "qc" -> Seq(2.0)), budgetS = 100.0)
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass()
+    assert(f.h.polishPass())
+    assert(f.h.allRuns("qa").size === 3)
+    // contended: same queries, budget 20 s → two passes spend 12 s
+    // (>50%) → polish skipped, samples stay at 2
+    val g = new Fake(Map("qa" -> Seq(2.0), "qb" -> Seq(2.0), "qc" -> Seq(2.0)), budgetS = 20.0)
+    g.h.runPass(0); g.h.runPass(1); g.h.retryPass()
+    assert(!g.h.polishPass())
+    assert(g.h.allRuns("qa").size === 2)
+  }
+
   test("parsePrior reads this program's own artifact line") {
     val line = """{"metric":"total","unit":"sec","sf":"/sf","queries":{"qa":1.5,"qb":0.25},"value":1.75}"""
     assert(BenchCore.parsePrior(line) === Map("qa" -> 1.5, "qb" -> 0.25))
