@@ -97,12 +97,41 @@ object Bench {
     // artifact always prints from inside the JVM (see scaladoc)
     val wallBudgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2400.0)
+    // PER-QUERY wall cap (round 13): the budget check in BenchCore fires
+    // BETWEEN queries, so one wedged execution could previously absorb
+    // the entire budget (observed: a contended-host graph query crawling
+    // at localCheckpoint granularity for >20 min). A watchdog timer
+    // cancels the query's Spark job group after capS — count() throws,
+    // the harness records the error (or keeps the other pass's clean
+    // run), and coverage of the remaining registry is preserved. The cap
+    // is ~37x the slowest clean sf0.1 query, so only true pathology
+    // (stall, wedge, runaway plan) is ever cut.
+    val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(150.0)
+    val watchdog = new java.util.Timer("bench-query-cap", true)
+    def runCapped(name: String): Unit = {
+      val sc = spark.sparkContext
+      val group = s"bench-$name"
+      // interruptOnCancel frees the executor threads too (a cancelled
+      // cartesian-ish stage would otherwise keep all 32 cores busy as
+      // zombies, crawling every subsequent measurement)
+      sc.setJobGroup(group, s"bench per-query cap ${capS}s", interruptOnCancel = true)
+      @volatile var fired = false
+      val tt = new java.util.TimerTask {
+        def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
+      }
+      watchdog.schedule(tt, (capS * 1000).toLong)
+      try { fnByName(name)(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        if (fired) throw new RuntimeException(f"capped>$capS%.0fs", e) else throw e
+      } finally { tt.cancel(); sc.clearJobGroup() }
+    }
     // measurement mechanics (two passes, best-of, stall retries, budget
     // truncation) + artifact-line builders live in BenchCore.Harness so
     // the deadline defenses are unit-tested with a fake clock
     val h = new BenchCore.Harness(
       selected.map(_._1),
-      name => { fnByName(name)(spark, sfDir).count(); () },
+      runCapped,
       () => System.nanoTime(),
       wallBudgetS,
       prior,

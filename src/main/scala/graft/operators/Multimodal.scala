@@ -129,6 +129,19 @@ case class VideoStats(doc_id: Long, n_frames: Int, px_sum: Long,
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is FILE-backed: every
+    * `ImageIO.read`/`write`/`createImage{In,Out}putStream` call creates
+    * a temp file in the JVM temp dir, and 32 concurrent decode tasks ×
+    * thousands of payloads can race or exhaust it ("Can't create cache
+    * file!", observed once at the 10× scale sweep — and it poisons the
+    * shared session for subsequent queries). Payloads here are small
+    * in-memory byte arrays, so the memory cache is strictly better:
+    * no filesystem dependency and no per-call file churn. JVM-wide
+    * flag; called at the head of every ImageIO-touching partition
+    * function so each EXECUTOR JVM sets it before its first decode. */
+  private def useMemoryCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic synthetic media table derived from `documents`: the
     * text's UTF-8 bytes play the payload, mime rotates by doc_id. Stands in
     * for `spark.read.format("binaryFile")` at the same schema. */
@@ -205,6 +218,7 @@ object Multimodal {
       .filter(octet_length(col("bytes")) > 0)
       .as[PayloadRow]
       .mapPartitions { rows =>
+        useMemoryCache()
         rows.map { r =>
           val nb = r.bytes.length
           val (w, h) = imageGeometry(nb)
@@ -240,6 +254,7 @@ object Multimodal {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { rows =>
+      useMemoryCache()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.png))
@@ -281,6 +296,7 @@ object Multimodal {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { rows =>
+      useMemoryCache()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.png))
@@ -402,6 +418,7 @@ object Multimodal {
       .filter(octet_length(col("bytes")) > 0)
       .as[PayloadRow]
       .mapPartitions { rows =>
+        useMemoryCache()
         // ONE writer per partition (the ImageIO service-registry lookup
         // and writer construction measured ~4x the actual encode work
         // when done per row); disposed after the iterator drains via the
@@ -449,6 +466,7 @@ object Multimodal {
     val spark = tiffs.sparkSession
     import spark.implicits._
     tiffs.mapPartitions { rows =>
+      useMemoryCache()
       // ONE reader per partition, re-targeted per row (same rationale
       // and lifecycle as the encodeVideo writer)
       val rd = javax.imageio.ImageIO
@@ -506,6 +524,7 @@ object Multimodal {
     val spark = tiffs.sparkSession
     import spark.implicits._
     tiffs.mapPartitions { rows =>
+      useMemoryCache()
       val rd = javax.imageio.ImageIO
         .getImageReadersByFormatName("tiff").next()
       rows.map { r =>
@@ -575,6 +594,7 @@ object Multimodal {
       .filter(octet_length(col("bytes")) > 0)
       .as[PayloadRow]
       .mapPartitions { rows =>
+        useMemoryCache()
         val w = javax.imageio.ImageIO
           .getImageWritersByFormatName("jpeg").next()
         rows.map { r =>
@@ -644,6 +664,7 @@ object Multimodal {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { rows =>
+      useMemoryCache()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.png))

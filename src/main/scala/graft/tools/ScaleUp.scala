@@ -87,14 +87,39 @@ object ScaleUp {
     replicate("documents", Seq("doc_id"),
       (df, i) => df.withColumn("text", caesar(col("text"), i)))
     replicate("embeddings", Seq("vec_id"), (df, i) => {
-      // shift stride 7 is coprime to the 64-dim vectors: every replica
-      // i < 64 gets a DISTINCT rotation (i%8 would collide at i=8,
-      // re-creating exact cross-replica duplicates)
-      val k = (i * 7) % 64
-      if (k == 0) df
-      else df.withColumn("embedding",
-        concat(expr(s"slice(embedding, ${k + 1}, size(embedding))"),
-          expr(s"slice(embedding, 1, $k)")))
+      if (i == 0) df
+      else {
+        // shift stride 7 is coprime to the 64-dim vectors: every replica
+        // i < 64 gets a DISTINCT rotation (i%8 would collide at i=8,
+        // re-creating exact cross-replica duplicates)
+        val k = (i * 7) % 64
+        val rotated =
+          if (k == 0) df
+          else df.withColumn("embedding",
+            concat(expr(s"slice(embedding, ${k + 1}, size(embedding))"),
+              expr(s"slice(embedding, 1, $k)")))
+        // rotation alone leaves PERIODIC vectors (notably the planted
+        // constant-valued dup groups) byte-identical across replicas —
+        // measured at the first 10× sweep as ~100× exact-dup PAIR growth
+        // (dd_embedding rows 920 → 96,589) that cascaded into the whole
+        // graph-over-dup-pairs family (dd_harmonic TIMEOUT: the near-dup
+        // graph gained factor² cross-replica edges). A per-replica
+        // deterministic SIGN pattern (splitmix64 of i) fixes this
+        // exactly: ⟨s∘u, s∘v⟩ = ⟨u,v⟩ for s ∈ {±1}ⁿ, so every
+        // within-replica inner product — hence every cosine, LSH sign,
+        // and exact-dup relation — is preserved bit-for-bit in
+        // magnitude, while no non-zero vector can equal its own flip on
+        // the ~32 flipped coordinates across replicas.
+        var p = i.toLong * 0x9E3779B97F4A7C15L
+        p ^= (p >>> 30); p *= 0xBF58476D1CE4E5B9L
+        p ^= (p >>> 27); p *= 0x94D049BB133111EBL
+        p ^= (p >>> 31)
+        val signs = array((0 until 64).map { j =>
+          lit(if (((p >>> j) & 1L) == 1L) -1.0f else 1.0f)
+        }: _*)
+        rotated.withColumn("embedding",
+          zip_with(col("embedding"), signs, (x, s) => x * s))
+      }
     })
     spark.stop()
   }
