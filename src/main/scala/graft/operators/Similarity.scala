@@ -39,11 +39,22 @@ object Similarity {
     graft.functions.VectorKernels.cosine(a, b)
 
   /** Exact top-k neighbors for each query vector by brute force:
-    * queries × corpus cross join (the corpus side streams; the query side
-    * should be the small one — broadcast). The baseline every ANN variant
-    * is measured against. */
+    * queries × corpus cross join. The QUERY side is broadcast
+    * EXPLICITLY: left to the planner, a derived query frame carries no
+    * size statistics, so the cross join either builds on the corpus —
+    * the side that grows with the data, capping parallelism at the
+    * query count and re-paying the broadcast at every scale-up — or
+    * degrades to CartesianProduct outright once the corpus estimate
+    * crosses the threshold (measured as a 27-33× wall blowup at 10×
+    * data on the bounded-query registrations). Broadcasting the bounded
+    * query side instead streams the corpus at full partition
+    * parallelism and lets the WindowGroupLimit partial prune run
+    * map-side, so the per-query window shuffles k·|queries| rows per
+    * partition, never |queries|×|corpus|. The baseline every ANN
+    * variant is measured against. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val pairs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
       .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -416,7 +427,8 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val deq = sq8Dequantized(corpus)
     val qs = deq.join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    val pairs = qs.select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    // query side broadcast for the same scale reason as [[bruteForceTopK]]
+    val pairs = broadcast(qs.select(col("vec_id").as("query_id"), col("qv").as("qa")))
       .crossJoin(deq.select(col("vec_id").as("neighbor_id"), col("qv").as("qb")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -554,7 +566,8 @@ object Similarity {
     val rec = pqDequantized(corpus, subDim, ksub, lloydIters)
     val qs = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qa"))
-    val pairs = qs
+    // query side broadcast for the same scale reason as [[bruteForceTopK]]
+    val pairs = broadcast(qs)
       .crossJoin(rec.select(col("vec_id").as("neighbor_id"), col("qv").as("nv")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -596,7 +609,8 @@ object Similarity {
     val rec = pqDequantized(corpus, subDim, ksub, lloydIters)
     val qs = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qa"))
-    val adc = qs
+    // query side broadcast for the same scale reason as [[bruteForceTopK]]
+    val adc = broadcast(qs)
       .crossJoin(rec.select(col("vec_id").as("neighbor_id"), col("qv").as("nv")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
