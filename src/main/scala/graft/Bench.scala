@@ -59,9 +59,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Prior-round per-query seconds from BENCH_PRIOR.json if the file
     * exists (one JSON line in this program's own output format; parsing
-    * in [[BenchCore.parsePrior]]). */
+    * in [[BenchCore.parsePrior]]). `SPARK_GRAFT_PRIOR` overrides the
+    * path; `off` disables the prior entirely — the scaling sweeps run
+    * this same binary at 10× data, where the sf0.1 prior would flag
+    * every query a 3×-regression suspect and burn the retry budget. */
   private def loadPrior(): Map[String, Double] = {
-    val f = new java.io.File("BENCH_PRIOR.json")
+    val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR", "BENCH_PRIOR.json")
+    if (path == "off") return Map.empty
+    val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
     try BenchCore.parsePrior(scala.io.Source.fromFile(f, "UTF-8").mkString)
     catch { case _: Throwable => Map.empty }
