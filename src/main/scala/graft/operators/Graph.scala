@@ -270,12 +270,54 @@ object Graph {
     * [[bfsHops]] truncation convention), so a deeper-than-cap pair is
     * identically absent on both engines. */
   def harmonicCentrality(edges: DataFrame, maxDepth: Int = 6,
+      scope: CacheScope = CacheScope.ambient): DataFrame =
+    harmonicImpl(edges, maxDepth, None, scope)
+      .agg(sum(expr("1000000 DIV d")).as("harmonic_micros"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(col("node"))
+
+  /** Sampled-source harmonic centrality (Eppstein & Wang 2001): BFS from
+    * the deterministic 1-in-`sampleMod` source subset (`id % sampleMod
+    * == 0`; a production deployment hashes first — ids here are already
+    * assignment-free) and scale each node's partial sum by `sampleMod` —
+    * an unbiased estimator of H(v) for EVERY node from |V|/sampleMod
+    * traversals instead of |V|.
+    *
+    * This is the 100 TB registration for [[harmonicCentrality]]: exact
+    * per-source BFS is O(V·E) state/work no matter how it is
+    * distributed (the sf0.1→sf1 sweep measured the exact form past the
+    * 300 s cap at 10× data), while the sampled form costs
+    * O(V·E / sampleMod) with sampleMod chosen to the accuracy budget
+    * (Eppstein–Wang: Θ(log n / ε²) sources for ±ε·diameter error).
+    * Estimates stay exact integers: `sampleMod · Σ 1e6 DIV d` — the
+    * oracle replays the identical sampled walk, so the check is
+    * bit-exact, not a tolerance. */
+  def harmonicCentralitySampled(edges: DataFrame, maxDepth: Int = 6,
+      sampleMod: Int = 4,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    harmonicImpl(edges, maxDepth, Some(sampleMod), scope)
+      .agg((sum(expr("1000000 DIV d")) * sampleMod)
+          .as("harmonic_est_micros"),
+        count(lit(1)).as("n_src_reached"))
+      .orderBy(col("node"))
+  }
+
+  /** Shared BFS driver for the harmonic family: per-source frontier
+    * expansion from either every node or the 1-in-`sampleMod` subset,
+    * returning the (src, node, d>0) distance set grouped by node (the
+    * caller picks the aggregate). */
+  private def harmonicImpl(edges: DataFrame, maxDepth: Int,
+      sampleMod: Option[Int],
+      scope: CacheScope): org.apache.spark.sql.RelationalGroupedDataset = {
     val e = edges.toDF("a", "b").distinct()
     val nbr = scope.track(
       e.select(col("a").as("x"), col("b").as("y"))
         .union(e.select(col("b").as("x"), col("a").as("y"))))
-    var reached = nbr.select(col("x").as("v")).distinct()
+    val sources = sampleMod.foldLeft(nbr.select(col("x").as("v")).distinct()) {
+      (vs, m) => vs.where(pmod(col("v"), lit(m)) === 0)
+    }
+    var reached = sources
       .select(col("v").as("src"), col("v").as("node"), lit(0).as("d"))
       .localCheckpoint()
     var frontier = reached
@@ -313,9 +355,6 @@ object Graph {
     })
     reached.filter(col("d") > 0)
       .groupBy(col("node"))
-      .agg(sum(expr("1000000 DIV d")).as("harmonic_micros"),
-        count(lit(1)).as("n_reached"))
-      .orderBy(col("node"))
   }
 
   /** k-core of an undirected graph (Seidman 1983): the maximal subgraph

@@ -48,6 +48,48 @@ object Joins {
     Bridge.column(IntegralDivide(Bridge.expression(c.cast("long")), Literal(w)))
   }
 
+  private def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a.cast("long")),
+      Bridge.expression(b.cast("long"))))
+  }
+
+  /** Key-skew advisor: per candidate join/shuffle key value, how much of
+    * the table it owns and the salt factor needed to spread it evenly.
+    *
+    * The planning question behind [[saltedJoin]]: BEFORE a 100 TB join
+    * wedges on one straggler reducer, scan the fact table once (a plain
+    * partial-aggregated groupBy — map-side combine makes this cheap even
+    * on a hot key) and flag every key whose row count exceeds its fair
+    * 1/`nPartitions` share. `salt_factor = ceil(n · nPartitions / total)`
+    * is the number of sub-keys that brings the hot key back to ~one
+    * partition's fair share — the `salt` argument to feed [[saltedJoin]],
+    * or the signal to broadcast instead when the flagged key set is the
+    * whole (low-cardinality) column.
+    *
+    * All integer arithmetic (exact in any engine): `share_ppm` is
+    * parts-per-million via [[idiv]], never a double ratio. Returns ONLY
+    * flagged keys (`salt_factor > 1`) — on a healthy key distribution the
+    * advisor is empty, which is the common case a pipeline asserts on.
+    * The `total` side is a 1-row aggregate cross-joined back (broadcast
+    * by size); the grouped side shuffles once on the key — no collect. */
+  def skewAdvisor(df: DataFrame, key: Column, keyName: String,
+      nPartitions: Int): DataFrame = {
+    require(nPartitions > 0, "nPartitions must be positive")
+    val counts = df.groupBy(key.cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", idiv(col("n") * lit(1000000L), col("__total")))
+      .withColumn("salt_factor",
+        idiv(col("n") * lit(nPartitions.toLong) + col("__total") - 1,
+          col("__total")))
+      .where(col("salt_factor") > 1)
+      .select(lit(keyName).as("key_col"), col("key_value"), col("n"),
+        col("share_ppm"), col("salt_factor"))
+  }
+
   /** Range (interval) join via bin bucketing: `points` rows matched to
     * `intervals` rows (columns `lo`, `hi`) where point ∈ [lo, hi).
     * Intervals may overlap — a point matches every interval containing it.

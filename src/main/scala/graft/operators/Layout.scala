@@ -154,4 +154,37 @@ object Layout {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(partCol).parquet(path)
+
+  /** Small-file compaction plan: assign each inventory row (one file,
+    * with its byte size) to an output bin of ~`targetBytes`, coalescing
+    * CONSECUTIVE files in `sortCols` order — the bin-packing strategy of
+    * table-format OPTIMIZE/rewriteDataFiles jobs (pack in layout order so
+    * compaction preserves clustering; public Delta/Iceberg semantics).
+    *
+    * A streaming sink at 100 TB emits one file per partition per
+    * micro-batch — millions of KB-scale files whose open/seek overhead
+    * dominates scans long before data volume does. The plan is pure
+    * metadata math: `bin = exclusive_prefix_sum(bytes) DIV targetBytes`,
+    * i.e. a file joins the bin where its first byte lands, so every bin
+    * except possibly the last spans ≥ targetBytes and each bin's total is
+    * < targetBytes + max(file) — the standard next-fit bound.
+    *
+    * Scale shape: the inventory is O(#files) — metadata, orders of
+    * magnitude smaller than the table — and the prefix sum is
+    * [[OrderStats.withGlobalPrefixSum]]'s range-partitioned two-pass
+    * construction, so even a billion-file inventory never funnels
+    * through one reducer. `sortCols` must be a total order for the plan
+    * to be deterministic. Returns the inventory plus a `bin` column. */
+  def compactionPlan(inventory: DataFrame, sortCols: Seq[Column],
+      bytes: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    val cum = OrderStats.withGlobalPrefixSum(
+      inventory, sortCols, bytes, "__cum")
+    cum.withColumn("bin", Bridge.column(IntegralDivide(
+        Bridge.expression(col("__cum") - bytes.cast("long")),
+        Literal(targetBytes))))
+      .drop("__cum")
+  }
 }

@@ -165,6 +165,22 @@ object DedupQueries extends QueryFamily {
         .select(col("node").as("vec_id"), col("harmonic_micros"),
           col("n_reached"))),
 
+    // the 100 TB registration for dd_harmonic, fixing BOTH of its scale
+    // killers at once (the r13 sf0.1→sf1 sweep measured the exact form
+    // past the 300 s cap at only 10× data): edges come from the
+    // LSH-bucketed pair join instead of the n² cross join, and the BFS
+    // runs from the deterministic 1-in-4 source sample with ×4-scaled
+    // integer estimates (Eppstein & Wang 2001) — O(V·E/4) instead of
+    // O(V·E), with the sample mod chosen to the accuracy budget. The
+    // oracle replays the identical sampled walk over the identical
+    // bit-exact LSH pair set, so the check is exact, not a tolerance.
+    "dd_harmonic_sampled" -> ((s, d) =>
+      Graph.harmonicCentralitySampled(
+        Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
+          .select(col("vec_a"), col("vec_b")), 6, 4)
+        .select(col("node").as("vec_id"), col("harmonic_est_micros"),
+          col("n_src_reached"))),
+
     // soft dedup: down-WEIGHT near-dup clusters instead of dropping
     // (keep every doc, weight 1/cluster_size — each cluster contributes
     // unit mass, so the weighted corpus equals the hard-dedup corpus in
@@ -652,6 +668,20 @@ object DedupQueries extends QueryFamily {
         |SELECT node AS vec_id, CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micros,
         |       COUNT(*) AS n_reached
         |FROM dist WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical sampled walk over the identical bit-exact LSH pair set:
+    // sources restricted to vec_id % 4 == 0, estimates scaled ×4
+    "dd_harmonic_sampled" ->
+      s"""WITH RECURSIVE $embeddingLshPairsCte,
+         |nb AS (SELECT vec_a AS x, vec_b AS y FROM lshp UNION ALL SELECT vec_b, vec_a FROM lshp),
+         |walk(src, node, d) AS (
+         |  SELECT DISTINCT x, x, 0 FROM nb WHERE x % 4 = 0
+         |  UNION
+         |  SELECT w.src, nb.y, w.d + 1 FROM walk w JOIN nb ON nb.x = w.node WHERE w.d < 6),
+         |dist AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+         |SELECT node AS vec_id,
+         |       CAST(SUM(1000000 // d) * 4 AS BIGINT) AS harmonic_est_micros,
+         |       COUNT(*) AS n_src_reached
+         |FROM dist WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact brute-force cosine edge set (identical CTE to dd_embedding)
     // → symmetric neighbor table → wedge pairs minus existing edges;
     // identical integer-micros RA terms, identical integer rank order

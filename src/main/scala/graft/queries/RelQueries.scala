@@ -1008,6 +1008,36 @@ object RelQueries extends QueryFamily {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // the planning pass BEFORE rel_salted_join: one partial-aggregated
+    // scan per candidate key flags every value owning more than its
+    // 1/32 fair share and sizes the salt to feed Joins.saltedJoin.
+    // user_id (150 uniform keys) proves the healthy-key empty result
+    // inside the same artifact; event_type (5 values ≈ 200k ppm each)
+    // fires all five. Integer ppm/ceil arithmetic — exact cross-engine.
+    "rel_skew_advisor" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Joins.skewAdvisor(ev, col("user_id"), "user_id", 32)
+        .unionByName(graft.operators.Joins
+          .skewAdvisor(ev, col("event_type"), "event_type", 32))
+        .orderBy(col("key_col"), col("key_value"))
+    }),
+
+    // small-file compaction plan (Layout.compactionPlan): the streaming
+    // sink's per-(day,type) file inventory — metadata rows, not data —
+    // packed into ~16 KiB bins in layout order via the range-partitioned
+    // prefix sum (OrderStats), so the planner itself never single-reduces
+    // even on a billion-file inventory. bytes is an exact integer size
+    // model (chars(props) + 64/row) so both engines bin identically.
+    "rel_compaction_plan" -> ((s, d) => {
+      val inv = Tables.events(s, d)
+        .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        .agg(sum(length(col("props")).cast("long") + 64L).as("bytes"))
+      graft.operators.Layout.compactionPlan(
+          inv, Seq(col("day"), col("event_type")), col("bytes"), 16384L)
+        .select(col("day"), col("event_type"), col("bytes"), col("bin"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // data-contract audit (DataQuality): the pre-promotion screen over an
     // ingest batch — range/shape shares, referential orphans, key
     // uniqueness. Same-table checks fuse into ONE conditional-agg scan
@@ -1752,6 +1782,36 @@ object RelQueries extends QueryFamily {
       """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer ppm/ceil replication of the advisor; the user_id branch
+    // contributes zero rows (uniform keys under the 1/32 share) and the
+    // event_type branch all five — the oracle checks both outcomes
+    "rel_skew_advisor" ->
+      """WITH cu AS (SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n FROM events GROUP BY 1),
+        |ce AS (SELECT CAST(event_type AS VARCHAR) AS key_value, COUNT(*) AS n FROM events GROUP BY 1),
+        |a AS (SELECT 'user_id' AS key_col, key_value, n,
+        |             CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm,
+        |             CAST((n * 32 + t.total - 1) // t.total AS BIGINT) AS salt_factor
+        |      FROM cu CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cu) t
+        |      UNION ALL
+        |      SELECT 'event_type', key_value, n,
+        |             CAST(n * 1000000 // t.total AS BIGINT),
+        |             CAST((n * 32 + t.total - 1) // t.total AS BIGINT)
+        |      FROM ce CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS total FROM ce) t)
+        |SELECT key_col, key_value, n, share_ppm, salt_factor FROM a
+        |WHERE salt_factor > 1 ORDER BY key_col, key_value""".stripMargin,
+    // exclusive-prefix-sum // target over the same integer size model;
+    // a single ordered window is exact ORACLE-side at fixture scale —
+    // the engine side is the two-pass OrderStats construction
+    "rel_compaction_plan" ->
+      """WITH f AS (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |                  CAST(SUM(LENGTH(props) + 64) AS BIGINT) AS bytes
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT day, event_type, bytes,
+        |             CAST(COALESCE(SUM(bytes) OVER (ORDER BY day, event_type
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |      FROM f)
+        |SELECT day, event_type, bytes, CAST(prior // 16384 AS BIGINT) AS bin
+        |FROM c ORDER BY day, event_type""".stripMargin,
     // computed DIRECTLY from events — a pass proves the engine's
     // daily→weekly reaggregation algebra exact
     "rel_reaggregate" ->

@@ -27,9 +27,15 @@ object Scaling {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle parallelism from the core
+    // count for the cluster-sizing experiment (SCALING.md §Parallelism):
+    // same cores, more/smaller shuffle partitions — if a flagged query's
+    // superlinear drift melts, it was per-partition working-set pressure
+    // (the knob a real cluster turns with data size), not operator cost.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -294,6 +294,25 @@ class GraphSpec extends GraftSparkSpec {
         (3L, 2000000L, 2L), (4L, 1000000L, 1L)))
   }
 
+  test("harmonicCentralitySampled: mod 1 == exact form; mod 2 hand-math") {
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    // sampleMod=1 samples every source and scales by 1 — bit-equal to
+    // the exact centrality, column names aside
+    val exact = Graph.harmonicCentrality(g, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Graph.harmonicCentralitySampled(g, 6, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === exact)
+    // sampleMod=2 on path 1-2-3-4: sources {2, 4}.
+    // d(2,·): 1->1, 3->1, 4->2; d(4,·): 1->3, 2->2, 3->1.
+    // est(1) = 2*(1e6 + 1e6/3) = 2666666; est(2) = 2*(5e5) = 1000000;
+    // est(3) = 2*(1e6 + 1e6) = 4000000; est(4) = 2*(5e5) = 1000000.
+    val sampled = Graph.harmonicCentralitySampled(g, 6, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sampled === Seq((1L, 2666666L, 2L), (2L, 1000000L, 1L),
+      (3L, 4000000L, 2L), (4L, 1000000L, 1L)))
+  }
+
   test("linkPrediction: hub apex contributes less than a bottleneck apex") {
     // star apex 0 with leaves 1..4 (deg 4) plus path 10-11-12 (apex deg 2):
     // leaf pairs score 250000 each, (10,12) scores 500000 and ranks first;

@@ -48,6 +48,33 @@ class JoinsSpec extends GraftSparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("skewAdvisor: hand-computed ppm/salt on a hot key; healthy key empty") {
+    val s = spark
+    import s.implicits._
+    // 100 rows: key 1 holds 60, keys 2..9 hold 5 each -> total 100.
+    // nPartitions=8: fair share 12.5. Flagged: key 1 only,
+    // share_ppm = 60*1e6 DIV 100 = 600000, salt = ceil(60*8/100) = 5.
+    val df = ((0 until 60).map(_ => 1L) ++
+      (0 until 40).map(i => 2L + i % 8)).toDF("k")
+    val got = Joins.skewAdvisor(df, col("k"), "k", 8).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "k")
+    assert(got.head.getString(1) === "1")
+    assert(got.head.getLong(2) === 60L)
+    assert(got.head.getLong(3) === 600000L)
+    assert(got.head.getLong(4) === 5L)
+    // healthy distribution: 8 uniform keys over 8 partitions -> exactly
+    // fair share each, ceil(n*P/total) = 1, nothing flagged
+    val uniform = (0 until 800).map(i => (i % 8).toLong).toDF("k")
+    assert(Joins.skewAdvisor(uniform, col("k"), "k", 8).count() === 0L)
+    // boundary: one row over fair share flips the flag on
+    val over = ((0 until 101).map(_ => 1L) ++
+      (0 until 700).map(i => 2L + i % 7)).toDF("k")
+    val flagged = Joins.skewAdvisor(over, col("k"), "k", 8)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(flagged === Map("1" -> 2L)) // ceil(101*8/801) = 2
+  }
+
   test("bucketed tables join without an Exchange on either side") {
     val s = spark
     import s.implicits._

@@ -54,6 +54,40 @@ class LayoutSpec extends GraftSparkSpec {
     assert(got("xsort") === ((16L, 12L, 4096L, 3072L, 750000L)))
   }
 
+  test("compactionPlan: hand-math bins, next-fit bound, == single-window form") {
+    val s = spark
+    import s.implicits._
+    // five 5-byte files, target 8: exclusive prefix sums 0,5,10,15,20
+    // -> bins 0,0,1,1,2
+    val five = (0 until 5).map(i => (i.toLong, 5L)).toDF("f", "bytes")
+    val bins = Layout.compactionPlan(five, Seq(col("f")), col("bytes"), 8L)
+      .orderBy(col("f")).select("bin").as[Long].collect().toSeq
+    assert(bins === Seq(0L, 0L, 1L, 1L, 2L))
+    // pseudo-random inventory: the plan must equal the one-reducer window
+    // formulation exactly, and respect the next-fit packing bound
+    val inv = spark.range(500).select(col("id").as("f"),
+      (pmod(hash(col("id")), lit(4000)) + 1).cast("long").as("bytes"))
+    val target = 10000L
+    val got = Layout.compactionPlan(inv, Seq(col("f")), col("bytes"), target)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("f"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val oracle = inv.withColumn("bin",
+      floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / target))
+    assert(got.select("f", "bin").exceptAll(oracle.select("f", "bin")).count() === 0)
+    assert(oracle.select("f", "bin").exceptAll(got.select("f", "bin")).count() === 0)
+    val perBin = got.groupBy("bin").agg(
+      sum(col("bytes")).as("total"), max(col("bytes")).as("mx"))
+    val maxFile = 4000L
+    val lastBin = perBin.agg(max(col("bin"))).head().getLong(0)
+    perBin.collect().foreach { r =>
+      assert(r.getLong(1) < target + maxFile,
+        s"bin ${r.getLong(0)} exceeds next-fit bound: ${r.getLong(1)}")
+      if (r.getLong(0) != lastBin)
+        assert(r.getLong(1) + maxFile > target,
+          s"non-final bin ${r.getLong(0)} underfilled: ${r.getLong(1)}")
+    }
+  }
+
   test("dynamic partition overwrite replaces only the touched partition") {
     val s = spark
     import s.implicits._
