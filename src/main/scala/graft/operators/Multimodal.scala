@@ -341,6 +341,61 @@ object Multimodal {
     *
     * Per-partition shape mirrors [[encodeImages]]: mapPartitions
     * amortizes writer lookup; the work is narrow (no shuffle). */
+  /** javax.sound SPI access WITHOUT `AudioSystem`'s per-call global
+    * lock: `AudioSystem.getAudioInputStream`/`write` synchronize on the
+    * JDK's provider-registry monitor for EVERY call, serializing all
+    * executor threads through it — measured at 10× data as NEGATIVE
+    * scaling (50k decodes: 8.8 s on 1 thread, 14.7 s on 32 —
+    * SCALING.md). The public `ServiceLoader` seam resolves the same SPI
+    * providers once per JVM; the JDK's reader/writer instances are
+    * stateless parsers, safe to share across tasks. */
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // WAVE readers first: every payload here is RIFF/WAVE, and a
+    // rejecting probe is not free — the JDK's MIDI-capable reader
+    // (Gervill) walks ANOTHER synchronized provider registry before
+    // throwing, which re-serializes the very path this seam de-locks.
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+      .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+  }
+
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** Lock-free replacement for `AudioSystem.getAudioInputStream(bytes)`:
+    * probe the resolved readers in SPI order; each probe gets a fresh
+    * in-memory stream (rejecting readers may consume header bytes). */
+  private[graft] def probeOpenWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    openWav(bytes)
+
+  private def openWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val rs = wavReaders
+    var i = 0
+    while (i < rs.length) {
+      try return rs(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no SPI reader recognizes the payload")
+  }
+
+  /** Lock-free replacement for `AudioSystem.write(ais, WAVE, out)`. */
+  private def writeWav(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    wavWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out); ()
+      case None => throw new IllegalStateException("no WAVE SPI writer")
+    }
+  }
+
   def encodeAudio(docs: DataFrame): Dataset[WavRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -354,8 +409,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(r.bytes), fmt, r.bytes.length.toLong)
           val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          writeWav(ais, out)
           WavRow(r.doc_id, out.toByteArray)
         }
       }
@@ -378,8 +432,7 @@ object Multimodal {
     import spark.implicits._
     wavs.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = openWav(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -756,8 +809,7 @@ object Multimodal {
     import spark.implicits._
     wavs.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = openWav(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -795,8 +847,7 @@ object Multimodal {
     import spark.implicits._
     wavs.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = openWav(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -843,8 +894,7 @@ object Multimodal {
     val lags = Array(1, 2, 4, 8)
     wavs.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = openWav(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
@@ -903,8 +953,7 @@ object Multimodal {
     val C = math.sqrt(2.0)
     wavs.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = openWav(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
           s"doc ${r.doc_id}: unexpected decoded format $fmt")
