@@ -87,8 +87,25 @@ object Verify {
           }
         })
     }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    // Global deadline (3rd layer): a single wedged query (host stall, codegen
+    // livelock) must not hold the artifact hostage past the driver's own
+    // timeout — the driver SIGKILLs and records `{}`. On breach: cancel all
+    // Spark jobs, abandon the pool, exit 0. Finished dumps verify; the
+    // stragglers surface as per-query errors instead of a zeroed round.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_DEADLINE_S", "2700").toLong
+    val deadlineNs = System.nanoTime() + deadlineS * 1000000000L
+    val timedOut = tasks.exists { t =>
+      val leftMs = (deadlineNs - System.nanoTime()) / 1000000L
+      try { t.get(math.max(leftMs, 1L), java.util.concurrent.TimeUnit.MILLISECONDS); false }
+      catch { case _: java.util.concurrent.TimeoutException => true }
+    }
+    if (timedOut) {
+      System.err.println(s"[verify] DEADLINE ${deadlineS}s breached — cancelling stragglers")
+      spark.sparkContext.cancelAllJobs()
+      pool.shutdownNow(): Unit
+    } else pool.shutdown()
     spark.stop()
+    // a straggler thread ignoring its interrupt must not block JVM exit
+    if (timedOut) sys.exit(0)
   }
 }

@@ -1,0 +1,126 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Formats
+
+/** Multi-format ingestion family (SURVEY §2.1 extension): CSV, JSON-lines,
+  * ORC, and Hive-partitioned parquet, each exercised as a REAL
+  * write-then-read round-trip inside the timed/oracled query — the oracle
+  * aggregate over the parquet source can only match if the format writer
+  * and reader both ran losslessly (same proof convention as the
+  * Multimodal codec family).
+  *
+  * Projection discipline: every source column that survives into the
+  * round-trip is either integral, string, or pre-converted to an exact
+  * integer (money → cents, timestamp → epoch-µs), so text formats (CSV /
+  * JSON) have no float-formatting or timezone ambiguity to round-trip —
+  * the engine's ingest contract at 100 TB, where a reader/writer
+  * formatting asymmetry is a silent-corruption class, not a rounding nit.
+  */
+object FormatQueries extends QueryFamily {
+  import QueryFamily._
+
+  /** orders with exact-typed money/date columns (shared by csv/partition). */
+  private def ordersExact(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_c"),
+      // NTZ→LTZ cast is identity on the epoch value under the UTC session
+      unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+      col("o_orderpriority"))
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // CSV ingest/egress: header on, explicit read schema (no inferSchema
+    // second scan). Aggregate touches every written column class (key
+    // sums, money cents, date-µs extremes) so a quoting/escaping defect
+    // in ANY column breaks the oracle hash.
+    "fmt_csv_roundtrip" -> ((s, d) => {
+      val back = Formats.roundtrip(s, ordersExact(s, d), "csv",
+        jvmScratch("fmt_csv"), Map("header" -> "true"))
+      back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_c")).as("price_c_sum"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("odate_us")).as("min_odate_us"),
+          max(col("odate_us")).as("max_odate_us"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON-lines ingest/egress over customer: the schema-on-read path a
+    // log-shaped 100 TB corpus arrives through before its parquet rewrite.
+    "fmt_json_roundtrip" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"), col("c_mktsegment"))
+      val back = Formats.roundtrip(s, src, "json", jvmScratch("fmt_json"))
+      back.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_c")).as("bal_c_sum"),
+          sum(col("c_custkey")).as("key_sum"),
+          sum(length(col("c_name"))).as("name_len_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ORC round-trip over the widest fact projection: ORC is the one
+    // non-parquet format here that stays first-class at scale (columnar,
+    // min/max + Bloom stats, filter pushdown), so it gets the
+    // pricing-summary-shaped aggregate.
+    "fmt_orc_roundtrip" -> ((s, d) => {
+      val src = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+      val back = Formats.roundtrip(s, src, "orc", jvmScratch("fmt_orc"))
+      back.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty_c")).as("qty_c_sum"),
+          sum(col("price_c")).as("price_c_sum"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Hive-partitioned write + planning-time pruned read: month=1..3 of a
+    // month-partitioned orders table — the "last N months of 100 TB is an
+    // N-directory scan" layout. The filter lands in PartitionFilters
+    // (pruned before file listing), pinned by PlanFingerprintSpec.
+    "fmt_partitioned_scan" -> ((s, d) => {
+      val src = ordersExact(s, d)
+        .withColumn("omonth", month(timestamp_micros(col("odate_us"))))
+      val back = Formats.partitionedRoundtrip(s, src, "omonth",
+        jvmScratch("fmt_part"))
+      back.filter(col("omonth") <= 3)
+        .groupBy(col("omonth"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_c_sum"))
+        .orderBy(col("omonth"))
+    }))
+
+  val oracles: ListMap[String, String] = ListMap(
+    "fmt_csv_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS price_c_sum,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  MIN(epoch_us(o_orderdate)) AS min_odate_us,
+         |  MAX(epoch_us(o_orderdate)) AS max_odate_us
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fmt_json_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS bal_c_sum,
+         |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+         |  CAST(SUM(length(c_name)) AS BIGINT) AS name_len_sum
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fmt_orc_roundtrip" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c_sum,
+         |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_c_sum
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fmt_partitioned_scan" ->
+      s"""SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS omonth,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS price_c_sum
+         |FROM orders WHERE EXTRACT(month FROM o_orderdate) <= 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
