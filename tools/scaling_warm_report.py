@@ -54,6 +54,8 @@ def main():
     rows = []
     for name in sorted(set(prior) | set(sf1)):
         a, b = prior.get(name), sf1.get(name)
+        if b is not None and b < 0:
+            b = None  # Bench error marker (capped/errored at sf1)
         ratio = (b / max(a, 1e-9)) if (a is not None and b is not None) else None
         ca, cb = c01.get(name), c1.get(name)
         cr = (cb / max(ca, 1e-9)) if (ca and cb) else None
@@ -65,12 +67,14 @@ def main():
     flagged = []
     for name, a, b, ratio, cr in rows:
         note = ""
-        if name in declared:
+        if name in declared and ratio is None:
             note = "declared exact/O(n²) baseline — skipped at sf1 by design"
+        elif name in declared:
+            note = "declared exact/O(n²) baseline (scale sibling registered)"
         elif ratio is None:
             note = "unmeasured"
         elif ratio > 12:
-            note = "**superlinear — investigate**"
+            note = "**>12x warm — see the flagged-query analysis section**"
             flagged.append(name)
         fa = f"{a:.3f}" if a is not None else "—"
         fb = f"{b:.3f}" if b is not None else "—"
