@@ -83,6 +83,29 @@ object FormatQueries extends QueryFamily {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Corrupt-record quarantine e2e: JSON lines with every doc_id%7==0
+    // row deterministically truncated (strips the closing `"}`— the last
+    // struct field is a string precisely so truncation always breaks the
+    // quoting). PERMISSIVE parse + split; the oracle computes the
+    // expected clean/bad partition directly from parquet, so equality
+    // proves the parser quarantined EXACTLY the corrupted rows — no
+    // silent drop (DROPMALFORMED) and no over-eager rejection.
+    "fmt_json_quarantine" -> ((s, d) => {
+      val dir = jvmScratch("fmt_quar")
+      Tables.documents(s, d)
+        .withColumn("js", to_json(struct(col("doc_id"), col("source"))))
+        .select(when(col("doc_id") % 7 === 0,
+            expr("substring(js, 1, length(js) - 2)")
+          ).otherwise(col("js")).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING")
+      val (clean, bad) = Formats.readJsonQuarantine(s, dir, schema)
+      clean.agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("clean_id_sum"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+    }),
+
     // Hive-partitioned write + planning-time pruned read: month=1..3 of a
     // month-partitioned orders table — the "last N months of 100 TB is an
     // N-directory scan" layout. The filter lands in PartitionFilters
@@ -117,6 +140,12 @@ object FormatQueries extends QueryFamily {
          |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c_sum,
          |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS price_c_sum
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fmt_json_quarantine" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS clean_id_sum,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |FROM documents""".stripMargin,
     "fmt_partitioned_scan" ->
       s"""SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS omonth,
          |  COUNT(*) AS n,

@@ -50,13 +50,15 @@ object Formats {
     * with no audit trail; quarantining keeps the job running AND keeps
     * the bad bytes replayable after the upstream fix.
     *
-    * The split `filter` runs on the parsed batch ITSELF (one scan feeds
-    * both sides only if the caller persists; unpersisted, each side
-    * re-reads — acceptable because quarantine is normally written once,
-    * immediately, as the ingest audit). Spark refuses a query that
-    * references ONLY the corrupt column (the parser would need to
-    * un-prune it), so callers selecting just the raw line must keep one
-    * data column alongside — the returned quarantine frame already does.
+    * The parsed batch is `cache()`d before the split, for two reasons:
+    * one parse feeds both sides, and — load-bearing — Spark REFUSES any
+    * raw-file query whose pruned schema is only the corrupt column
+    * (column pruning turns `quarantine.count()` into exactly that; the
+    * documented workaround is to cache the parsed rows, which
+    * materializes full rows and lifts the restriction). The cache block
+    * is tiny relative to the source (one ingest batch) and falls under
+    * the registry's periodic `clearCache` hygiene; long-lived callers
+    * should `unpersist()` after writing the quarantine audit.
     */
   def readJsonQuarantine(spark: SparkSession, path: String,
                          schema: org.apache.spark.sql.types.StructType,
@@ -66,6 +68,7 @@ object Formats {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+      .cache()
     val clean = parsed.filter(col(corruptCol).isNull).drop(corruptCol)
     val quarantine = parsed.filter(col(corruptCol).isNotNull)
     (clean, quarantine)
