@@ -39,6 +39,34 @@ class FormatsSpec extends GraftSparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"), plan)
   }
 
+  test("parquet codec matrix: zstd/snappy/gzip all round-trip losslessly") {
+    // storage codec is a first-order 100 TB cost knob (zstd ≈ half of
+    // snappy at similar scan speed); the engine must read back any of them
+    for ((codec, suffix) <- Seq("zstd" -> "zstd", "snappy" -> "snappy",
+        "gzip" -> "gz")) {
+      val dir = scratch(s"codec_$codec")
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles().map(_.getName)
+      assert(files.exists(_.endsWith(s".$suffix.parquet")),
+        s"$codec not applied: ${files.mkString(",")}")
+      assert(canon(spark.read.parquet(dir)) === canon(src))
+    }
+  }
+
+  test("schema evolution: mergeSchema unions late columns, early rows read null") {
+    // landing prefixes drift: day N+1 adds a column. mergeSchema=true
+    // reconciles footers at read; rows from the old files surface NULL.
+    val dir = scratch("evolve")
+    src.select("id", "grp").write.parquet(s"$dir/day=1")
+    src.select(col("id"), col("grp"), col("cents"))
+      .write.parquet(s"$dir/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "grp", "cents", "day"))
+    assert(merged.filter(col("day") === 1 && col("cents").isNull).count() === 1000)
+    assert(merged.filter(col("day") === 2).agg(sum("cents")).head.getLong(0)
+      === src.agg(sum("cents")).head.getLong(0))
+  }
+
   test("json quarantine: malformed lines split out, clean side parses fully") {
     val dir = scratch("quarantine")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

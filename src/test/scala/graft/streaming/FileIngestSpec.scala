@@ -13,6 +13,37 @@ class FileIngestSpec extends GraftSparkSpec {
 
   private def mkdirs(p: String): String = { Files.createDirectories(Paths.get(p)); p }
 
+  test("dead-letter routing: malformed stream lines quarantined per batch, " +
+    "clean rows aggregate correctly") {
+    val s = spark
+    val root = QueryFamily.jvmScratch("dead_letter")
+    val landing = mkdirs(s"$root/landing")
+    val dead = s"$root/dead"
+    val goodA = (1 to 8).map(i => s"""{"id": $i, "user": "u${i % 2}"}""")
+    val badA = Seq("""{"id": 9 "user": "u1"}""", "garbage")
+    Files.write(Paths.get(s"$landing/a.json"),
+      String.join("\n", (goodA ++ badA): _*).getBytes)
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, user STRING")
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    val q = DeadLetter.jsonDirStream(s, landing, schema)
+      .writeStream.option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        DeadLetter.route(batch, id, dead) { clean =>
+          clean.groupBy(col("user")).count().collect()
+            .foreach(r => seen(r.getString(0)) =
+              seen.getOrElse(r.getString(0), 0L) + r.getLong(1))
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen === Map("u0" -> 4L, "u1" -> 4L))
+      val quarantined = s.read.parquet(dead).collect().map(_.getString(0)).toSet
+      assert(quarantined === badA.toSet)
+    } finally q.stop()
+  }
+
   test("tails a parquet directory incrementally and survives restart " +
     "without reprocessing (exactly-once)") {
     val s = spark
