@@ -34,6 +34,10 @@ case class ImageStats(doc_id: Long, width: Int, height: Int, n_pixels: Int,
 case class HistStats(doc_id: Long, n_pixels: Int, n_bins_hit: Int,
     mode_bin: Int, chi2_num: Long)
 
+/** One cell of an area-averaged fixed-grid thumbnail (see
+  * [[Multimodal.resizeGrid]]): exact integer mean luminance in micros. */
+case class ResizeCell(doc_id: Long, cell: Int, n_px: Long, mean_micros: Long)
+
 /** Roundtrip statistics of a LOSSY (JPEG) codec. Unlike [[ImageStats]],
   * the pixel plane cannot be oracle-exact — JPEG quantization error is
   * codec-implementation-specific — so the exactness contract splits:
@@ -326,6 +330,51 @@ object Multimodal {
           b += 1
         }
         HistStats(r.doc_id, n, hit, mode, chi2)
+      }
+    }
+  }
+
+  /** REAL decode + area-average RESIZE to a fixed `grid`×`grid` thumbnail
+    * — the standardize-before-embedding step of an image training
+    * pipeline, done in exact integer arithmetic so DuckDB replicates it
+    * bit-for-bit from the synthesis rule. Source pixel (x,y) of a w×h
+    * raster maps to cell (grid·x DIV w, grid·y DIV h): the contiguous
+    * floor-partition a box resampler uses when the ratio isn't integral —
+    * every pixel lands in exactly one cell, cell extents differ by ≤ 1
+    * source pixel. Cell value = 10^6·sum DIV count (integer micros; no
+    * float accumulation order to disagree on). Rasters narrower than the
+    * grid leave some cells empty — only populated cells are emitted, and
+    * the oracle's partition replay produces exactly the same set.
+    * Scale: one decode pass per image inside `mapPartitions`, no shuffle
+    * until the output aggregate — embarrassingly parallel. */
+  def resizeGrid(images: Dataset[ImageRow], grid: Int = 4): Dataset[ResizeCell] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      useMemoryCache()
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val sums = new Array[Long](grid * grid)
+        val cnts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val ty = grid * y / h
+          var x = 0
+          while (x < w) {
+            val c = ty * grid + grid * x / w
+            sums(c) += raster.getSample(x, y, 0)
+            cnts(c) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        (0 until grid * grid).iterator.filter(cnts(_) > 0).map { c =>
+          ResizeCell(r.doc_id, c, cnts(c), 1000000L * sums(c) / cnts(c))
+        }
       }
     }
   }

@@ -70,6 +70,16 @@ object MultimodalQueries extends QueryFamily {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // REAL decode + area-average resize to a fixed 4x4 thumbnail
+    // (Multimodal.resizeGrid): floor-partition boxes, exact integer
+    // mean micros per cell — the standardize-before-embedding step,
+    // oracled by replaying the synthesis rule + the same partition.
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeGrid(
+        Multimodal.encodeImages(Tables.documents(s, d)))
+        .toDF()
+        .orderBy(col("doc_id"), col("cell"))),
+
     // REAL audio codec roundtrip — the second modality off the stub:
     // text bytes → 8-bit PCM samples → actual RIFF/WAVE (AudioSystem
     // encode) → header parse + frame decode → stats from the DECODED
@@ -282,6 +292,29 @@ object MultimodalQueries extends QueryFamily {
     // same synthesis-rule pixel replay as mm_decode, bucketed DIV 16
     // with zero-count bins present, the same argmax tie rule, and the
     // denominator-cleared χ² numerator in exact integers
+    // same synthesis-rule pixel replay; cell = (4y DIV h)*4 + (4x DIV w)
+    // (the floor box partition), mean = 1e6*sum DIV count in exact ints
+    "mm_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |g AS (
+         |  SELECT doc_id, hx, nb,
+         |         CAST(1 + nb % 16 AS INT) AS width,
+         |         CAST(1 + (nb // 16) % 16 AS INT) AS height
+         |  FROM b),
+         |px AS (
+         |  SELECT doc_id,
+         |         CAST((4 * (i // width)) // height AS INT) * 4
+         |           + CAST((4 * (i % width)) // width AS INT) AS cell,
+         |         ('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::BIGINT AS v
+         |  FROM (SELECT doc_id, hx, nb, width, height,
+         |          unnest(range(0, CAST(width * height AS BIGINT))) AS i
+         |        FROM g) u)
+         |SELECT doc_id, cell, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(1000000 * SUM(v) // COUNT(*) AS BIGINT) AS mean_micros
+         |FROM px GROUP BY 1, 2 ORDER BY doc_id, cell""".stripMargin,
     "mm_histogram" ->
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS hx,

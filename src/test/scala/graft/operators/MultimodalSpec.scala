@@ -76,6 +76,24 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(b.chi2_num === (16L * 10 - 10) * (16L * 10 - 10) + 15L * 10 * 10)
   }
 
+  test("resize grid: floor box partition and integer means by hand") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "ab"), (1L, "x" * 20)).toDF("doc_id", "text")
+    val cells = Multimodal.resizeGrid(Multimodal.encodeImages(docs))
+      .collect().sortBy(c => (c.doc_id, c.cell))
+    // "ab" → 3×1 raster [97, 98, 97]; tx = 4x DIV 3 → cells 0,1,2 (1 px each)
+    val a = cells.filter(_.doc_id == 0L)
+    assert(a.map(c => (c.cell, c.n_px, c.mean_micros)).toSeq ===
+      Seq((0, 1L, 97000000L), (1, 1L, 98000000L), (2, 1L, 97000000L)))
+    // "x"*20 → 5×2 raster of 120s; rows map to ty∈{0,2}, x to tx 0,0,1,2,3
+    val b = cells.filter(_.doc_id == 1L)
+    assert(b.map(c => (c.cell, c.n_px)).toSeq ===
+      Seq((0, 2L), (1, 1L), (2, 1L), (3, 1L),
+        (8, 2L), (9, 1L), (10, 1L), (11, 1L)))
+    assert(b.forall(_.mean_micros === 120000000L))
+  }
+
   test("real JPEG roundtrip: dims exact, decode deterministic, loss bounded") {
     val s = spark
     import s.implicits._
