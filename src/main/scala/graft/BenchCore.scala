@@ -182,7 +182,12 @@ private[graft] object BenchCore {
     def nUnmeasured: Int =
       currentResults.count(r => r._3.isEmpty && !errors.contains(r._1))
 
-    def nFailed: Int = currentResults.count(_._2 < 0)
+    /** queries that THREW (in `errors`) — deadline-skipped queries are
+      * counted by [[nUnmeasured]] instead: a budget truncation is a host
+      * property, not a query failure, and labeling skips as failures made
+      * the r12 partial artifact read as 45 broken queries when every one
+      * of them was merely unmeasured (`errors` was empty). */
+    def nFailed: Int = currentResults.count(r => r._2 < 0 && errors.contains(r._1))
 
     /** Line-1 builder, shared by the provisional pass-0 emission and the
       * final artifact (the only difference is the extra flag fields).

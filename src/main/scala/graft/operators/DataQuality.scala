@@ -99,4 +99,20 @@ object DataQuality {
     drive(observed)
     obs.get
   }
+
+  /** k-anonymity audit (Sweeney 2002): every quasi-identifier equivalence
+    * class with its size, a `violates_k` flag, and the re-identification
+    * risk ceiling `1e6/size` in exact integer ppm. One partial-aggregated
+    * scan; output cardinality is the (bounded) QI domain, not the row
+    * count, so the map side combines to a few hundred rows per partition
+    * before the only shuffle — the privacy gate a corpus clears before
+    * release costs one cheap pass at any scale. */
+  def kAnonymity(df: DataFrame, qi: Seq[Column], k: Int): DataFrame = {
+    require(qi.nonEmpty && k >= 1, "need quasi-identifier columns and k >= 1")
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates_k", (col("class_size") < k).cast("int"))
+      .withColumn("reident_ppm",
+        expr("CAST(1000000 AS BIGINT) DIV class_size"))
+  }
 }

@@ -1450,6 +1450,64 @@ object RelQueries extends QueryFamily {
             lit(1.0), (acc, x) => acc * x.getField("f")).as("survival"))
         .orderBy(col("dur"))
     }),
+
+    // k-anonymity audit (Sweeney 2002) — the privacy gate a training
+    // corpus clears before release: every quasi-identifier equivalence
+    // class (nation × market segment here) reports its size, whether it
+    // breaks k=10, and the re-identification risk ceiling 1e6/size in
+    // exact integer ppm. ONE partial-aggregated scan over the bounded QI
+    // domain (|nations|×|segments| classes regardless of row count), so
+    // at 100 TB the map side combines to a few hundred rows per
+    // partition before the only shuffle.
+    "rel_k_anonymity" -> ((s, d) =>
+      graft.operators.DataQuality.kAnonymity(Tables.customer(s, d),
+          Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // order-independent dataset content fingerprint — the identity a
+    // 100 TB corpus manifest carries between pipeline stages ("is this
+    // byte-for-byte the dataset the model trained on?"): per source,
+    // XOR of a portable 60-bit hash of (doc_id : content-md5) plus row
+    // and char totals. XOR is commutative/associative and can't
+    // overflow, so the checksum is a pure map + partial aggregate —
+    // no ordering, no shuffle beyond the bounded source key, identical
+    // under any partitioning (PartitionInvarianceSpec's law family).
+    "rel_dataset_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", graft.operators.Sampling.hash60(
+          concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(h)").as("content_fp"))
+        .orderBy(col("source"))),
+
+    // incremental manifest maintenance: because XOR is its own inverse,
+    // yesterday's per-source fingerprint folds with the landing delta's
+    // in O(|sources|) — the nightly manifest update touches only the
+    // delta, never rescans the corpus. The artifact carries the proof:
+    // fp_merged (base ⊕ delta, null-safe with ⊕'s identity 0) next to
+    // fp_full (full recompute) and their equality flag, all oracled.
+    "rel_fingerprint_delta" -> ((s, d) => {
+      val hashed = Tables.documents(s, d)
+        .withColumn("h", graft.operators.Sampling.hash60(
+          concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))))
+      def fp(df: DataFrame, tag: String) = df.groupBy(col("source"))
+        .agg(expr("bit_xor(h)").as(s"fp_$tag"), count(lit(1)).as(s"n_$tag"))
+      val base  = fp(hashed.filter(col("doc_id") % 10 =!= 0), "base")
+      val delta = fp(hashed.filter(col("doc_id") % 10 === 0), "delta")
+      val full  = fp(hashed, "full")
+      base.join(delta, Seq("source"), "full_outer")
+        .join(full, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          expr("coalesce(fp_base, 0L) ^ coalesce(fp_delta, 0L)").as("fp_merged"),
+          col("fp_full"),
+          (expr("coalesce(fp_base, 0L) ^ coalesce(fp_delta, 0L)") === col("fp_full"))
+            .cast("int").as("merged_equals_full"))
+        .orderBy(col("source"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2078,5 +2136,34 @@ object RelQueries extends QueryFamily {
         |    list_reduce(list_prepend(1.0, list_transform(list_filter(arr, x -> x.t <= dur), x -> x.f)),
         |      (a, b) -> a * b) END AS survival
         |FROM r, fa ORDER BY dur""".stripMargin,
+    // same bounded-QI grouped scan; k and the ppm ceiling are exact
+    // integer arithmetic on both engines
+    "rel_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+        |  CAST(COUNT(*) < 10 AS INT) AS violates_k,
+        |  CAST(1000000 // COUNT(*) AS BIGINT) AS reident_ppm
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical 60-bit md5 hash (Sampling.hash60Sql) XOR-folded per
+    // source — bit-exact across engines because XOR has no carries
+    "rel_dataset_fingerprint" ->
+      s"""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  bit_xor(${graft.operators.Sampling.hash60Sql(
+             "CAST(doc_id AS VARCHAR) || ':' || md5(text)")}) AS content_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the same hash split base/delta/full; DuckDB's xor() mirrors the
+    // engine's ^ fold and the equality flag must come out 1 everywhere
+    "rel_fingerprint_delta" ->
+      s"""WITH h AS (SELECT source, doc_id,
+        |    ${graft.operators.Sampling.hash60Sql(
+             "CAST(doc_id AS VARCHAR) || ':' || md5(text)")} AS h
+        |  FROM documents),
+        |b AS (SELECT source, bit_xor(h) AS fp_base, COUNT(*) AS n_base FROM h WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |d AS (SELECT source, bit_xor(h) AS fp_delta, COUNT(*) AS n_delta FROM h WHERE doc_id % 10 = 0 GROUP BY 1),
+        |f AS (SELECT source, bit_xor(h) AS fp_full FROM h GROUP BY 1)
+        |SELECT f.source, COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+        |  xor(COALESCE(fp_base, 0), COALESCE(fp_delta, 0)) AS fp_merged, fp_full,
+        |  CAST(xor(COALESCE(fp_base, 0), COALESCE(fp_delta, 0)) = fp_full AS INT) AS merged_equals_full
+        |FROM f LEFT JOIN b ON f.source = b.source LEFT JOIN d ON f.source = d.source
+        |ORDER BY f.source""".stripMargin,
   )
 }

@@ -71,6 +71,10 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(f.h.nUnmeasured === 2 && f.h.allRuns.size === 1)
     val fin = parse(f.h.finalLine(s""""partial":true,"n_unmeasured":${f.h.nUnmeasured},"""))
     assert(fin.get("partial").asBoolean && fin.get("n_unmeasured").asInt === 2)
+    // deadline skips are NOT failures (r12's partial artifact said
+    // n_failed:45 with an empty errors map — unmeasured, every one)
+    assert(f.h.nFailed === 0)
+    assert(fin.get("n_failed").asInt === 0)
   }
 
   test("pass-1 failure keeps the valid pass-0 best-of; error still surfaces on the detail line") {

@@ -88,4 +88,31 @@ class DataQualitySpec extends GraftSparkSpec {
     }
     assert(e.getMessage.contains("at least one metric"))
   }
+
+  test("kAnonymity: hand-math class sizes, k flag boundary, ppm ceiling") {
+    // classes: (a,x)×3, (a,y)×1, (b,x)×7 — with k=3 only the singleton
+    // violates; the flag is strict (< k), so the size-3 class passes
+    val rows = spark.createDataFrame(Seq(
+      ("a", "x", 1), ("a", "x", 2), ("a", "x", 3),
+      ("a", "y", 4),
+      ("b", "x", 5), ("b", "x", 6), ("b", "x", 7), ("b", "x", 8),
+      ("b", "x", 9), ("b", "x", 10), ("b", "x", 11)))
+      .toDF("qi1", "qi2", "id")
+    val got = DataQuality.kAnonymity(rows, Seq(col("qi1"), col("qi2")), 3)
+      .orderBy(col("qi1"), col("qi2"))
+      .select(col("qi1"), col("qi2"), col("class_size"), col("violates_k"),
+        col("reident_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", "x", 3L, 0, 333333L),
+      ("a", "y", 1L, 1, 1000000L),
+      ("b", "x", 7L, 0, 142857L)))
+
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq.empty, 3)
+    }
+    assert(e.getMessage.contains("quasi-identifier"))
+  }
 }

@@ -114,4 +114,26 @@ class SamplingSpec extends GraftSparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a.exists { case (id, rk, _) => c(id) != rk })
   }
+
+  test("XOR content fingerprint: partition-invariant, change- and id-sensitive") {
+    def fp(df: org.apache.spark.sql.DataFrame): Long = df
+      .withColumn("h", Sampling.hash60(
+        concat(col("id").cast("string"), lit(":"), md5(col("text")))))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    val docs = rows.limit(500)
+      .select(col("id"), concat(lit("doc "), col("id")).as("text"))
+    val base = fp(docs)
+    // order/partitioning never moves an XOR fold
+    assert(fp(docs.repartition(17)) === base)
+    assert(fp(docs.orderBy(col("id").desc)) === base)
+    // one changed byte in one row changes the checksum
+    val mutated = docs.withColumn("text",
+      when(col("id") === 123, lit("doc 123!")).otherwise(col("text")))
+    assert(fp(mutated) !== base)
+    // same content under a different doc id also changes it (the id is
+    // part of the hashed record, so a re-keyed copy is a different dataset)
+    val rekeyed = docs.withColumn("id",
+      when(col("id") === 123, lit(9999L)).otherwise(col("id")))
+    assert(fp(rekeyed) !== base)
+  }
 }
