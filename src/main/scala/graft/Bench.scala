@@ -156,11 +156,11 @@ object Bench {
     // deadline insurance: one complete parseable line on stdout the
     // moment pass 0 is done, before pass 1 risks the driver timeout
     println(h.artifactLine(sfDir, onlyTag,
-      s""""provisional_pass":0,${if (h.truncated) "\"partial\":true," else ""}"""))
+      s""""provisional_pass":0,${if (h.truncated) "\"partial\":true," else ""}${if (h.degraded) "\"degraded\":true," else ""}"""))
     System.out.flush()
     h.runPass(1)
     println(h.artifactLine(sfDir, onlyTag,
-      s""""provisional_pass":1,${if (h.truncated) "\"partial\":true," else ""}"""))
+      s""""provisional_pass":1,${if (h.truncated) "\"partial\":true," else ""}${if (h.degraded) "\"degraded\":true," else ""}"""))
     System.out.flush()
     // leftover budget only: bounded re-measure of stall suspects
     // (coverage-first — round 12 lost 45 queries to in-pass retries)
@@ -170,7 +170,8 @@ object Bench {
     // a deadline-truncated run is labelled so its partial total can't be
     // mistaken for a full benchmark artifact; unmeasured != failed
     val partialTag =
-      if (h.truncated) s""""partial":true,"n_unmeasured":${h.nUnmeasured},""" else ""
+      (if (h.truncated) s""""partial":true,"n_unmeasured":${h.nUnmeasured},""" else "") +
+        (if (h.degraded) """"degraded":true,""" else "")
     // The consumer keeps only a bounded TAIL of stdout (~2000 chars —
     // observed in BENCH_r07.json) and the full-registry queries map is
     // ~3500 chars, so the map's HEAD is always truncated away.

@@ -69,10 +69,25 @@ private[graft] object BenchCore {
     val errors: mutable.LinkedHashMap[String, String] =
       mutable.LinkedHashMap[String, String]()
     var truncated = false
+    /** Warmup shedding under extreme contention (r12's failure mode: a
+      * ~15×-slow host can't fit even ONE warm pass in the budget — 45
+      * queries went unmeasured). When pass 0's projection says the
+      * remaining warm+timed visits won't fit in 85% of the budget, all
+      * later visits drop the warmup and take a single timed run: a
+      * cold-ish upper bound beside `"degraded":true` beats no number,
+      * pass 1 / retryPass sharpen it if the host recovers, and best-of
+      * keeps the minimum so extra cold samples can never worsen a
+      * query's reported time. Sticky once set. */
+    var degraded = false
 
     private val t0 = nowNanos()
     def wallS: Double = (nowNanos() - t0) / 1e9
     def overBudget: Boolean = wallS > budgetS
+
+    /** Prior-seconds estimate for projection; queries without a prior
+      * (newly registered) assume a median-ish 0.5 s. */
+    private def priorOf(name: String): Double =
+      prior.get(name).filter(_ > 0).getOrElse(0.5)
 
     /** COVERAGE-FIRST protocol (round 13; round 12's contended driver
       * run burned its whole budget on per-query stall retries inside
@@ -95,11 +110,12 @@ private[graft] object BenchCore {
       * The warmup each visit repopulates the per-query caches that
       * `afterEach` released, so every timed run is warm-cache.
       */
-    def runPass(pass: Int): Unit =
-      for (name <- if (pass == 0) selected else selected.reverse) {
+    def runPass(pass: Int): Unit = {
+      val order = if (pass == 0) selected else selected.reverse
+      for ((name, i) <- order.zipWithIndex) {
         if (overBudget) truncated = true
         else try {
-          runQuery(name) // warmup: codegen + JIT + cache fill
+          if (!degraded) runQuery(name) // warmup: codegen + JIT + cache fill
           val s = nowNanos()
           runQuery(name)
           allRuns(name) =
@@ -108,7 +124,17 @@ private[graft] object BenchCore {
           case e: Throwable => errors.getOrElseUpdate(name, errMsg(e))
         }
         finally afterEach()
+        // contention projection (pass 0 only, while still warm-mode):
+        // observed slowdown vs prior over the queries visited so far,
+        // extrapolated over the rest at warm+timed (2 runs) cost
+        if (pass == 0 && !degraded) {
+          val donePrior = order.take(i + 1).map(priorOf).sum
+          val slowdown = if (donePrior > 0) math.max(1.0, wallS / (2.0 * donePrior)) else 1.0
+          val restCost = 2.0 * order.drop(i + 1).map(priorOf).sum * slowdown
+          if (wallS + restCost > 0.85 * budgetS) degraded = true
+        }
       }
+    }
 
     private def errMsg(e: Throwable): String =
       (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
@@ -138,7 +164,7 @@ private[graft] object BenchCore {
       for (name <- ranked) {
         if (overBudget) truncated = true
         else try {
-          runQuery(name) // warmup refill (afterEach released the caches)
+          if (!degraded) runQuery(name) // warmup refill (afterEach released the caches)
           var extra = 0
           while (suspect(name) && extra < maxExtra && !overBudget) {
             val s = nowNanos()

@@ -153,6 +153,32 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(g.h.allRuns("qa").size === 2)
   }
 
+  test("extreme contention sheds warmups: degraded mode measures every query") {
+    // 10x-contended host (prior 1 s, actual 10 s/run), budget 65 s.
+    // Warm-mode pass 0 would cost 2x10x5 = 100 s and truncate after 3
+    // queries; the projection after qa (wall 20, forecast 100 > 85% of
+    // 65) flips degraded, the remaining 4 queries take single timed
+    // runs (40 s), and ALL FIVE get a number by wall 60.
+    val costs = Seq("qa", "qb", "qc", "qd", "qe").map(_ -> Seq(10.0)).toMap
+    val f = new Fake(costs, budgetS = 65.0,
+      prior = costs.keys.map(_ -> 1.0).toMap)
+    f.h.runPass(0)
+    assert(f.h.degraded)
+    assert(f.h.allRuns.size === 5 && f.h.nUnmeasured === 0)
+    // qa paid warmup + timed before the flip; the rest ran timed-only
+    assert(f.calls("qa") === 2 && f.calls("qb") === 1 && f.calls("qe") === 1)
+    // pass 1 keeps shedding warmups (sticky): one more single run lands
+    // for qe before the budget truncates the rest
+    f.h.runPass(1)
+    assert(f.h.truncated)
+    assert(f.calls("qe") === 2)
+    // a healthy host under the same budget shape never degrades
+    val g = new Fake(costs.map { case (k, _) => k -> Seq(1.0) },
+      budgetS = 65.0, prior = costs.keys.map(_ -> 1.0).toMap)
+    g.h.runPass(0); g.h.runPass(1)
+    assert(!g.h.degraded && g.h.allRuns("qa").size === 2)
+  }
+
   test("parsePrior reads this program's own artifact line") {
     val line = """{"metric":"total","unit":"sec","sf":"/sf","queries":{"qa":1.5,"qb":0.25},"value":1.75}"""
     assert(BenchCore.parsePrior(line) === Map("qa" -> 1.5, "qb" -> 0.25))
