@@ -51,7 +51,17 @@ class PartitionedUpsert(
     partCol: String,
     keyCols: Seq[String],
     sumCols: Seq[String],
-    aggregate: DataFrame => DataFrame) extends Serializable {
+    aggregate: DataFrame => DataFrame,
+    xorCols: Seq[String] = Nil) extends Serializable {
+
+  // any per-key merge works if it is commutative/associative over batch
+  // deltas AND the staged partition rewrite (history row + delta row →
+  // one merged row); SUM and XOR both qualify. XOR additionally makes
+  // the merge self-inverting — the content-manifest use
+  // ([[ContentManifest]]): folding a doc's hash twice removes it.
+  require(sumCols.nonEmpty || xorCols.nonEmpty, "need at least one merge column")
+  require((sumCols ++ xorCols).forall(_.matches("[A-Za-z0-9_]+")),
+    "merge column names are interpolated into agg expressions")
 
   private def fsOf(spark: SparkSession): (FileSystem, Path) = {
     val hp = new Path(path)
@@ -68,7 +78,7 @@ class PartitionedUpsert(
     * discovery may type-infer it), then keys, then the summed measures. */
   private def projection: Seq[Column] =
     (col(partCol).cast("string").as(partCol) +:
-      keyCols.map(col)) ++ sumCols.map(col)
+      keyCols.map(col)) ++ (sumCols ++ xorCols).map(col)
 
   /** Idempotent publish: copy the staged post-merge partitions over the
     * affected table partitions and drop the staging dir. Never re-merges. */
@@ -117,10 +127,11 @@ class PartitionedUpsert(
             .filter(col(partCol).isin(parts: _*))
             .select(projection: _*)
         else delta.select(projection: _*).limit(0)
+      val mergeAggs = sumCols.map(c => sum(col(c)).as(c)) ++
+        xorCols.map(c => expr(s"bit_xor($c)").as(c))
       val merged = existing.unionByName(delta.select(projection: _*))
         .groupBy(partCol, keyCols: _*)
-        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
       // staging write reads the live table but replaces nothing — no
       // read-then-overwrite hazard, so no localCheckpoint needed
       merged.write.mode("overwrite").partitionBy(partCol)
