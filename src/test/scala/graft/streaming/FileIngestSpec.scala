@@ -91,4 +91,50 @@ class FileIngestSpec extends GraftSparkSpec {
       assert(snap.values.map(_._2).sum === (0 until 20).map(_.toLong).sum)
     } finally q2.stop()
   }
+
+  test("AvailableNow backfill: drains the landing prefix in paced batches, " +
+    "stops itself, and a later invocation picks up only new files") {
+    // the nightly-backfill pattern: streaming exactly-once + backpressure
+    // semantics, batch-job lifecycle — the query processes everything
+    // available (still honoring maxFilesPerTrigger pacing, unlike
+    // Trigger.Once) and terminates; the cron re-invocation resumes from
+    // the same checkpoint and reads only what landed in between
+    val s = spark
+    import s.implicits._
+    val root = graft.queries.QueryFamily.jvmScratch("file_ingest_an")
+    val landing = mkdirs(s"$root/landing")
+    val checkpoint = s"$root/chk"
+
+    def land(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"u${i % 3}")).toDF("id", "user")
+        .coalesce(1).write.mode("append").parquet(landing)
+
+    land(0 until 4); land(4 until 8); land(8 until 10) // 3 landing files
+    val schema = s.read.parquet(landing).schema
+
+    def runOnce(name: String): Long = {
+      val q = FileIngest.parquetDirStream(s, landing, schema, maxFilesPerTrigger = 1)
+        .groupBy(col("user")).agg(sum(col("id")).as("id_sum"))
+        .writeStream.queryName(name)
+        .outputMode("complete").format("memory")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), s"$name did not self-terminate")
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+
+    val batches1 = runOnce("fi_an_a")
+    assert(batches1 >= 3) // 3 files at maxFilesPerTrigger=1 → paced batches
+    val sum1 = s.sql("SELECT SUM(id_sum) FROM fi_an_a").head().getLong(0)
+    assert(sum1 === (0 until 10).map(_.toLong).sum)
+
+    // second invocation: only the newly landed file is read (the
+    // checkpointed file-source log skips the committed ones), and the
+    // restored state carries the earlier totals forward
+    land(10 until 14)
+    runOnce("fi_an_b")
+    val sum2 = s.sql("SELECT SUM(id_sum) FROM fi_an_b").head().getLong(0)
+    assert(sum2 === (0 until 14).map(_.toLong).sum)
+  }
 }
