@@ -16,7 +16,8 @@ import graft.operators.Layout
   * ONLY the affected `partCol` partitions of the maintained table are
   * read back (static partition pruning — the affected-partition list is
   * bounded by one batch's span, so the `.isin` filter stays tiny), the
-  * delta is merged by summing `sumCols`, and exactly those partitions
+  * delta is merged per column class (`sumCols` sum, `xorCols` bit_xor,
+  * `sketchCols` hll_union), and exactly those partitions
   * are dynamic-partition-overwritten. Untouched history is never read or
   * rewritten — the O(batch)-not-O(history) merge that matters at 100 TB.
   *
@@ -52,15 +53,21 @@ class PartitionedUpsert(
     keyCols: Seq[String],
     sumCols: Seq[String],
     aggregate: DataFrame => DataFrame,
-    xorCols: Seq[String] = Nil) extends Serializable {
+    xorCols: Seq[String] = Nil,
+    sketchCols: Seq[String] = Nil) extends Serializable {
 
   // any per-key merge works if it is commutative/associative over batch
   // deltas AND the staged partition rewrite (history row + delta row →
-  // one merged row); SUM and XOR both qualify. XOR additionally makes
-  // the merge self-inverting — the content-manifest use
-  // ([[ContentManifest]]): folding a doc's hash twice removes it.
-  require(sumCols.nonEmpty || xorCols.nonEmpty, "need at least one merge column")
-  require((sumCols ++ xorCols).forall(_.matches("[A-Za-z0-9_]+")),
+  // one merged row); SUM, XOR, and HLL-sketch union all qualify. XOR
+  // additionally makes the merge self-inverting — the content-manifest
+  // use ([[ContentManifest]]): folding a doc's hash twice removes it.
+  // sketchCols hold DataSketches HLL binaries (hll_sketch_agg) merged
+  // via hll_union_agg — distinct-count state lives ON DISK as mergeable
+  // sketches, bytes per key, instead of exact sets in a state store
+  // ([[CardinalityScreen]]).
+  require(sumCols.nonEmpty || xorCols.nonEmpty || sketchCols.nonEmpty,
+    "need at least one merge column")
+  require((sumCols ++ xorCols ++ sketchCols).forall(_.matches("[A-Za-z0-9_]+")),
     "merge column names are interpolated into agg expressions")
 
   private def fsOf(spark: SparkSession): (FileSystem, Path) = {
@@ -78,7 +85,7 @@ class PartitionedUpsert(
     * discovery may type-infer it), then keys, then the summed measures. */
   private def projection: Seq[Column] =
     (col(partCol).cast("string").as(partCol) +:
-      keyCols.map(col)) ++ (sumCols ++ xorCols).map(col)
+      keyCols.map(col)) ++ (sumCols ++ xorCols ++ sketchCols).map(col)
 
   /** Idempotent publish: copy the staged post-merge partitions over the
     * affected table partitions and drop the staging dir. Never re-merges. */
@@ -128,7 +135,8 @@ class PartitionedUpsert(
             .select(projection: _*)
         else delta.select(projection: _*).limit(0)
       val mergeAggs = sumCols.map(c => sum(col(c)).as(c)) ++
-        xorCols.map(c => expr(s"bit_xor($c)").as(c))
+        xorCols.map(c => expr(s"bit_xor($c)").as(c)) ++
+        sketchCols.map(c => hll_union_agg(col(c)).as(c))
       val merged = existing.unionByName(delta.select(projection: _*))
         .groupBy(partCol, keyCols: _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
