@@ -95,6 +95,13 @@ case class SilenceStats(doc_id: Long, n_samples: Long,
 /** One encoded multi-frame payload (real multi-page TIFF bytes). */
 case class TiffRow(doc_id: Long, tiff: Array[Byte])
 
+/** One quadrant-tile signature of a DECODED raster: `tile` is the fixed
+  * 2×2 box index (2·rowBand + colBand), `sig` the lowercase-hex MD5 of
+  * the tile's row-major pixel stream (2 hex digits per sample) — an
+  * EXACT content key, so equal sigs at equal dims mean identical pixels. */
+case class TileSig(doc_id: Long, tile: Int, tile_w: Int, tile_h: Int,
+    sig: String)
+
 /** Statistics of a DECODED frame sequence — frame count from the
   * container directory, pixel stats from the decoded rasters, and
   * first/last-frame sums proving FRAME ORDER survived the roundtrip.
@@ -1069,5 +1076,102 @@ object Multimodal {
           i => floor((i * col("n_bytes")).cast("double") /
             col("n_frames").cast("double")).cast("int")))
           .as(Seq("frame_id", "frame_off")))
+  }
+
+  /** REAL raster crop + PNG re-encode: the top-left quadrant
+    * (w2 = max(1, w/2) × h2 = max(1, h/2)) of each decoded image,
+    * re-encoded as its own PNG. Feeds [[tileSignatures]] to prove
+    * sub-image (crop) duplicate detection end-to-end: the crop's pixels
+    * came through TWO lossless codec roundtrips, so its single-tile
+    * signature must equal the source image's tile-0 signature. */
+  def cropTopLeft(images: Dataset[ImageRow]): Dataset[ImageRow] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      useMemoryCache()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val crop = img.getSubimage(0, 0,
+          math.max(1, img.getWidth / 2), math.max(1, img.getHeight / 2))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(crop, "png", out)
+        ImageRow(r.doc_id, out.toByteArray)
+      }
+    }
+  }
+
+  /** Quadrant-tile EXACT content signatures off the DECODED raster —
+    * the sub-image dedup index (crop/tile-level duplicates that
+    * whole-image hashes like dHash miss): the raster splits into the
+    * fixed 2×2 box partition (rows [0,h2)/[h2,h), cols [0,w2)/[w2,w);
+    * empty bands emit nothing), each tile keyed by the MD5 of its
+    * row-major pixel hex stream plus its dims. Equal key = identical
+    * pixel content, so the downstream equi-join needs no verify pass.
+    * Embarrassingly parallel mapPartitions; the join on `sig` is the
+    * exact-dedup shuffle shape (bounded per-key fan-in at any scale —
+    * a signature's bucket is the set of images sharing that tile). */
+  private def boxSig(raster: java.awt.image.Raster,
+      x0: Int, x1: Int, y0: Int, y1: Int): String = {
+    val sb = new StringBuilder((y1 - y0) * (x1 - x0) * 2)
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) {
+        sb.append(f"${raster.getSample(x, y, 0)}%02x")
+        x += 1
+      }
+      y += 1
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  def tileSignatures(images: Dataset[ImageRow]): Dataset[TileSig] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      useMemoryCache()
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (w2, h2) = (math.max(1, w / 2), math.max(1, h / 2))
+        val raster = img.getRaster
+        for {
+          rb <- 0 to 1
+          cb <- 0 to 1
+          y0 = if (rb == 0) 0 else h2
+          y1 = if (rb == 0) h2 else h
+          x0 = if (cb == 0) 0 else w2
+          x1 = if (cb == 0) w2 else w
+          if y1 > y0 && x1 > x0
+        } yield TileSig(r.doc_id, 2 * rb + cb, x1 - x0, y1 - y0,
+          boxSig(raster, x0, x1, y0, y1))
+      }
+    }
+  }
+
+  /** ONE signature over the whole decoded raster — the probe side of the
+    * tile index: a crop image's WHOLE-raster signature equals the source
+    * image's signature for the matching tile box (re-tiling the crop
+    * into quadrants would probe with quarter-crops instead — the exact
+    * bug the unit test's 1×1 crop couldn't see). Reported as tile −1. */
+  def wholeSignature(images: Dataset[ImageRow]): Dataset[TileSig] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      useMemoryCache()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        TileSig(r.doc_id, -1, img.getWidth, img.getHeight,
+          boxSig(img.getRaster, 0, img.getWidth, 0, img.getHeight))
+      }
+    }
   }
 }

@@ -205,6 +205,33 @@ object MultimodalQueries extends QueryFamily {
         Multimodal.encodeAudio(Tables.documents(s, d)))
         .toDF()
         .orderBy(col("doc_id"))),
+
+    // sub-image (crop) duplicate detection — the tile-level dedup pass
+    // whole-image hashes (mm_phash_dup) miss: each image's REAL decoded
+    // raster splits into the fixed 2×2 quadrant boxes keyed by the exact
+    // MD5 of the tile pixel stream; a REAL top-left-quadrant crop of
+    // every image (getSubimage → PNG re-encode → decode) probes that
+    // index by signature+dims equi-join. Every doc must rediscover its
+    // own source at tile 0 (two lossless codec roundtrips proven by the
+    // exact key); cross-doc rows appear iff quadrant pixels coincide.
+    // Exact content keys need no verify pass — this is the exact-dedup
+    // shuffle shape at any scale. 1-in-2 deterministic doc sample
+    // (bench-budget bound; every geometry class survives).
+    "mm_tile_dedup" -> ((s, d) => {
+      val full = Multimodal.encodeImages(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+      val index = Multimodal.tileSignatures(full).toDF()
+        .select(col("doc_id").as("full_doc"), col("tile"),
+          col("tile_w"), col("tile_h"), col("sig"))
+      val probes = Multimodal.wholeSignature(Multimodal.cropTopLeft(full))
+        .toDF()
+        .select(col("doc_id").as("crop_doc"), col("tile_w"),
+          col("tile_h"), col("sig"))
+      probes.join(index, Seq("sig", "tile_w", "tile_h"))
+        .select(col("crop_doc"), col("full_doc"), col("tile"),
+          col("tile_w"), col("tile_h"))
+        .orderBy(col("crop_doc"), col("full_doc"), col("tile"))
+    }),
   )
 
   private val mimeSql =
@@ -553,5 +580,45 @@ object MultimodalQueries extends QueryFamily {
         |SELECT doc_id, n_samples, p1k, p2k,
         |  CASE WHEN p1k >= p2k THEN '1k' ELSE '2k' END AS dominant
         |FROM p ORDER BY doc_id""".stripMargin,
+    // same synthesis-rule pixel replay; quadrant boxes (w2 = max(w//2,1),
+    // h2 = max(h//2,1)), per-tile md5 of the row-major %02x pixel stream
+    // — the crop probe is BY CONSTRUCTION the full image's tile-0 stream,
+    // so the oracle joins the tile-0 signature set against all tiles;
+    // engine equality proves the real crop re-encode roundtrip
+    "mm_tile_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0 AND octet_length(encode(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, hx, nb,
+        |         CAST(1 + nb % 16 AS INT) AS w,
+        |         CAST(1 + (nb // 16) % 16 AS INT) AS h
+        |  FROM b),
+        |g2 AS (SELECT *, GREATEST(w // 2, 1) AS w2, GREATEST(h // 2, 1) AS h2 FROM g),
+        |px AS (
+        |  SELECT doc_id, w, h, w2, h2,
+        |         CAST(i % w AS INT) AS x, CAST(i // w AS INT) AS y,
+        |         ('0x' || substr(hx, CAST(2 * (i % nb) + 1 AS INT), 2))::INT AS v
+        |  FROM (SELECT doc_id, hx, nb, w, h, w2, h2,
+        |          unnest(range(0, CAST(w * h AS BIGINT))) AS i
+        |        FROM g2) u),
+        |t AS (
+        |  SELECT doc_id,
+        |         2 * (CASE WHEN y < h2 THEN 0 ELSE 1 END)
+        |           + (CASE WHEN x < w2 THEN 0 ELSE 1 END) AS tile,
+        |         CAST(CASE WHEN x < w2 THEN w2 ELSE w - w2 END AS INT) AS tile_w,
+        |         CAST(CASE WHEN y < h2 THEN h2 ELSE h - h2 END AS INT) AS tile_h,
+        |         x, y, v
+        |  FROM px),
+        |sigs AS (
+        |  SELECT doc_id, CAST(tile AS INT) AS tile, tile_w, tile_h,
+        |         md5(string_agg(printf('%02x', v), '' ORDER BY y, x)) AS sig
+        |  FROM t GROUP BY 1, 2, 3, 4),
+        |probes AS (SELECT doc_id AS crop_doc, tile_w, tile_h, sig FROM sigs WHERE tile = 0)
+        |SELECT p.crop_doc, s.doc_id AS full_doc, s.tile, s.tile_w, s.tile_h
+        |FROM probes p
+        |JOIN sigs s ON p.sig = s.sig AND p.tile_w = s.tile_w AND p.tile_h = s.tile_h
+        |ORDER BY crop_doc, full_doc, tile""".stripMargin,
   )
 }

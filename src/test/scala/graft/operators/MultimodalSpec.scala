@@ -341,4 +341,51 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(got(1L).dominant === "1k" && got(1L).p1k > got(1L).p2k * 10)
     assert(got(2L).dominant === "2k" && got(2L).p2k > got(2L).p1k * 10)
   }
+
+  test("tile signatures: quadrant boxes, exact MD5 keys, crop matches tile 0") {
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // "abc"*11 → nb=33, w=1+33%16=2, h=1+(33/16)%16=3: w2=1, h2=1
+    // pixels row-major = bytes of "abc"*11 then byte 0 again (2*3=6 px):
+    // a b / c a / b c → tiles: 0=(0,0)=a; 1=col1 rows[0,1)=b;
+    // 2=col0 rows[1,3)=c,b; 3=col1 rows[1,3)=a,c
+    val docs = Seq((0L, "abc" * 11)).toDF("doc_id", "text")
+    val full = Multimodal.encodeImages(docs)
+    val sigs = Multimodal.tileSignatures(full).collect()
+      .map(t => t.tile -> t).toMap
+    def hx(cs: String): String = cs.map(c => f"${c.toInt}%02x").mkString
+    assert(sigs(0).sig === md5hex(hx("a")))
+    assert((sigs(0).tile_w, sigs(0).tile_h) === ((1, 1)))
+    assert(sigs(1).sig === md5hex(hx("b")))
+    assert(sigs(2).sig === md5hex(hx("cb"))) // column 0, rows 1..2
+    assert((sigs(2).tile_w, sigs(2).tile_h) === ((1, 2)))
+    assert(sigs(3).sig === md5hex(hx("ac")))
+
+    // the REAL crop (getSubimage → PNG re-encode → decode), signed over
+    // its WHOLE raster, equals the source's tile 0 — two lossless codec
+    // roundtrips proven by the exact content key. (Re-tiling the crop
+    // would probe with its quarter-crop instead — wholeSignature exists
+    // for exactly this.)
+    val crop = Multimodal.wholeSignature(Multimodal.cropTopLeft(full))
+      .collect()
+    assert(crop.length === 1 && crop.head.tile === -1)
+    assert(crop.head.sig === sigs(0).sig)
+    // a wider crop: "x"*37 → nb=37, w=6, h=3 → crop 3×1; whole-crop sig
+    // equals that image's tile-0 sig (multi-pixel row, not the 1×1 case)
+    val wide = Multimodal.encodeImages(Seq((2L, "x" * 37)).toDF("doc_id", "text"))
+    val wsigs = Multimodal.tileSignatures(wide).collect().map(t => t.tile -> t).toMap
+    val wcrop = Multimodal.wholeSignature(Multimodal.cropTopLeft(wide)).collect()
+    assert((wsigs(0).tile_w, wsigs(0).tile_h) === ((3, 1)))
+    assert(wcrop.head.sig === wsigs(0).sig && wcrop.head.sig === md5hex(hx("xxx")))
+
+    // a 1×1 image has exactly one tile (empty bands emit nothing):
+    // nb=256 → w = 1+256%16 = 1, h = 1+(256/16)%16 = 1, pixel = byte 0
+    val one = Multimodal.tileSignatures(
+      Multimodal.encodeImages(Seq((1L, "z" * 256)).toDF("doc_id", "text")))
+      .collect()
+    assert(one.length === 1 && one.head.sig === md5hex(hx("z")))
+  }
 }
