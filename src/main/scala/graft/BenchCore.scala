@@ -126,12 +126,28 @@ private[graft] object BenchCore {
         finally afterEach()
         // contention projection (pass 0 only, while still warm-mode):
         // observed slowdown vs prior over the queries visited so far,
-        // extrapolated over the rest at warm+timed (2 runs) cost
-        if (pass == 0 && !degraded) {
+        // extrapolated over the rest at warm+timed (2 runs) cost.
+        // Two guards keep a HEALTHY-but-busy host from shedding warmups
+        // (the first cut degraded a ~1.6x-busy host into cold runs that
+        // INFLATED the total 2.2x): the projection is only evaluated
+        // once >=10s of prior mass has amortized session startup /
+        // first-codegen wall time out of the slowdown estimate, and
+        // shedding requires an estimated slowdown >=3x — below that a
+        // full warm run fits any plausible budget anyway.
+        // ...and only on the genuine FIRST coverage pass: polishPass
+        // reuses runPass(0) late in the run, where wallS spans the whole
+        // benchmark and the slowdown estimate is meaningless (it flagged
+        // a healthy 131 s run degraded). First-visit queries have exactly
+        // one merged run; polish visits have >= 2.
+        if (pass == 0 && !degraded &&
+            allRuns.get(name).forall(_.size <= 1)) {
           val donePrior = order.take(i + 1).map(priorOf).sum
-          val slowdown = if (donePrior > 0) math.max(1.0, wallS / (2.0 * donePrior)) else 1.0
-          val restCost = 2.0 * order.drop(i + 1).map(priorOf).sum * slowdown
-          if (wallS + restCost > 0.85 * budgetS) degraded = true
+          if (donePrior >= 10.0) {
+            val slowdown = math.max(1.0, wallS / (2.0 * donePrior))
+            val restCost = 2.0 * order.drop(i + 1).map(priorOf).sum * slowdown
+            if (slowdown >= 3.0 && wallS + restCost > 0.85 * budgetS)
+              degraded = true
+          }
         }
       }
     }

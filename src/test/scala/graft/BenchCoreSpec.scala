@@ -154,29 +154,70 @@ class BenchCoreSpec extends AnyFunSuite {
   }
 
   test("extreme contention sheds warmups: degraded mode measures every query") {
-    // 10x-contended host (prior 1 s, actual 10 s/run), budget 65 s.
-    // Warm-mode pass 0 would cost 2x10x5 = 100 s and truncate after 3
-    // queries; the projection after qa (wall 20, forecast 100 > 85% of
-    // 65) flips degraded, the remaining 4 queries take single timed
-    // runs (40 s), and ALL FIVE get a number by wall 60.
+    // 4x-contended host (prior 2.5 s, actual 10 s/run), budget 100 s.
+    // Warm-mode would cost 2x10x5 = 100 s and truncate; the projection
+    // arms at qd (prior mass 10 s — startup noise amortized), sees
+    // slowdown 80/(2x10) = 4 >= 3 and forecast 80 + 2x2.5x4 = 100 over
+    // 85, flips degraded, and qe takes a single timed run — ALL FIVE
+    // measured by wall 90.
     val costs = Seq("qa", "qb", "qc", "qd", "qe").map(_ -> Seq(10.0)).toMap
-    val f = new Fake(costs, budgetS = 65.0,
-      prior = costs.keys.map(_ -> 1.0).toMap)
+    val prior = costs.keys.map(_ -> 2.5).toMap
+    val f = new Fake(costs, budgetS = 100.0, prior = prior)
     f.h.runPass(0)
     assert(f.h.degraded)
     assert(f.h.allRuns.size === 5 && f.h.nUnmeasured === 0)
-    // qa paid warmup + timed before the flip; the rest ran timed-only
-    assert(f.calls("qa") === 2 && f.calls("qb") === 1 && f.calls("qe") === 1)
-    // pass 1 keeps shedding warmups (sticky): one more single run lands
-    // for qe before the budget truncates the rest
+    // qa..qd paid warmup + timed before the flip; qe ran timed-only
+    assert(f.calls("qa") === 2 && f.calls("qd") === 2 && f.calls("qe") === 1)
+    // pass 1 keeps shedding warmups (sticky): single runs land until the
+    // budget truncates
     f.h.runPass(1)
     assert(f.h.truncated)
     assert(f.calls("qe") === 2)
-    // a healthy host under the same budget shape never degrades
-    val g = new Fake(costs.map { case (k, _) => k -> Seq(1.0) },
-      budgetS = 65.0, prior = costs.keys.map(_ -> 1.0).toMap)
+    // a healthy host never degrades (slowdown 1)
+    val g = new Fake(costs.map { case (k, _) => k -> Seq(2.5) },
+      budgetS = 100.0, prior = prior)
     g.h.runPass(0); g.h.runPass(1)
     assert(!g.h.degraded && g.h.allRuns("qa").size === 2)
+  }
+
+  test("mildly-busy host and startup spikes do NOT shed warmups") {
+    // the first calibration degraded a ~1.6x-busy host into COLD single
+    // runs that inflated the artifact 2.2x — these two controls pin the
+    // guards that prevent it
+    val prior = Seq("qa", "qb", "qc", "qd", "qe").map(_ -> 2.5).toMap
+    // 2x contention: slowdown 2 < 3 — warm best-of quality preserved
+    // even though the two passes will spend the whole budget
+    val mild = new Fake(prior.keys.map(_ -> Seq(5.0)).toMap,
+      budgetS = 100.0, prior = prior)
+    mild.h.runPass(0); mild.h.runPass(1)
+    assert(!mild.h.degraded)
+    assert(mild.h.allRuns("qa").size === 2) // both warm samples landed
+    // a 30 s session-startup/codegen spike on the first visit with
+    // healthy per-query times after: the >=10s prior-mass gate keeps the
+    // early biased slowdown estimate from ever being evaluated
+    val spiky = new Fake(
+      Map("qa" -> Seq(30.0, 2.5), "qb" -> Seq(2.5), "qc" -> Seq(2.5),
+        "qd" -> Seq(2.5), "qe" -> Seq(2.5)),
+      budgetS = 200.0, prior = prior)
+    spiky.h.runPass(0)
+    assert(!spiky.h.degraded && spiky.h.allRuns.size === 5)
+  }
+
+  test("polish pass never re-arms the contention projection") {
+    // polishPass reuses runPass(0) LATE in the run: by then wallS spans
+    // the whole benchmark, so the slowdown estimate at the first polish
+    // visits (wall 180 vs 2x10s of prior mass = 9x) plus the full
+    // remaining prior mass would satisfy both degrade guards — exactly
+    // how a healthy 131 s full run got flagged degraded. First-visit
+    // gating (merged runs <= 1) must keep polish visits out of it.
+    val prior = Seq("qa", "qb", "qc", "qd").map(_ -> 10.0).toMap
+    val f = new Fake(prior.keys.map(_ -> Seq(10.0)).toMap,
+      budgetS = 400.0, prior = prior)
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass() // wall 160, no suspects
+    assert(!f.h.degraded)
+    assert(f.h.polishPass()) // 160 < 200: polish taken
+    assert(!f.h.degraded) // the regression: this was true before the gate
+    assert(f.h.allRuns("qa").size === 3) // polish stayed warm
   }
 
   test("parsePrior reads this program's own artifact line") {
