@@ -138,8 +138,12 @@ private[graft] object BenchCore {
         // reuses runPass(0) late in the run, where wallS spans the whole
         // benchmark and the slowdown estimate is meaningless (it flagged
         // a healthy 131 s run degraded). First-visit queries have exactly
-        // one merged run; polish visits have >= 2.
-        if (pass == 0 && !degraded &&
+        // one merged run; polish visits have >= 2 — and a query that
+        // ERRORED in both coverage passes has no allRuns entry at all
+        // (forall on None is vacuously true), so the error map must also
+        // gate, or a repeat error during polish re-arms the projection
+        // with whole-benchmark wallS and spuriously sheds warmups.
+        if (pass == 0 && !degraded && !errors.contains(name) &&
             allRuns.get(name).forall(_.size <= 1)) {
           val donePrior = order.take(i + 1).map(priorOf).sum
           if (donePrior >= 10.0) {

@@ -220,6 +220,24 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(f.h.allRuns("qa").size === 3) // polish stayed warm
   }
 
+  test("a query that errors in every pass cannot re-arm the projection during polish") {
+    // qa throws on EVERY call → it has no allRuns entry (forall on None
+    // is vacuously true), so the first-visit gate alone would evaluate
+    // the projection at qa's POLISH visit, where wallS spans the whole
+    // benchmark (160 s vs 2x10 s of visited prior = slowdown 8) and the
+    // remaining prior mass pushes the forecast over 85% of budget — a
+    // healthy run spuriously flagged degraded, shedding warmups for the
+    // rest of polish. The errors-map gate must keep it out.
+    val prior = Map("qa" -> 10.0, "qb" -> 4.0, "qc" -> 4.0, "qd" -> 4.0, "qe" -> 4.0)
+    val f = new Fake(prior.keys.map(_ -> Seq(10.0)).toMap,
+      budgetS = 400.0, prior = prior, failWhen = (n, _) => n == "qa")
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass() // wall 160, qa errored twice
+    assert(!f.h.degraded && f.h.errors.contains("qa"))
+    assert(f.h.polishPass()) // 160 < 200: polish taken, qa fails again
+    assert(!f.h.degraded) // the regression: true before the errors gate
+    assert(f.h.allRuns("qb").size === 3) // polish stayed warm for the rest
+  }
+
   test("parsePrior reads this program's own artifact line") {
     val line = """{"metric":"total","unit":"sec","sf":"/sf","queries":{"qa":1.5,"qb":0.25},"value":1.75}"""
     assert(BenchCore.parsePrior(line) === Map("qa" -> 1.5, "qb" -> 0.25))
