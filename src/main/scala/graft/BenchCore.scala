@@ -17,20 +17,24 @@ private[graft] object BenchCore {
   def fmt(v: Double): String =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** Parse prior-round per-query seconds from one artifact line in this
+  /** Parse prior-round per-query seconds from an artifact in this
     * program's own output format. Hand-rolled regex keeps the dependency
-    * surface at zero; the file is machine-written so the simple
-    * `"name":number` shape is reliable.
+    * surface at zero. WHITESPACE-TOLERANT (round 14): the committed
+    * BENCH_PRIOR.json is pretty-printed (`"queries": {` with a space and
+    * one `"name": secs` pair per line), and the original compact-only
+    * regexes silently matched NOTHING against it — every r13 bench ran
+    * with an empty prior, disarming the 3×-regression retries and
+    * leaving the contention projection on 0.5 s defaults.
     */
   def parsePrior(text: String): Map[String, Double] = {
-    val qStart = text.indexOf("\"queries\":{")
-    if (qStart < 0) return Map.empty
+    val qm = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+    if (qm.isEmpty) return Map.empty
+    val qStart = qm.get.end
     val qEnd = text.indexOf('}', qStart)
     val body = text.substring(qStart, if (qEnd < 0) text.length else qEnd)
-    val pair = """"([A-Za-z0-9_]+)":(-?[0-9.Ee+-]+)""".r
-    pair.findAllMatchIn(body).collect {
-      case m if m.group(1) != "queries" => m.group(1) -> m.group(2).toDouble
-    }.toMap
+    val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+    pair.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   /** Two-pass best-of measurement with stall retries and an internal

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Behavior
-import graft.queries.{DedupQueries, FormatQueries, MultimodalQueries, QueryFamily, RefQueries, RelQueries, SimQueries, TextQueries}
+import graft.queries.{DedupQueries, FormatQueries, GovStreamQueries, MultimodalQueries, QueryFamily, RefQueries, RelQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ import graft.queries.{DedupQueries, FormatQueries, MultimodalQueries, QueryFamil
 object SparkEntry {
 
   private[graft] val families: Seq[QueryFamily] =
-    Seq(RefQueries, RelQueries, TextQueries, DedupQueries, SimQueries, MultimodalQueries, FormatQueries)
+    Seq(RefQueries, RelQueries, TextQueries, DedupQueries, SimQueries, MultimodalQueries, FormatQueries, GovStreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's entire critical path (SURVEY §3 E2): scan → fan-out →

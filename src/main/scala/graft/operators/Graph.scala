@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rounds-to-fixed-point of the most recent invocation of each
+    * convergence-iterated operator (diagnostic only — written at the end
+    * of each call, read+cleared by the scaling sweep's
+    * [[graft.tools.Scaling]] per-query drain). The scaling question this
+    * answers: per-round cost is provably linear, so an operator-family
+    * ratio above ~10× at 10× data is benign only if ROUNDS stay flat —
+    * the iteration column in SCALING.md either proves that or names the
+    * growth. Thread-safe map because Verify runs queries concurrently;
+    * a sequential sweep reads it unambiguously. */
+  val lastIterations =
+    new scala.collection.concurrent.TrieMap[String, Int]
+
+  /** Format and clear the iteration log: "op:rounds" comma-joined,
+    * sorted; empty string when no iterative operator ran. */
+  def drainIterationLog(): String = {
+    val s = lastIterations.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k:$v" }.mkString(",")
+    lastIterations.clear()
+    s
+  }
+
   /** The persisted RDD behind a `localCheckpoint`ed Dataset (its analyzed
     * plan is a `LogicalRDD` leaf over the checkpoint blocks). Those blocks
     * are invisible to `Dataset.unpersist`/`catalog.clearCache` — without
@@ -108,6 +129,7 @@ object Graph {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents hit maxIter=$maxIter without converging; " +
           "cluster labels may be partially propagated")
+    lastIterations("connectedComponents") = iter
     labels
   }
 
@@ -413,6 +435,7 @@ object Graph {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"kCore hit maxIter=$maxIter without converging; " +
           "the returned subgraph may still contain sub-k vertices")
+    lastIterations("kCore") = iter
     sym.groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
       .select(col("a").as("id"), col("core_degree"))
   }
@@ -437,7 +460,12 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val cols = newEdges.columns
     val e = newEdges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
-    connectedComponents(star.unionByName(e))
+    val out = connectedComponents(star.unionByName(e))
+    // CC's loop ran eagerly above (localCheckpoint per round), so its log
+    // entry is current — re-key it so the sweep sees the merge's rounds
+    lastIterations.get("connectedComponents")
+      .foreach(n => lastIterations("mergeComponents") = n)
+    out
   }
 
   /** Newman modularity of a vertex partition (Newman & Girvan 2004) —

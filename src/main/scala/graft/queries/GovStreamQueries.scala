@@ -1,0 +1,136 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.Tables
+import graft.streaming.{CardinalityScreen, ContentManifest, PrivacyScreen}
+
+/** END-TO-END oracle coverage for the streaming governance screens
+  * ([[graft.streaming.PrivacyScreen]], [[graft.streaming.ContentManifest]],
+  * [[graft.streaming.CardinalityScreen]]): each query drives the source
+  * table through a REAL multi-batch file stream (`maxFilesPerTrigger=1`
+  * over a ≥3-file source, `Trigger.AvailableNow`) into the screen's
+  * `foreachBatch` [[graft.streaming.PartitionedUpsert]], then returns the
+  * maintained on-disk table. The DuckDB oracle is the BATCH gate over the
+  * same rows, so every green row is the online==batch law proven under
+  * the driver's own harness — the `rel_incremental_agg` pattern, with the
+  * micro-batching done by Structured Streaming instead of hand-split
+  * deltas.
+  *
+  * Determinism across batch splits is the screens' design contract: sum,
+  * XOR and HLL-register-max merges are commutative/associative over any
+  * partition of the rows into micro-batches, so WHICH rows land in which
+  * file (repartition is not row-deterministic) cannot change the
+  * maintained table.
+  *
+  * Scale shape: identical to the screens' own — state is an on-disk
+  * partitioned table touched only where a batch lands, the stream holds
+  * nothing in executor memory between batches, and the read-back is a
+  * scan of a bounded-domain table.
+  */
+object GovStreamQueries extends QueryFamily {
+
+  /** Write `rows` as a ≥3-file parquet dir, stream it back one file per
+    * micro-batch through `writer`, await completion, return the
+    * maintained-state path. The whole scratch root is cleared first so a
+    * re-run inside one JVM (bench best-of passes) replays the stream
+    * from batch 0 against empty state instead of double-folding. */
+  private def runFileStream(s: SparkSession, name: String, rows: DataFrame,
+      writer: (DataFrame, String) => DataStreamWriter[Row]): String = {
+    val root = QueryFamily.jvmScratch(s"graft_$name")
+    QueryFamily.clearScratch(root)
+    val src = s"$root/src"
+    val state = s"$root/state"
+    rows.repartition(3).write.parquet(src)
+    val stream = s.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = writer(stream, state)
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  private def eventRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      date_format(Tables.eventTime(col("ts")), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("user_id"))
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    // online k-anonymity: per-QI-class sizes maintained across micro-
+    // batches must equal the batch release gate (rel_k_anonymity) over
+    // the full table — same class_size / violates_k / reident_ppm
+    // columns, k applied on read.
+    "gov_privacy_screen" -> ((s, d) => {
+      val rows = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      val state = runFileStream(s, "gov_privacy", rows,
+        (st, p) => PrivacyScreen.maintainClassSizes(st, p,
+          part = "c_nationkey", key = "c_mktsegment"))
+      PrivacyScreen.audit(s, state, k = 10)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"), col("class_size"), col("violates_k"),
+          col("reident_ppm"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // online dataset manifest: per-source (n_docs, total_chars, XOR
+    // content fingerprint) folded batch-by-batch must equal the batch
+    // fingerprint (rel_dataset_fingerprint) of the whole corpus.
+    "gov_manifest_screen" -> ((s, d) => {
+      val rows = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text"), col("n_chars"))
+      val state = runFileStream(s, "gov_manifest", rows,
+        (st, p) => ContentManifest.maintainManifest(st, p))
+      ContentManifest.read(s, state).orderBy(col("source"))
+    }),
+
+    // online distinct-count screen: per-(day, event_type) event counts
+    // are exact sums (oracled directly); the HLL-union'd user sketches
+    // are engine-specific, so the checked output carries the exact
+    // distinct count plus the estimate's error contract as a boolean
+    // (the rel_approx_users convention).
+    "gov_cardinality_screen" -> ((s, d) => {
+      val rows = eventRows(s, d)
+      val state = runFileStream(s, "gov_cardinality", rows,
+        (st, p) => CardinalityScreen.maintainDistincts(st, p))
+      val exact = rows.groupBy(col("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      CardinalityScreen.estimates(s, state)
+        .join(exact, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n_events"),
+          col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            lit(0.15) * col("exact_users")).as("within_bound"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    // the batch k-anonymity gate over the full table
+    "gov_privacy_screen" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  CAST(COUNT(*) < 10 AS INT) AS violates_k,
+        |  CAST(1000000 // COUNT(*) AS BIGINT) AS reident_ppm
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the batch fingerprint (identical hash to rel_dataset_fingerprint)
+    "gov_manifest_screen" ->
+      s"""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(${graft.operators.Sampling.hash60Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || md5(text)")}) AS content_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // exact counts recomputed; the sketch estimate's contract flag must
+    // come out TRUE (HLL lgK=12 rsd ≪ the 15% bound)
+    "gov_cardinality_screen" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -57,6 +57,12 @@ object QueryFamily {
       }, "graft-scratch-cleanup"))
   }
 
+  /** Clear a scratch path so a query re-run inside one JVM starts from
+    * an empty state (bench re-executes each registered query several
+    * times; an upsert table or stream checkpoint left by the previous
+    * run would otherwise leak into the next). */
+  def clearScratch(path: String): Unit = deleteRecursively(new java.io.File(path))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

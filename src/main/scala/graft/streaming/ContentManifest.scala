@@ -25,31 +25,52 @@ object ContentManifest {
 
   /** Per-source manifest delta of one batch of (source, doc_id, text,
     * n_chars) rows — same hash as the batch queries: portable 60-bit
-    * md5 of (doc_id : content-md5). */
-  private[streaming] def manifestOf(batch: DataFrame): DataFrame =
+    * md5 of (doc_id : content-md5). `sign = -1` produces a RETRACTION
+    * delta: counts and char totals negate while the XOR leg stays the
+    * raw hash fold (XOR is its own inverse — re-folding a present doc's
+    * hash removes it), so one sum+xor merge serves ingest and takedown
+    * symmetrically. */
+  private[streaming] def manifestOf(batch: DataFrame,
+      sign: Int = 1): DataFrame =
     batch
       .withColumn("h", Sampling.hash60(
         concat(col("doc_id").cast("string"), lit(":"), md5(col("text")))))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (sum(col("n_chars")) * sign).as("total_chars"),
         expr("bit_xor(h)").as("content_fp"))
 
-  private def upsert(path: String) = new PartitionedUpsert(
+  private def upsert(path: String, sign: Int = 1) = new PartitionedUpsert(
     path, partCol = "source", keyCols = Nil,
     sumCols = Seq("n_docs", "total_chars"),
-    aggregate = manifestOf,
-    xorCols = Seq("content_fp"))
+    aggregate = manifestOf(_, sign),
+    xorCols = Seq("content_fp"),
+    // the retraction stream numbers its own micro-batches from 0 — its
+    // exactly-once markers must not collide with the ingest stream's
+    streamTag = if (sign < 0) "retract" else "batch")
 
   /** Apply one micro-batch of document rows. Exposed for direct testing;
     * [[maintainManifest]] wires it into foreachBatch. */
   def applyBatch(batch: DataFrame, path: String, batchId: Long): Unit =
     upsert(path).applyBatch(batch, batchId)
 
+  /** TAKEDOWN path: apply one micro-batch of documents to REMOVE — each
+    * row must carry the same (doc_id, text, n_chars) as its ingested
+    * form. n_docs / total_chars decrement and the re-folded hash cancels
+    * out of `content_fp`, so retracting every copy of a doc restores the
+    * manifest to the never-ingested fingerprint (spec-pinned). */
+  def applyRetraction(batch: DataFrame, path: String, batchId: Long): Unit =
+    upsert(path, sign = -1).applyBatch(batch, batchId)
+
   /** The streaming writer: raw document rows in, maintained per-source
     * manifest on disk. Append mode — all state lives in the table. */
   def maintainManifest(rows: DataFrame, path: String): DataStreamWriter[Row] =
     upsert(path).writer(rows)
+
+  /** Streaming form of [[applyRetraction]]: a takedown feed maintains
+    * the same manifest table through its own checkpoint. */
+  def maintainRetractions(rows: DataFrame, path: String): DataStreamWriter[Row] =
+    upsert(path, sign = -1).writer(rows)
 
   /** Read the maintained manifest in the batch queries' column order. */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -54,7 +54,12 @@ class PartitionedUpsert(
     sumCols: Seq[String],
     aggregate: DataFrame => DataFrame,
     xorCols: Seq[String] = Nil,
-    sketchCols: Seq[String] = Nil) extends Serializable {
+    sketchCols: Seq[String] = Nil,
+    // Two INDEPENDENT streams maintaining one table (e.g. an ingest
+    // stream and a takedown/retraction stream, [[ContentManifest]]) each
+    // number their micro-batches from 0 — their exactly-once markers and
+    // staging dirs must not collide, so each stream tags its namespace.
+    streamTag: String = "batch") extends Serializable {
 
   // any per-key merge works if it is commutative/associative over batch
   // deltas AND the staged partition rewrite (history row + delta row →
@@ -75,11 +80,13 @@ class PartitionedUpsert(
     (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
   }
 
+  require(streamTag.matches("[A-Za-z0-9_]+"), "streamTag is a path segment")
+
   private def markerPath(table: Path, batchId: Long): Path =
-    new Path(table, s"_applied/batch-$batchId")
+    new Path(table, s"_applied/$streamTag-$batchId")
 
   private def stagingPath(table: Path, batchId: Long): Path =
-    new Path(table, s"_staging/batch-$batchId")
+    new Path(table, s"_staging/$streamTag-$batchId")
 
   /** Normalizing projection: partition-column read-back as string (path
     * discovery may type-infer it), then keys, then the summed measures. */
@@ -105,11 +112,15 @@ class PartitionedUpsert(
     val (fs, table) = fsOf(spark)
     val stagingRoot = new Path(table, "_staging")
     if (!fs.exists(stagingRoot)) return
-    fs.listStatus(stagingRoot).foreach { st =>
-      val id = st.getPath.getName.stripPrefix("batch-").toLong
-      if (fs.exists(markerPath(table, id))) publish(spark, id)
-      else fs.delete(st.getPath, true)
-    }
+    // only THIS stream's namespace: another tag's staging dir may belong
+    // to a concurrently-live stream mid-batch, not a crash leftover
+    fs.listStatus(stagingRoot)
+      .filter(_.getPath.getName.startsWith(s"$streamTag-"))
+      .foreach { st =>
+        val id = st.getPath.getName.stripPrefix(s"$streamTag-").toLong
+        if (fs.exists(markerPath(table, id))) publish(spark, id)
+        else fs.delete(st.getPath, true)
+      }
   }
 
   /** STAGE + COMMIT for one batch: write the post-merge partitions to
@@ -124,8 +135,12 @@ class PartitionedUpsert(
     if (fs.exists(markerPath(table, batchId))) return false
     val delta = aggregate(batch)
     // bounded driver action: distinct partitions in ONE micro-batch (the
-    // batch's span), not the table's history
-    val parts = delta.select(col(partCol)).distinct()
+    // batch's span), not the table's history. Cast-to-string here, not
+    // getString: an integer partition column (e.g. a numeric QI key,
+    // PrivacyScreen) otherwise CCEs. The read-back `.isin` below still
+    // references only the partition column, so file-source partition
+    // pruning evaluates it per-directory either way.
+    val parts = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (parts.nonEmpty) {
       val existing =

@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 import graft.SparkEntry
 
@@ -44,6 +45,69 @@ object PlanFingerprint {
     counts.toSeq.sortBy(_._1).map { case (k, n) => s"$k:$n" }.mkString(" ")
   }
 
+  /** Multiset fingerprint of the AQE FINAL plan — the plan shape that
+    * actually ran, after runtime re-optimization from observed stage
+    * sizes (broadcast↔SMJ conversions, partition coalescing, skew
+    * splits). Materializes every non-result query stage via
+    * `AdaptiveSparkPlanExec.finalPhysicalPlan` (shuffle map stages and
+    * broadcasts execute; the result stage does not — the cheapest action
+    * that still finalizes the plan). AQE bookkeeping wrappers
+    * (`AdaptiveSparkPlanExec`, `*QueryStageExec`) are unwrapped to the
+    * operators they hold, so the multiset stays comparable to the
+    * static fingerprint; `AQEShuffleReadExec` and `ReusedExchangeExec`
+    * are real runtime decisions and ARE counted. */
+  def fingerprintFinal(df: DataFrame): String = {
+    val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.finalPhysicalPlan)
+      case q: QueryStageExec => walk(q.plan)
+      // Exchange reuse is a SCHEDULING RACE under AQE: whether two
+      // identical exchanges dedup depends on which stage materializes
+      // first, so the same query flips between {subtree ×1 + Reused ×1}
+      // and {subtree ×2} across runs. Expand the reuse node into the
+      // full referenced subtree — both outcomes then produce the same
+      // multiset, and the fingerprint records the plan's logical shape
+      // rather than the run's stage-timing accident.
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
+      case o =>
+        counts(o.getClass.getSimpleName) += 1
+        o.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    counts.toSeq.sortBy(_._1).map { case (k, n) => s"$k:$n" }.mkString(" ")
+  }
+
+  /** Compute AQE-final fingerprints for the whole registry under a
+    * SCALE-REALISTIC planner configuration at sf0.1: AQE ON (the 100 TB
+    * deployment posture) and the production-default 10 MB broadcast
+    * threshold, so fact-sized join sides genuinely exceed it and the
+    * golden records which joins flip to sort-merge when data grows —
+    * exactly the drift the sf0.001 golden (where every side broadcasts)
+    * cannot see. Caches are cleared per query so one query's `cache()`
+    * can't turn another's scan into `InMemoryTableScan`. */
+  def fingerprintAllFinal(spark: SparkSession, sfDir: String,
+      names: Set[String] = Set.empty): Seq[(String, String)] = {
+    val pinned = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10m",
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => excluded(name) }
+        .filter { case (name, _) => names.isEmpty || names(name) }
+        .map { case (name, fn) =>
+          try name -> fingerprintFinal(fn(spark, sfDir))
+          finally spark.catalog.clearCache()
+        }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Compute all fingerprints under the pinned planner configuration
     * (AQE off, 64m broadcast threshold, 8 shuffle partitions), restoring
     * the session's previous settings afterwards. */
@@ -65,6 +129,7 @@ object PlanFingerprint {
   }
 
   val goldenPath = "PLAN_FINGERPRINTS.txt"
+  val goldenPathSf01 = "PLAN_FINGERPRINTS_SF01.txt"
 
   def render(fps: Seq[(String, String)]): String =
     "# query<TAB>operator-class:count multiset — generated by " +
@@ -77,20 +142,30 @@ object PlanFingerprint {
       .map { l => val Array(n, f) = l.split("\t", 2); n -> f }
       .toMap
 
-  /** Regenerate the golden file: `runMain graft.tools.PlanFingerprint
-    * [sfDir] [out]`. */
+  /** Regenerate the golden files.
+    *   - `runMain graft.tools.PlanFingerprint [sfDir] [out]` — static
+    *     (AQE-off) fingerprints at sf0.001, the planning-shape golden.
+    *   - `runMain graft.tools.PlanFingerprint sf01 [sfDir] [out]` —
+    *     AQE-FINAL fingerprints at sf0.1 (executes non-result stages;
+    *     local[32] so the regen costs minutes, not the suite).
+    */
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val out = args.lift(1).getOrElse(goldenPath)
+    val sf01Mode = args.headOption.contains("sf01")
+    val rest = if (sf01Mode) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse(
+      if (sf01Mode) "/root/testdata/sf0.1" else "/root/testdata/sf0.001")
+    val out = rest.lift(1).getOrElse(if (sf01Mode) goldenPathSf01 else goldenPath)
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(if (sf01Mode) "local[32]" else "local[8]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fps = fingerprintAll(spark, sfDir)
+    val t0 = System.nanoTime()
+    val fps = if (sf01Mode) fingerprintAllFinal(spark, sfDir)
+      else fingerprintAll(spark, sfDir)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), render(fps))
-    println(s"wrote $out (${fps.size} queries)")
+    println(f"wrote $out (${fps.size} queries, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
     spark.stop()
   }
 }

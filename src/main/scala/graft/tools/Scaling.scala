@@ -53,6 +53,7 @@ object Scaling {
 
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     selected.foreach { case (name, fn) =>
+      graft.operators.Graph.drainIterationLog(): Unit // clear stale entries
       val t0 = System.nanoTime()
       val fut = pool.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = fn(spark, sfDir).count()
@@ -61,7 +62,12 @@ object Scaling {
         try {
           val n = fut.get(capS.toLong, java.util.concurrent.TimeUnit.SECONDS)
           val s = (System.nanoTime() - t0) / 1e9
-          f"$name\t$s%.3f\trows=$n"
+          // rounds-to-converge of any iterative graph operator the query
+          // ran — the SCALING.md iteration column (flat rounds ⇒ a high
+          // family ratio is input growth, not convergence creep)
+          val iters = graft.operators.Graph.drainIterationLog()
+          val itersTag = if (iters.isEmpty) "" else s"\titers=$iters"
+          f"$name\t$s%.3f\trows=$n$itersTag"
         } catch {
           case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelAllJobs()

@@ -243,4 +243,21 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(BenchCore.parsePrior(line) === Map("qa" -> 1.5, "qb" -> 0.25))
     assert(BenchCore.parsePrior("""{"no":"queries"}""") === Map.empty)
   }
+
+  test("parsePrior reads the committed pretty-printed BENCH_PRIOR.json shape") {
+    // the real file is json.dumps(indent=1): '"queries": {' with a space
+    // and one '"name": secs' pair per line — the compact-only regexes
+    // silently returned Map.empty against it (r13 ran with no prior)
+    val pretty =
+      """{
+        | "metric": "total",
+        | "cache_class": ["qa"],
+        | "queries": {
+        |  "qa": 1.176,
+        |  "qb": 0.6682
+        | },
+        | "value": 1.8442
+        |}""".stripMargin
+    assert(BenchCore.parsePrior(pretty) === Map("qa" -> 1.176, "qb" -> 0.6682))
+  }
 }

@@ -60,19 +60,23 @@ class ContentManifestSpec extends GraftSparkSpec {
       path, batchId = 1L)
     assert(manifestRows(path) === before)
 
-    // XOR retraction: re-folding doc 2's hash removes it from the
-    // checksum — the manifest's content_fp returns to the fold WITHOUT
-    // doc 2 (counts move by the compensating row's sums, documented:
-    // a real takedown batch carries negated counts; here we check the
-    // checksum leg, the one sums can't express)
-    ContentManifest.applyBatch(
+    // FULL takedown via the signed retraction entry point: doc 2's
+    // counts decrement AND its re-folded hash cancels out of the
+    // checksum — the whole manifest row (n_docs, total_chars,
+    // content_fp) returns to the never-ingested-doc-2 fingerprint. The
+    // retraction stream numbers its own batches from 0; its markers
+    // live in a separate namespace, so batchId 0 here cannot collide
+    // with the ingest stream's batch 0.
+    ContentManifest.applyRetraction(
       Seq(doc("web", 2L, "gamma")).toDF("source", "doc_id", "text", "n_chars"),
-      path, batchId = 2L)
-    val fpAfter = ContentManifest.read(spark, path)
-      .filter(org.apache.spark.sql.functions.col("source") === "web")
-      .head().getLong(3)
-    val fpWithout2 = batchRows(Seq(doc("web", 1L, "alpha beta"),
-      doc("web", 4L, "epsilon"))).head.getLong(3)
-    assert(fpAfter === fpWithout2)
+      path, batchId = 0L)
+    val without2 = Seq(doc("web", 1L, "alpha beta"), doc("web", 4L, "epsilon"),
+      doc("book", 3L, "delta"))
+    assert(manifestRows(path) === batchRows(without2))
+    // retraction redelivery is a no-op through its own marker
+    ContentManifest.applyRetraction(
+      Seq(doc("web", 2L, "gamma")).toDF("source", "doc_id", "text", "n_chars"),
+      path, batchId = 0L)
+    assert(manifestRows(path) === batchRows(without2))
   }
 }

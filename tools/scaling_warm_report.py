@@ -45,7 +45,12 @@ def cold(path):
 
 
 def main():
-    prior, _ = bench_queries(sys.argv[1])
+    prior, prior_art = bench_queries(sys.argv[1])
+    # floors whose warmup populates a cache()/localCheckpoint (annotated
+    # in BENCH_PRIOR.json from PLAN_FINGERPRINTS.txt): hot-cache best-of
+    # minimums that a sweep can't necessarily reproduce — their >12x
+    # flags need a cold cross-check before they mean anything
+    cache_class = set(prior_art.get("cache_class", []))
     sf1, art = bench_queries(sys.argv[2])
     declared = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     c01 = cold(sys.argv[4]) if len(sys.argv) > 5 else {}
@@ -65,6 +70,7 @@ def main():
     print("| query | sf0.1 warm s | sf1 warm s | warm ratio | cold ratio | note |")
     print("|---|---|---|---|---|---|")
     flagged = []
+    cache_suspect = []
     for name, a, b, ratio, cr in rows:
         note = ""
         if name in declared and ratio is None:
@@ -73,6 +79,11 @@ def main():
             note = "declared exact/O(n²) baseline (scale sibling registered)"
         elif ratio is None:
             note = "unmeasured"
+        elif ratio > 12 and name in cache_class:
+            note = ("**>12x vs a HOT-CACHE floor** (warmup-populated "
+                    "cache/checkpoint, BENCH_PRIOR cache_class) — "
+                    "cold cross-check required before reading as growth")
+            cache_suspect.append(name)
         elif ratio > 12:
             note = "**>12x warm — see the flagged-query analysis section**"
             flagged.append(name)
@@ -90,7 +101,9 @@ def main():
         print(f"Measured: {len(ms)} queries; total {tot_a:.1f} s -> {tot_b:.1f} s "
               f"({tot_b / tot_a:.1f}x); median ratio {ms[len(ms) // 2]:.1f}x; "
               f"p90 {ms[int(len(ms) * 0.9)]:.1f}x; max {ms[-1]:.1f}x; "
-              f"flagged >12x: {len(flagged)} {flagged}")
+              f"flagged >12x: {len(flagged)} {flagged}; "
+              f">12x vs hot-cache floors (cold-check first): "
+              f"{len(cache_suspect)} {cache_suspect}")
 
 
 if __name__ == "__main__":
