@@ -34,12 +34,19 @@ object PlanFingerprint {
     * future rather than silently skipping. */
   val excluded: Set[String] = Set.empty
 
-  /** Multiset of physical operator class names, sorted, as one line. */
+  /** Multiset of physical operator class names, sorted, as one line.
+    * `ReusedExchangeExec` is expanded into the full referenced subtree
+    * (here deterministic — planning-time dedup — but expanded anyway so
+    * the static multiset stays count-comparable with the AQE-final one,
+    * where reuse is a stage-timing race and MUST be expanded). */
   def fingerprint(df: DataFrame): String = {
     val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
-    def walk(p: SparkPlan): Unit = {
-      counts(p.getClass.getSimpleName) += 1
-      p.children.foreach(walk)
+    def walk(p: SparkPlan): Unit = p match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
+      case o =>
+        counts(o.getClass.getSimpleName) += 1
+        o.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
     counts.toSeq.sortBy(_._1).map { case (k, n) => s"$k:$n" }.mkString(" ")
@@ -96,7 +103,7 @@ object PlanFingerprint {
     pinned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot { case (name, _) => excluded(name) }
+        .filterNot { case (name, _) => excluded(name) || excludedSf01(name) }
         .filter { case (name, _) => names.isEmpty || names(name) }
         .map { case (name, fn) =>
           try name -> fingerprintFinal(fn(spark, sfDir))
@@ -130,6 +137,16 @@ object PlanFingerprint {
 
   val goldenPath = "PLAN_FINGERPRINTS.txt"
   val goldenPathSf01 = "PLAN_FINGERPRINTS_SF01.txt"
+
+  /** Queries whose AQE-FINAL plan is not run-deterministic at sf0.1 —
+    * each verified by back-to-back tool runs diffing non-empty (the
+    * ReusedExchange canonicalization already absorbs stage-timing races;
+    * what remains is AQE planning on runtime SIZE STATS that sit on a
+    * coalesce/broadcast boundary, e.g. in-memory relation byte sizes of
+    * localCheckpoint'd graph rounds varying run-to-run with block
+    * layout). Excluded from the sf0.1 golden with this documented
+    * reason; their STATIC sf0.001 fingerprints remain gated. */
+  val excludedSf01: Set[String] = Set.empty // filled from the r14 determinism diff
 
   def render(fps: Seq[(String, String)]): String =
     "# query<TAB>operator-class:count multiset — generated by " +

@@ -38,4 +38,46 @@ class PlanFingerprintSpec extends GraftSparkSpec {
       else None).flatten
     assert(report.isEmpty, "\n" + report.mkString("\n"))
   }
+
+  /** The SCALE-REALISTIC golden (sf0.1, AQE final plans, production 10 MB
+    * broadcast threshold — the config under which fact-sized join sides
+    * genuinely flip to sort-merge; regenerate with `sbt "runMain
+    * graft.tools.PlanFingerprint sf01"`). A full live re-fingerprint
+    * executes every query's non-result stages at sf0.1 (~7 min at
+    * local[32], several× that on the suite's local[4]) — too heavy for
+    * every `sbt test` — so the gate splits:
+    *   (a) registry consistency of the committed golden — every
+    *       registered query pinned, no stale entries — which forces the
+    *       regen whenever the registry changes;
+    *   (b) LIVE drift check of the scale-critical subset: every query
+    *       whose golden shape contains a shuffle-side join
+    *       (SortMergeJoin / ShuffledHashJoin / CartesianProduct) — the
+    *       shapes that exist only at scale and that the sf0.001 golden
+    *       (where every join broadcasts) cannot see.
+    */
+  test("sf0.1 AQE-final golden: registry-consistent, scale-critical shapes match live") {
+    val goldenFile = new java.io.File(PlanFingerprint.goldenPathSf01)
+    assert(goldenFile.isFile,
+      s"${PlanFingerprint.goldenPathSf01} missing — run graft.tools.PlanFingerprint sf01")
+    val golden = PlanFingerprint.parse(
+      java.nio.file.Files.readString(goldenFile.toPath))
+    val expected = graft.SparkEntry.queries.keySet --
+      PlanFingerprint.excluded -- PlanFingerprint.excludedSf01
+    val missing = golden.keySet -- expected
+    val unpinned = expected -- golden.keySet
+    assert(missing.isEmpty && unpinned.isEmpty,
+      s"\nsf0.1 golden stale entries: ${missing.toSeq.sorted.mkString(", ")}" +
+        s"\nsf0.1 golden missing (regenerate): ${unpinned.toSeq.sorted.mkString(", ")}")
+
+    val scaleCritical = golden.filter { case (_, fp) =>
+      fp.contains("SortMergeJoinExec") || fp.contains("ShuffledHashJoinExec") ||
+        fp.contains("CartesianProductExec")
+    }.keySet
+    assert(scaleCritical.nonEmpty, "no shuffle-join shapes in the sf0.1 golden?")
+    val got = PlanFingerprint.fingerprintAllFinal(spark, "/root/testdata/sf0.1",
+      names = scaleCritical)
+    val drifted = got.filter { case (n, f) => golden.get(n).exists(_ != f) }
+      .map { case (n, f) => s"$n\n  golden: ${golden(n)}\n  actual: $f" }
+    assert(drifted.isEmpty, "\nscale-critical plan drift:\n" + drifted.mkString("\n"))
+  }
 }
