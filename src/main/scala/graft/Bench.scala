@@ -207,17 +207,26 @@ object Bench {
     // overrides the path; "off" disables (the scaling sweeps redirect it
     // so a 10x-data run can't overwrite the sf0.1 artifact).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    if (outPath != "off") try {
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(".").toAbsolutePath.normalize, ".bench_last", ".tmp")
-      java.nio.file.Files.write(tmp,
-        (artifact + "\n" + detail + "\n" + h.finalLine(partialTag) + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outPath),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Throwable =>
-      System.err.println(s"bench_last write skipped: ${e.getMessage}")
+    if (outPath != "off") {
+      // temp in the TARGET's directory (same filesystem — ATOMIC_MOVE
+      // across mounts always fails), deleted on any failure path
+      val target = java.nio.file.Paths.get(outPath).toAbsolutePath.normalize
+      var tmp: java.nio.file.Path = null
+      try {
+        tmp = java.nio.file.Files.createTempFile(
+          target.getParent, ".bench_last", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (artifact + "\n" + detail + "\n" + h.finalLine(partialTag) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"bench_last write skipped: ${e.getMessage}")
+        if (tmp != null)
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: Throwable => () }
+      }
     }
     spark.stop()
   }

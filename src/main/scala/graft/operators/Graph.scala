@@ -21,17 +21,24 @@ object Graph {
     * answers: per-round cost is provably linear, so an operator-family
     * ratio above ~10× at 10× data is benign only if ROUNDS stay flat —
     * the iteration column in SCALING.md either proves that or names the
-    * growth. Thread-safe map because Verify runs queries concurrently;
-    * a sequential sweep reads it unambiguously. */
-  val lastIterations =
-    new scala.collection.concurrent.TrieMap[String, Int]
+    * growth. THREAD-LOCAL: the iterative loops run on the thread that
+    * built the query, so a timed-out query's zombie thread (Scaling's
+    * cancel is cooperative) writes into its own log, never into the next
+    * query's — drain from the same thread that ran the operator. */
+  private val iterLog =
+    new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+  private[graft] def lastIterations: scala.collection.mutable.Map[String, Int] =
+    iterLog.get()
 
-  /** Format and clear the iteration log: "op:rounds" comma-joined,
-    * sorted; empty string when no iterative operator ran. */
+  /** Format and clear the calling thread's iteration log: "op:rounds"
+    * comma-joined, sorted; empty string when no iterative operator ran. */
   def drainIterationLog(): String = {
-    val s = lastIterations.toSeq.sortBy(_._1)
+    val m = iterLog.get()
+    val s = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k:$v" }.mkString(",")
-    lastIterations.clear()
+    m.clear()
     s
   }
 
@@ -462,8 +469,10 @@ object Graph {
     val e = newEdges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
     val out = connectedComponents(star.unionByName(e))
     // CC's loop ran eagerly above (localCheckpoint per round), so its log
-    // entry is current — re-key it so the sweep sees the merge's rounds
-    lastIterations.get("connectedComponents")
+    // entry is current — RE-key it (remove the inner entry) so the sweep
+    // attributes the rounds to the merge instead of double-reporting a
+    // phantom standalone CC run
+    lastIterations.remove("connectedComponents")
       .foreach(n => lastIterations("mergeComponents") = n)
     out
   }

@@ -52,7 +52,21 @@ object GovStreamQueries extends QueryFamily {
       .option("checkpointLocation", s"$root/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // BOUNDED await: the stream's jobs run under ITS OWN job group, so
+    // Bench's per-query watchdog (cancelJobGroup on "bench-<name>")
+    // cannot reach them — an unbounded awaitTermination on a wedged
+    // micro-batch would hang the whole benchmark past the driver's kill
+    // timeout (the round-9 lose-the-artifact mode). Same knob and
+    // default as Bench's cap; a capped stream throws so the harness
+    // records the error and coverage continues.
+    val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
+    val finished = q.awaitTermination((capS * 1000).toLong)
+    if (!finished) {
+      q.stop()
+      throw new RuntimeException(
+        f"$name stream exceeded the ${capS}%.0f s per-query cap")
+    }
     state
   }
 

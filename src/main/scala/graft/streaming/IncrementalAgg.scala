@@ -40,12 +40,30 @@ import graft.operators.Layout
   *
   * Recovery (`recoverPending`, run at the head of every apply): a staging
   * dir WITH its marker is a committed-but-unpublished batch → finish the
-  * publish; a staging dir WITHOUT a marker is an uncommitted crash
-  * leftover → delete it (foreachBatch will re-deliver that batch). A
-  * crash before the rename re-runs the whole merge against the unchanged
-  * table; a crash after it re-runs only the idempotent publish — no
-  * interleaving double counts (StreamingSpec's crash-between test drives
-  * each window).
+  * publish — for ANY stream tag, not just this stream's (publish only
+  * copies staged bytes, so finishing another stream's committed batch is
+  * always safe, and leaving it pending would let this batch's merge read
+  * the table WITHOUT it and then publish over it — the lost-update
+  * window); a staging dir WITHOUT a marker is an uncommitted crash
+  * leftover → delete it, own tag only (foreachBatch will re-deliver that
+  * batch). A crash before the rename re-runs the whole merge against the
+  * unchanged table; a crash after it re-runs only the idempotent publish
+  * — no interleaving double counts (StreamingSpec's crash-between test
+  * drives each window).
+  *
+  * WRITER SERIALIZATION — the protocol is single-writer-at-a-time per
+  * table: stage computes post-merge snapshots from the table it READ, so
+  * two writers interleaving stage/publish on one partition would
+  * last-write-win away each other's deltas. Within one JVM every
+  * applyBatch serializes on a per-table-path lock (covering the
+  * ingest + retraction two-stream shape [[ContentManifest]] ships —
+  * Structured Streaming runs each query's foreachBatch on its own
+  * thread). ACROSS JVMs there is deliberately no coordinator — that is
+  * the "no table format" tradeoff, documented here: concurrent writer
+  * PROCESSES on one table need an external lock (or a real table
+  * format); crash-recovery across processes stays safe because every
+  * applyBatch first publishes ALL tags' committed-unpublished staging
+  * before reading the table.
   */
 class PartitionedUpsert(
     path: String,
@@ -96,9 +114,12 @@ class PartitionedUpsert(
 
   /** Idempotent publish: copy the staged post-merge partitions over the
     * affected table partitions and drop the staging dir. Never re-merges. */
-  private[streaming] def publish(spark: SparkSession, batchId: Long): Unit = {
+  private[streaming] def publish(spark: SparkSession, batchId: Long): Unit =
+    publishDir(spark, s"$streamTag-$batchId")
+
+  private def publishDir(spark: SparkSession, name: String): Unit = {
     val (fs, table) = fsOf(spark)
-    val staging = stagingPath(table, batchId)
+    val staging = new Path(table, s"_staging/$name")
     if (!fs.exists(staging)) return // already published
     val staged = spark.read.parquet(staging.toString).select(projection: _*)
     Layout.overwritePartitions(staged, path, partCol, dynamic = true)
@@ -106,21 +127,22 @@ class PartitionedUpsert(
   }
 
   /** Finish or discard interrupted batches: committed-but-unpublished
-    * staging dirs get published, uncommitted ones deleted. Bounded by the
-    * number of in-flight crashes (normally 0 or 1), not table history. */
+    * staging dirs get published — ANY stream's (see the writer-
+    * serialization scaladoc: leaving another tag's committed batch
+    * unpublished would let this batch merge against a table missing it,
+    * then publish over it) — and uncommitted ones deleted, own tag only
+    * (an uncommitted dir will be re-staged by its own stream's
+    * redelivery). Bounded by the number of in-flight crashes (normally
+    * 0 or 1), not table history. */
   private[streaming] def recoverPending(spark: SparkSession): Unit = {
     val (fs, table) = fsOf(spark)
     val stagingRoot = new Path(table, "_staging")
     if (!fs.exists(stagingRoot)) return
-    // only THIS stream's namespace: another tag's staging dir may belong
-    // to a concurrently-live stream mid-batch, not a crash leftover
-    fs.listStatus(stagingRoot)
-      .filter(_.getPath.getName.startsWith(s"$streamTag-"))
-      .foreach { st =>
-        val id = st.getPath.getName.stripPrefix(s"$streamTag-").toLong
-        if (fs.exists(markerPath(table, id))) publish(spark, id)
-        else fs.delete(st.getPath, true)
-      }
+    fs.listStatus(stagingRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (fs.exists(new Path(table, s"_applied/$name"))) publishDir(spark, name)
+      else if (name.startsWith(s"$streamTag-")) fs.delete(st.getPath, true)
+    }
   }
 
   /** STAGE + COMMIT for one batch: write the post-merge partitions to
@@ -175,11 +197,15 @@ class PartitionedUpsert(
   }
 
   /** Apply one micro-batch to the maintained table: recover any
-    * interrupted predecessor, then stage → commit → publish. */
-  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-    recoverPending(batch.sparkSession)
-    if (stageAndCommit(batch, batchId)) publish(batch.sparkSession, batchId)
-  }
+    * interrupted predecessor, then stage → commit → publish — the whole
+    * sequence under the per-table JVM lock, so two streams maintaining
+    * one table from the same session (ingest + retraction) serialize
+    * instead of last-write-winning each other's partition snapshots. */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit =
+    PartitionedUpsert.tableLock(path).synchronized {
+      recoverPending(batch.sparkSession)
+      if (stageAndCommit(batch, batchId)) publish(batch.sparkSession, batchId)
+    }
 
   /** The streaming writer: raw rows in, maintained partitioned aggregate
     * on disk. Append mode — all state lives in the table. */
@@ -189,6 +215,17 @@ class PartitionedUpsert(
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId)
       }
+}
+
+object PartitionedUpsert {
+  /** Per-table-path monitor serializing writers within this JVM (the
+    * cross-JVM story is documented on the class: external coordination
+    * or a table format). Normalized on the raw path string — callers
+    * construct upserts of one table with one canonical path. */
+  private val locks =
+    new scala.collection.concurrent.TrieMap[String, Object]
+  private[streaming] def tableLock(path: String): Object =
+    locks.getOrElseUpdate(path, new Object)
 }
 
 /** STREAMING maintenance of the partitioned daily aggregate that

@@ -53,19 +53,27 @@ object Scaling {
 
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     selected.foreach { case (name, fn) =>
-      graft.operators.Graph.drainIterationLog(): Unit // clear stale entries
       val t0 = System.nanoTime()
-      val fut = pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = fn(spark, sfDir).count()
-      })
+      // the iteration log is THREAD-LOCAL, so it must be drained on the
+      // worker thread that ran the query — and cleared at entry, because
+      // the cached pool may hand this query the thread of a previously
+      // TIMED-OUT query whose zombie left entries behind
+      val fut = pool.submit(
+        new java.util.concurrent.Callable[(Long, String)] {
+          def call(): (Long, String) = {
+            graft.operators.Graph.drainIterationLog(): Unit
+            val n = fn(spark, sfDir).count()
+            (n, graft.operators.Graph.drainIterationLog())
+          }
+        })
       val line =
         try {
-          val n = fut.get(capS.toLong, java.util.concurrent.TimeUnit.SECONDS)
-          val s = (System.nanoTime() - t0) / 1e9
           // rounds-to-converge of any iterative graph operator the query
           // ran — the SCALING.md iteration column (flat rounds ⇒ a high
           // family ratio is input growth, not convergence creep)
-          val iters = graft.operators.Graph.drainIterationLog()
+          val (n, iters) =
+            fut.get(capS.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          val s = (System.nanoTime() - t0) / 1e9
           val itersTag = if (iters.isEmpty) "" else s"\titers=$iters"
           f"$name\t$s%.3f\trows=$n$itersTag"
         } catch {

@@ -90,4 +90,34 @@ class UpsertCrashSpec extends GraftSparkSpec {
       .orderBy(col("day"), col("k")).collect().toSeq
     assert(got === want)
   }
+
+  test("another stream's committed-unpublished batch publishes before this stream merges (no lost update)") {
+    // the cross-stream crash window: stream A stages+COMMITS from table
+    // state T and dies before publish; stream B then applies a batch.
+    // If B merged against T (without A's pending delta) and published,
+    // A's recovery would later republish its stale snapshot over B's —
+    // the lost update. The fix: every applyBatch first publishes ALL
+    // tags' committed-unpublished staging, so B merges against T+A.
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-upsert-xstream-").toString
+    val path = s"$root/state"
+    def mk(tag: String) = new PartitionedUpsert(
+      path, partCol = "p", keyCols = Seq("k"), sumCols = Seq("n"),
+      aggregate = _.groupBy(col("p"), col("k"))
+        .agg(sum(col("n")).as("n")),
+      streamTag = tag)
+    val a = mk("ingest")
+    val b = mk("retract")
+    a.applyBatch(Seq(("x", "k1", 10L)).toDF("p", "k", "n"), 0L)
+    // A's batch 1: committed but NOT published (simulated crash)
+    assert(a.stageAndCommit(Seq(("x", "k1", 5L)).toDF("p", "k", "n"), 1L))
+    // B applies on the same partition: must see A's +5 first
+    b.applyBatch(Seq(("x", "k1", -3L)).toDF("p", "k", "n"), 0L)
+    val n = s.read.parquet(path).select(col("n")).head().getLong(0)
+    assert(n === 12L) // 10 + 5 (recovered) - 3; the lost-update bug read 7
+    // A's redelivered batch 1 is a marker no-op, not a double count
+    a.applyBatch(Seq(("x", "k1", 5L)).toDF("p", "k", "n"), 1L)
+    assert(s.read.parquet(path).select(col("n")).head().getLong(0) === 12L)
+  }
 }

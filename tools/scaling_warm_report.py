@@ -29,6 +29,13 @@ def bench_queries(path):
             continue
         if "queries" in d and d["queries"]:
             best = d
+    if best is None:
+        # BENCH_PRIOR.json is pretty-printed (multi-line) — parse whole-file
+        d = json.load(open(path))
+        if "queries" in d and d["queries"]:
+            best = d
+    if best is None:
+        raise SystemExit(f"{path}: no parseable artifact with a queries map")
     return best["queries"], best
 
 
