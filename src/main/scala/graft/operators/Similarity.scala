@@ -694,6 +694,77 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** IVF-PQ **with exact refine** — the full production composition a
+    * billion-vector deployment actually runs (FAISS `IndexIVFPQ` wrapped
+    * in `IndexRefineFlat`): coarse cells prune the scan (IVF), PQ codes
+    * shrink what a probed cell reads 64×, and a final exact re-rank of a
+    * `shortlistFactor`·k shortlist repairs PQ's scoring error inside the
+    * shortlist. Shares ONE raw-corpus coarse quantizer across all three
+    * representations ([[pqIvfTopK]]'s FAISS-faithful IVFADC discipline),
+    * so the `recall_at_k` contract vs the float-exact scan of the SAME
+    * probed cells isolates exactly the one error source refine cannot
+    * repair: true neighbors that PQ scored out of the shortlist.
+    *
+    * Plan at 100 TB: everything is centroid-partitioned or id-keyed —
+    * the ADC pass joins probes to coded cells (a cell-keyed equi-join
+    * over nProbe/nCells of the corpus), the shortlist is (n_queries ×
+    * 3k) id rows, and the refine stage re-joins it to the raw vectors BY
+    * ID (the random-access flat-vector read of a real refine step).
+    * Nothing O(n²), per-query windows only. */
+  def pqIvfRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, shortlistFactor: Int = 3,
+      lloydIters: Int = 1): DataFrame = {
+    val n = corpus.count()
+    val corpusD = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = ivfCentroids(corpusD, nCells, lloydIters, n)
+    val assigned = ivfAssign(corpusD, centroids)
+    val probes = ivfProbes(queries, centroids, nProbe)
+    val assignedRec = assigned.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(pqDequantized(corpus, nRows = Some(n))
+        .select(col("vec_id").as("neighbor_id"), col("qv").as("nv")),
+        Seq("neighbor_id"))
+    def rankTopK(pairs: DataFrame, score: String, limit: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= limit)
+    }
+    // stage 1: ADC over the probed cells, keep a 3k shortlist per query
+    val shortlist = rankTopK(
+      probes.join(assignedRec, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSeq(col("qv"), col("nv")).as("adc_cos")),
+      "adc_cos", shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact re-rank of JUST the shortlist against raw vectors —
+    // query vectors re-join from the queries frame BY ID (same doubles
+    // as the probes' qv), not via a distinct() over the probe rows: an
+    // id-keyed equi-join beats deduplicating on a 64-element array key
+    val approx = rankTopK(
+      shortlist
+        .join(corpusD.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nx")), Seq("neighbor_id"))
+        .join(queries.select(col("vec_id").as("query_id"),
+          toDouble(col("embedding")).as("qv")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSeq(col("qv"), col("nx")).as("qcos")), "qcos", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"))
+    // contract: float-exact top-k over the SAME probed cells
+    val exact = rankTopK(
+      probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("cell")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineSeq(col("qv"), col("nv")).as("cosine")), "cosine", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    approx.join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Hard-negative triplet mining for embedding-model training — the
     * contrastive-learning data-prep pass (the "hard negatives beat
     * random negatives" recipe of the dense-retrieval literature, e.g.

@@ -154,6 +154,18 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4, lloydIters = 1)
         .orderBy(col("query_id"), col("rank"))),
 
+    // IVF-PQ + exact refine — the COMPLETE production stack (FAISS
+    // IndexIVFPQ inside IndexRefineFlat): coarse cells prune, PQ codes
+    // shrink the probed read 64x, a 3k-shortlist exact re-rank repairs
+    // in-shortlist scoring error. Recall contract vs the float-exact
+    // scan of the SAME probed cells isolates the one unrepairable
+    // error: true neighbors PQ scored out of the shortlist. Everything
+    // centroid-partitioned or id-keyed; nothing O(n²).
+    "sim_topk_pq_ivf_refine" -> ((s, d) =>
+      Similarity.pqIvfRefineTopK(Tables.embeddings(s, d), queriesSubset(s, d),
+        K, nCells = 16, nProbe = 4, lloydIters = 1)
+        .orderBy(col("query_id"), col("rank"))),
+
     // feature-hashed document similarity: the hashing-trick vectors
     // (TextOps.hashVectors — vocabulary-free 32-dim signed counts)
     // bridge documents into the ANN surface; exact top-3 per query doc.
@@ -498,6 +510,39 @@ object SimQueries extends QueryFamily {
        |  CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
        |FROM atk JOIN rec USING (query_id) ORDER BY atk.query_id, atk.rank""".stripMargin
 
+  /** Bit-exact replica of [[graft.operators.Similarity.pqIvfRefineTopK]]:
+    * the `pqIvfOracleSql` ADC pair over the shared probed cells feeds a
+    * 3k shortlist ((adc DESC, neighbor) order), the shortlist alone is
+    * re-scored float-exact (the `pqRefineOracleSql` refine tail), and
+    * recall joins against `xtk` — the float-exact top-k of the SAME
+    * probed cells. */
+  private def pqIvfRefineOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pqCtesSql("ef")},
+       |${ivfCtesSql("x", "ef", iters = 1)},
+       |apair AS (
+       |  SELECT pr.query_id, af.vec_id AS neighbor_id,
+       |    ${cosineSql("eq.v", "pq.v")} AS adc_cos
+       |  FROM xprobes pr
+       |  JOIN xaf af ON af.cell = pr.cell AND af.vec_id <> pr.query_id
+       |  JOIN epq pq ON pq.vec_id = af.vec_id
+       |  JOIN ef eq ON eq.vec_id = pr.query_id),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS srank
+       |  FROM apair) r WHERE srank <= 9),
+       |rf AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${cosineSql("eq.v", "c.v")} AS qcos
+       |  FROM sl JOIN ef eq ON eq.vec_id = sl.query_id JOIN ef c ON c.vec_id = sl.neighbor_id),
+       |tk AS (SELECT query_id, neighbor_id, qcos, rank FROM (
+       |  SELECT query_id, neighbor_id, qcos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM rf) r WHERE rank <= 3),
+       |rec AS (SELECT tk.query_id, COUNT(xtk.neighbor_id) AS n_hit
+       |        FROM tk LEFT JOIN xtk USING (query_id, neighbor_id) GROUP BY tk.query_id)
+       |SELECT tk.query_id, tk.rank, tk.neighbor_id, tk.qcos, CAST(n_hit AS DOUBLE) / 3 AS recall_at_k
+       |FROM tk JOIN rec USING (query_id) ORDER BY tk.query_id, tk.rank""".stripMargin
+
   private def ivfOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${ivfCtesSql("", "e")}
@@ -744,6 +789,7 @@ object SimQueries extends QueryFamily {
     "sim_topk_pq_refine_sampled" ->
       pqRefineOracleSql("vec_id % 10 = 0 AND vec_id < 2000"),
     "sim_topk_pq_ivf" -> pqIvfOracleSql,
+    "sim_topk_pq_ivf_refine" -> pqIvfRefineOracleSql,
     "sim_label_centroid_norm" ->
       """SELECT label, COUNT(*) AS dims, CAST(SUM(sum_micros) AS BIGINT) AS sum_all_micros FROM (
         |  SELECT label, pos, CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros

@@ -139,6 +139,28 @@ class SimilaritySpec extends GraftSparkSpec {
         exact((r.getLong(0), r.getLong(2)))))
   }
 
+  test("IVF-PQ + refine: never lowers recall vs IVF-PQ, refined scores exact") {
+    // same law as pqRefine-vs-pq, inside the shared probed-cell world:
+    // IVF-PQ's top-k is the ADC-best k of the probed candidates, the
+    // refine shortlist is a 3k superset of it, and exact re-ranking
+    // promotes true (probed-exact) top-k members within the shortlist —
+    // so per query recall_refine >= recall_pqivf against the SAME
+    // float-exact probed-cell contract.
+    val queries = vectors.filter(col("vec_id") % 5 === 0)
+    val pqivf = Similarity.pqIvfTopK(vectors, queries, 3, nCells = 4, nProbe = 2)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.head.getDouble(4) }
+    val rf = Similarity.pqIvfRefineTopK(vectors, queries, 3, nCells = 4, nProbe = 2)
+      .collect()
+    assert(rf.groupBy(_.getLong(0)).forall(_._2.length === 3))
+    val rfRecall = rf.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.head.getDouble(4) }
+    assert(rfRecall.keySet === pqivf.keySet)
+    rfRecall.foreach { case (q, r) => assert(r >= pqivf(q) - 1e-12, s"query $q") }
+    // refined scores are EXACT cosines (brute-force lookup)
+    val exact = Similarity.bruteForceTopK(vectors, queries, 49)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rf.foreach(r => assert(r.getDouble(3) === exact((r.getLong(0), r.getLong(2)))))
+  }
+
   test("IVF-PQ: k rows per query, recall within [0,1]") {
     val queries = vectors.filter(col("vec_id") % 5 === 0)
     val r = Similarity.pqIvfTopK(vectors, queries, 3, nCells = 4, nProbe = 2)
