@@ -150,7 +150,10 @@ object Bench {
       // every timed run warm-cache (the methodology of every prior
       // round's artifact; cold timings measured ~4x higher on the
       // cache-heavy dd_ queries and are not comparable)
-      afterEach = () => spark.catalog.clearCache())
+      afterEach = () => spark.catalog.clearCache(),
+      // e2e streaming queries (gov_*) replay their whole stream from
+      // batch 0 every run — a warmup is a wasted third replay
+      noWarmup = SparkEntry.noWarmupQueries)
     val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
     h.runPass(0)
     // deadline insurance: one complete parseable line on stdout the

@@ -52,6 +52,16 @@ private[graft] object BenchCore {
     * @param prior    prior-round per-query seconds (3x-regression retry
     *                 trigger)
     * @param afterEach cleanup after every query (cache release)
+    * @param noWarmup queries for which the per-visit warmup run is pure
+    *                 waste and is always skipped (round 15): the e2e
+    *                 streaming queries (`gov_*`) clear their scratch and
+    *                 replay the whole multi-batch stream from batch 0 on
+    *                 EVERY execution, so a "warmup" is a third identical
+    *                 full replay that warms nothing — it tripled their
+    *                 bench cost (~14.5 s of machinery floor in r14) and
+    *                 made them the likeliest per-query-cap victims on a
+    *                 contended host. Best-of across the timed visits
+    *                 still absorbs first-visit codegen/JIT.
     */
   final class Harness(
       selected: Seq[String],
@@ -59,7 +69,8 @@ private[graft] object BenchCore {
       nowNanos: () => Long,
       budgetS: Double,
       prior: Map[String, Double],
-      afterEach: () => Unit = () => ()) {
+      afterEach: () => Unit = () => (),
+      noWarmup: Set[String] = Set.empty) {
 
     // merged per-query run times across both passes (insertion order =
     // alphabetical, the order the artifact reports)
@@ -119,7 +130,8 @@ private[graft] object BenchCore {
       for ((name, i) <- order.zipWithIndex) {
         if (overBudget) truncated = true
         else try {
-          if (!degraded) runQuery(name) // warmup: codegen + JIT + cache fill
+          if (!degraded && !noWarmup(name))
+            runQuery(name) // warmup: codegen + JIT + cache fill
           val s = nowNanos()
           runQuery(name)
           allRuns(name) =
@@ -149,10 +161,15 @@ private[graft] object BenchCore {
         // with whole-benchmark wallS and spuriously sheds warmups.
         if (pass == 0 && !degraded && !errors.contains(name) &&
             allRuns.get(name).forall(_.size <= 1)) {
+          // per-query visit cost: warm+timed (2 runs) normally, a single
+          // timed run for the no-warmup class
+          def visitRuns(n: String): Double = if (noWarmup(n)) 1.0 else 2.0
+          val doneCost = order.take(i + 1).map(n => visitRuns(n) * priorOf(n)).sum
           val donePrior = order.take(i + 1).map(priorOf).sum
           if (donePrior >= 10.0) {
-            val slowdown = math.max(1.0, wallS / (2.0 * donePrior))
-            val restCost = 2.0 * order.drop(i + 1).map(priorOf).sum * slowdown
+            val slowdown = math.max(1.0, wallS / doneCost)
+            val restCost =
+              order.drop(i + 1).map(n => visitRuns(n) * priorOf(n)).sum * slowdown
             if (slowdown >= 3.0 && wallS + restCost > 0.85 * budgetS)
               degraded = true
           }
@@ -188,7 +205,8 @@ private[graft] object BenchCore {
       for (name <- ranked) {
         if (overBudget) truncated = true
         else try {
-          if (!degraded) runQuery(name) // warmup refill (afterEach released the caches)
+          if (!degraded && !noWarmup(name))
+            runQuery(name) // warmup refill (afterEach released the caches)
           var extra = 0
           while (suspect(name) && extra < maxExtra && !overBudget) {
             val s = nowNanos()
@@ -253,15 +271,30 @@ private[graft] object BenchCore {
 
     /** Line 2: per-run detail for queries whose merged runs disagreed by
       * >2x (stall or bimodal plan), all error messages, and harness wall
-      * seconds (wall >> value is the stalled-host signature). */
+      * seconds (wall >> value is the stalled-host signature).
+      *
+      * Error entries SUPERSEDED by a successful run report separately as
+      * `recovered_errors` (round 15): BENCH_r14 carried
+      * `errors:{"dd_dedup_corpus":"capped>150s"}` beside a clean 1.51 s
+      * best-of and `n_failed:0` for the same query — a transient
+      * host-contention cap that a later pass recovered, but the stale
+      * entry made a passing run read as broken. `errors` now carries only
+      * queries with NO successful run (the ones [[nFailed]] counts), so
+      * `errors` non-empty ⇔ something is actually failed. */
     def detailLine(sfDir: String, onlyTag: String, partialTag: String): String = {
       val perRun = currentResults.collect {
         case (k, _, rs) if rs.nonEmpty && rs.max > 2.0 * rs.min =>
           "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val errJson = errors.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
-        .mkString("{", ",", "}")
-      s"""{"anomalous_runs":$perRun,"errors":$errJson,"wall":${fmt(wallS)},"sf":"$sfDir",$onlyTag$partialTag"value":${fmt(total)}}"""
+      val (recovered, live) =
+        errors.partition { case (k, _) => allRuns.getOrElse(k, Nil).nonEmpty }
+      def asJson(m: mutable.LinkedHashMap[String, String]): String =
+        m.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")
+      val recTag =
+        if (recovered.isEmpty) ""
+        else s""""recovered_errors":${asJson(recovered)},"""
+      s"""{"anomalous_runs":$perRun,"errors":${asJson(live)},$recTag"wall":${fmt(wallS)},"sf":"$sfDir",$onlyTag$partialTag"value":${fmt(total)}}"""
     }
 
     /** Line 3: ultra-short scalars-only final line — always survives the

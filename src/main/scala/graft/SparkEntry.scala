@@ -40,4 +40,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     families.foldLeft(Map.empty[String, String])(_ ++ _.oracles)
+
+  /** Bench no-warmup class (see [[graft.queries.QueryFamily.noWarmup]]):
+    * queries whose every execution is a from-scratch stream replay, so a
+    * warmup run warms nothing and only triples their bench cost. */
+  def noWarmupQueries: Set[String] = families.flatMap(_.noWarmup).toSet
 }

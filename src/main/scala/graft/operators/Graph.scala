@@ -467,13 +467,19 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val cols = newEdges.columns
     val e = newEdges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+    // snapshot any PRE-EXISTING standalone-CC entry on this thread: the
+    // re-key below must not swallow a standalone connectedComponents run
+    // that happened earlier on the same thread (its rounds would be
+    // misattributed to the merge and the standalone entry lost)
+    val standalone = lastIterations.get("connectedComponents")
     val out = connectedComponents(star.unionByName(e))
     // CC's loop ran eagerly above (localCheckpoint per round), so its log
     // entry is current — RE-key it (remove the inner entry) so the sweep
     // attributes the rounds to the merge instead of double-reporting a
-    // phantom standalone CC run
+    // phantom standalone CC run; then restore the snapshot
     lastIterations.remove("connectedComponents")
       .foreach(n => lastIterations("mergeComponents") = n)
+    standalone.foreach(n => lastIterations("connectedComponents") = n)
     out
   }
 

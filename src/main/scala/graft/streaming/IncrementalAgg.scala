@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.Layout
 
 /** Exactly-once `foreachBatch` upsert of a partitioned parquet aggregate
   * — the shared protocol behind [[IncrementalAgg]] (daily cents table)
@@ -17,8 +16,8 @@ import graft.operators.Layout
   * read back (static partition pruning — the affected-partition list is
   * bounded by one batch's span, so the `.isin` filter stays tiny), the
   * delta is merged per column class (`sumCols` sum, `xorCols` bit_xor,
-  * `sketchCols` hll_union), and exactly those partitions
-  * are dynamic-partition-overwritten. Untouched history is never read or
+  * `sketchCols` hll_union), and exactly those partition dirs
+  * are swapped in by rename. Untouched history is never read or
   * rewritten — the O(batch)-not-O(history) merge that matters at 100 TB.
   *
   * Exactly-once — write-ahead stage/commit/publish, no table format:
@@ -33,10 +32,10 @@ import graft.operators.Layout
   *   2. COMMIT: the marker `_applied/batch-<id>` (content = the affected-
   *      partition manifest) is created via write-temp + atomic RENAME.
   *      This single rename is the commit point.
-  *   3. PUBLISH: the staged partitions are dynamic-partition-overwritten
-  *      into the table and the staging dir is deleted. Publishing only
-  *      COPIES staged bytes — it never re-merges — so it is idempotent
-  *      and can be repeated after any crash.
+  *   3. PUBLISH: each staged partition dir is SWAPPED over the table's
+  *      (delete-target + rename — pure metadata, no byte rewrite) and
+  *      the staging dir is deleted. Publishing never re-merges, so it is
+  *      idempotent and can be repeated after any crash.
   *
   * Recovery (`recoverPending`, run at the head of every apply): a staging
   * dir WITH its marker is a committed-but-unpublished batch → finish the
@@ -112,17 +111,38 @@ class PartitionedUpsert(
     (col(partCol).cast("string").as(partCol) +:
       keyCols.map(col)) ++ (sumCols ++ xorCols ++ sketchCols).map(col)
 
-  /** Idempotent publish: copy the staged post-merge partitions over the
+  /** Idempotent publish: swap the staged post-merge partitions over the
     * affected table partitions and drop the staging dir. Never re-merges. */
   private[streaming] def publish(spark: SparkSession, batchId: Long): Unit =
     publishDir(spark, s"$streamTag-$batchId")
 
+  /** PURE-METADATA publish (round 15): the staging write is
+    * `partitionBy(partCol)`, so the staged partition dirs already have
+    * the table's exact on-disk layout — publishing is delete-target +
+    * rename-staged-dir per affected partition, not a second Spark
+    * read+dynamic-overwrite job (which re-read and re-wrote every staged
+    * byte each micro-batch; at 100 TB that rewrite IS the sink cost).
+    * This is how real table-format commits work: data files land once,
+    * the commit only moves metadata. Idempotency under crash at any
+    * point is preserved — a staged partition dir disappears only after
+    * its rename lands, so a recovery re-run redoes exactly the swaps
+    * still sitting in staging (the staged rows are post-merge SNAPSHOTS,
+    * so re-swapping one is content-identical), and a crash between the
+    * target delete and the rename loses nothing: the merged data is
+    * still in staging and the next recovery completes the swap. */
   private def publishDir(spark: SparkSession, name: String): Unit = {
     val (fs, table) = fsOf(spark)
     val staging = new Path(table, s"_staging/$name")
     if (!fs.exists(staging)) return // already published
-    val staged = spark.read.parquet(staging.toString).select(projection: _*)
-    Layout.overwritePartitions(staged, path, partCol, dynamic = true)
+    fs.listStatus(staging).foreach { st =>
+      val dir = st.getPath.getName
+      if (dir.startsWith(s"$partCol=")) { // skip _SUCCESS etc.
+        val target = new Path(table, dir)
+        fs.delete(target, true)
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(s"publish rename failed for $target")
+      }
+    }
     fs.delete(staging, true)
   }
 
@@ -155,7 +175,12 @@ class PartitionedUpsert(
     val spark = batch.sparkSession
     val (fs, table) = fsOf(spark)
     if (fs.exists(markerPath(table, batchId))) return false
-    val delta = aggregate(batch)
+    // persist: the delta drives TWO actions (the affected-partition
+    // collect and the merge write) — without it each micro-batch paid the
+    // raw-batch aggregation twice. The delta is per-key rows over a
+    // bounded domain, small by construction at any scale.
+    val delta = aggregate(batch).persist()
+    try {
     // bounded driver action: distinct partitions in ONE micro-batch (the
     // batch's span), not the table's history. Cast-to-string here, not
     // getString: an integer partition column (e.g. a numeric QI key,
@@ -185,7 +210,12 @@ class PartitionedUpsert(
     // COMMIT POINT: write-temp + atomic rename of the manifest marker
     val marker = markerPath(table, batchId)
     fs.mkdirs(marker.getParent)
-    val tmp = new Path(marker.getParent, s".tmp-batch-$batchId")
+    // tag-namespaced like the marker/staging dirs: two tagged streams
+    // committing the same batchId on one table from different JVMs (the
+    // in-JVM table lock can't serialize those) must not collide on the
+    // temp path — a shared name would let one rename consume the other's
+    // file and surface as a spurious IOException or wrong marker content
+    val tmp = new Path(marker.getParent, s".tmp-$streamTag-$batchId")
     val out = fs.create(tmp, true)
     out.write(parts.mkString("\n").getBytes("UTF-8"))
     out.close()
@@ -194,6 +224,7 @@ class PartitionedUpsert(
       throw new java.io.IOException(s"marker commit failed for $marker")
     }
     parts.nonEmpty
+    } finally { delta.unpersist(blocking = false); () }
   }
 
   /** Apply one micro-batch to the maintained table: recover any

@@ -138,15 +138,16 @@ object PlanFingerprint {
   val goldenPath = "PLAN_FINGERPRINTS.txt"
   val goldenPathSf01 = "PLAN_FINGERPRINTS_SF01.txt"
 
-  /** Queries whose AQE-FINAL plan is not run-deterministic at sf0.1 —
-    * each verified by back-to-back tool runs diffing non-empty (the
-    * ReusedExchange canonicalization already absorbs stage-timing races;
-    * what remains is AQE planning on runtime SIZE STATS that sit on a
-    * coalesce/broadcast boundary, e.g. in-memory relation byte sizes of
-    * localCheckpoint'd graph rounds varying run-to-run with block
-    * layout). Excluded from the sf0.1 golden with this documented
-    * reason; their STATIC sf0.001 fingerprints remain gated. */
-  val excludedSf01: Set[String] = Set.empty // filled from the r14 determinism diff
+  /** Escape hatch for any query whose AQE-FINAL plan turns out not to be
+    * run-deterministic at sf0.1 (AQE planning on runtime size stats that
+    * sit on a coalesce/broadcast boundary could in principle flap even
+    * after the ReusedExchange canonicalization absorbs stage-timing
+    * races). The r14 back-to-back determinism diff came back EMPTY — all
+    * 239 sf0.1 fingerprints reproduced exactly — so the set is empty and
+    * has never needed a member; it exists so a future flake has a
+    * documented, named exclusion path instead of a flaky gate. A query
+    * excluded here would keep its STATIC sf0.001 fingerprint gate. */
+  val excludedSf01: Set[String] = Set.empty
 
   def render(fps: Seq[(String, String)]): String =
     "# query<TAB>operator-class:count multiset — generated by " +

@@ -19,7 +19,8 @@ class BenchCoreSpec extends AnyFunSuite {
     * value once exhausted. */
   private class Fake(costs: Map[String, Seq[Double]], budgetS: Double,
       prior: Map[String, Double] = Map.empty,
-      failWhen: (String, Int) => Boolean = (_, _) => false) {
+      failWhen: (String, Int) => Boolean = (_, _) => false,
+      noWarmup: Set[String] = Set.empty) {
     var nowNs = 0L
     val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val h = new BenchCore.Harness(
@@ -30,7 +31,7 @@ class BenchCoreSpec extends AnyFunSuite {
         val cs = costs(name)
         nowNs += (cs(math.min(i, cs.size - 1)) * 1e9).toLong
       },
-      () => nowNs, budgetS, prior)
+      () => nowNs, budgetS, prior, noWarmup = noWarmup)
   }
 
   test("healthy run: best-of map, ascending artifact order, all three lines parse") {
@@ -77,16 +78,56 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(fin.get("n_failed").asInt === 0)
   }
 
-  test("pass-1 failure keeps the valid pass-0 best-of; error still surfaces on the detail line") {
-    // qa: 2 clean calls in pass 0 (warmup + timed), every later call throws
+  test("pass-1 failure keeps the valid pass-0 best-of; error surfaces as RECOVERED, not live") {
+    // qa: 2 clean calls in pass 0 (warmup + timed), every later call
+    // throws. r14's artifact carried this as a live `errors` entry beside
+    // a clean best-of and n_failed:0 — a passing run that read as broken.
+    // A superseded error must now report under `recovered_errors`, and
+    // `errors` stays empty (non-empty errors ⇔ something actually failed).
     val f = new Fake(Map("qa" -> Seq(2.0)), budgetS = 1e9,
       failWhen = (n, i) => n == "qa" && i >= 2)
     f.h.runPass(0); f.h.runPass(1)
     assert(f.h.allRuns("qa") === List(2.0)) // pass-0 run retained
     assert(f.h.nFailed === 0)               // NOT reported failed
     val det = parse(f.h.detailLine("/sf", "", ""))
-    assert(det.get("errors").get("qa").asText.startsWith("RuntimeException"))
+    assert(det.get("errors").isEmpty)
+    assert(det.get("recovered_errors").get("qa").asText.startsWith("RuntimeException"))
     assert(parse(f.h.finalLine("")).get("n_failed").asInt === 0)
+  }
+
+  test("a cap error recovered by a LATER pass also reports recovered (the r14 artifact shape)") {
+    // qa's pass-0 warmup throws (aborting that pass's visit), then pass 1
+    // succeeds — the dd_dedup_corpus r14 sequence, in the other order
+    val f = new Fake(Map("qa" -> Seq(2.0)), budgetS = 1e9,
+      failWhen = (n, i) => n == "qa" && i < 1)
+    f.h.runPass(0)
+    assert(f.h.errors.contains("qa") && f.h.allRuns.get("qa").isEmpty)
+    // before recovery the error is live (it IS the failure explanation)
+    assert(parse(f.h.detailLine("/sf", "", "")).get("errors").has("qa"))
+    f.h.runPass(1)
+    assert(f.h.allRuns("qa") === List(2.0))
+    val det = parse(f.h.detailLine("/sf", "", ""))
+    assert(det.get("errors").isEmpty && det.get("recovered_errors").has("qa"))
+    assert(f.h.nFailed === 0)
+  }
+
+  test("no-warmup queries take a single timed run per visit and never pay a warmup") {
+    val f = new Fake(Map("gov_x" -> Seq(5.0), "qa" -> Seq(2.0)), budgetS = 1e9,
+      noWarmup = Set("gov_x"))
+    f.h.runPass(0); f.h.runPass(1); f.h.retryPass()
+    assert(f.calls("gov_x") === 2) // one timed run per pass, zero warmups
+    assert(f.calls("qa") === 4)    // warmup + timed per pass
+    assert(f.h.allRuns("gov_x") === List(5.0, 5.0))
+    // the contention projection uses the 1-run visit cost for the class:
+    // a healthy host with a big no-warmup query must not read as slow.
+    // wall at end of pass 0 = 2+2 (qa warm+timed) + 5 (gov_x timed) = 9 s
+    // vs doneCost = 2*2 + 1*5 = 9 → slowdown 1, no degrade.
+    val g = new Fake(
+      Map("gov_x" -> Seq(20.0), "qa" -> Seq(2.0), "qb" -> Seq(2.0)),
+      budgetS = 60.0, prior = Map("gov_x" -> 20.0, "qa" -> 2.0, "qb" -> 2.0),
+      noWarmup = Set("gov_x"))
+    g.h.runPass(0)
+    assert(!g.h.degraded)
   }
 
   test("no-success query reports -1 and counts failed") {
