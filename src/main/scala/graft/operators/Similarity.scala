@@ -844,6 +844,37 @@ object Similarity {
     tripletArgmax(scored)
   }
 
+  /** Corpus-calibrated near-dup cosine threshold (round 15).
+    *
+    * At dim=64 the cosine of two INDEPENDENT vectors concentrates as
+    * ~N(0, 1/64) (σ = 0.125), so a fixed threshold of 0.4 sits at 3.2σ —
+    * inside the random tail: a corpus of n vectors carries ~n²/2·7e-4
+    * random-coincidence pairs above it regardless of any planted
+    * structure (measured: the sf0.1 LSH pair set is exactly this tail —
+    * max cosine 0.51, full-entropy vectors — and grew 122× under 10×
+    * decorrelated replication, i.e. quadratically, as geometry demands).
+    * Real dedup deployments therefore set the threshold ABOVE the random
+    * tail of their corpus size; this rule does the standard calibration:
+    * keep n·P(cos ≥ θ) constant, which for a Gaussian tail means
+    * z² grows by 2·ln 2 per corpus doubling — θ² = θ₀² + k·(2·ln2)/64
+    * with k = ⌊log₂(n/n₀)⌋ (stepped, so both engines compute the same
+    * exact integer k). Constants: θ₀ = 0.4 at n₀ = 2000 (the registered
+    * demo scale — every driver SF has n ≤ 2000, so registered results
+    * are bit-identical to the historical literal 0.4), and 2·ln2/64
+    * rounded to the exact decimal literal 0.022 so the double arithmetic
+    * is the same fixed IEEE sequence in Spark and DuckDB
+    * ([[calibratedDupThresholdSql]] mirrors it term for term). */
+  def calibratedDupThreshold(n: Long): Double = {
+    val ratio = math.max(1L, n / 2000L)
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
+    math.sqrt(0.16 + 0.022 * k)
+  }
+
+  /** DuckDB scalar-subquery replica of [[calibratedDupThreshold]] over
+    * `$base(vec_id, …)` — identical literals, identical IEEE ops. */
+  def calibratedDupThresholdSql(base: String): String =
+    s"(SELECT sqrt(0.16 + 0.022 * FLOOR(LOG2(GREATEST(1, COUNT(*) // 2000)))) FROM $base)"
+
   /** Semantic near-duplicate pairs: all (a,b) with cosine ≥ threshold.
     * Exact but O(n²) — the capability baseline;
     * [[embeddingDupPairsLsh]] is the 100 TB plan. */

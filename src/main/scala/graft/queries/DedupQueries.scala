@@ -31,6 +31,21 @@ object DedupQueries extends QueryFamily {
 
   private val Threshold = 0.8
 
+  /** Embedding near-dup pairs at the CORPUS-CALIBRATED threshold
+    * ([[graft.operators.Similarity.calibratedDupThreshold]]): θ = 0.4 at
+    * every driver SF (n ≤ 2000 ⇒ the rule returns the exact historical
+    * literal — sqrt(0.16) IS the double 0.4), rising with corpus size so
+    * the random-cosine tail's pair count stays ~linear in n instead of
+    * quadratic (the r14 sweep's "122× pair growth" generator flag was
+    * this tail, not replication error — see the rule's scaladoc). The
+    * one count() is a single scalar action on the raw table. */
+  private def calibratedLshPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.embeddingDupPairsLsh(emb,
+      Similarity.calibratedDupThreshold(emb.count()))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dd_exact_stats" -> ((s, d) =>
       Dedup.exactStats(Tables.documents(s, d)).orderBy(col("source"))),
@@ -89,8 +104,7 @@ object DedupQueries extends QueryFamily {
     // the oracle replicates the bucketing bit-for-bit, so the check is
     // exact anyway.
     "dd_embedding_lsh" -> ((s, d) =>
-      Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))),
+      calibratedLshPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
 
     // pairs → transitive clusters: the keep-one-per-group stage of a
     // corpus dedup pass (oracle = recursive-CTE reachability in DuckDB)
@@ -118,8 +132,7 @@ object DedupQueries extends QueryFamily {
     // dedup's keep-one-per-meaning grouping
     "dd_embedding_clusters" -> ((s, d) =>
       Graph.dupClusters(
-        Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
-          .select(col("vec_a"), col("vec_b")))
+        calibratedLshPairs(s, d).select(col("vec_a"), col("vec_b")))
         .select(col("doc_id").as("vec_id"), col("cc"), col("cluster_size"))
         .orderBy(col("vec_id"))),
 
@@ -145,12 +158,15 @@ object DedupQueries extends QueryFamily {
     // wedges exist; the trigram-Jaccard dup graph is perfect cliques by
     // construction — every distance-2 pair is already an edge). Wedge
     // enumeration + one keyed agg; top-k, never a global sort.
-    "dd_link_predict" -> ((s, d) =>
+    "dd_link_predict" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       Graph.linkPrediction(
-        Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
+        Similarity.embeddingDupPairs(emb,
+          Similarity.calibratedDupThreshold(emb.count()))
           .select(col("vec_a"), col("vec_b")), 20)
         .select(col("node_a").as("vec_a"), col("node_b").as("vec_b"),
-          col("n_common"), col("ra_micros"))),
+          col("n_common"), col("ra_micros"))
+    }),
 
     // harmonic centrality of the embedding near-dup graph
     // (Graph.harmonicCentrality): Σ 1e6 DIV d(u,v) over reachable pairs
@@ -158,12 +174,15 @@ object DedupQueries extends QueryFamily {
     // nearest to everything in its dup neighborhood) complementing the
     // eigen (pagerank/HITS) and peel (k-core) views; per-source BFS as
     // a delta iteration, every term exact integer micros.
-    "dd_harmonic" -> ((s, d) =>
+    "dd_harmonic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
       Graph.harmonicCentrality(
-        Similarity.embeddingDupPairs(Tables.embeddings(s, d), 0.4)
+        Similarity.embeddingDupPairs(emb,
+          Similarity.calibratedDupThreshold(emb.count()))
           .select(col("vec_a"), col("vec_b")), 6)
         .select(col("node").as("vec_id"), col("harmonic_micros"),
-          col("n_reached"))),
+          col("n_reached"))
+    }),
 
     // the 100 TB registration for dd_harmonic, fixing BOTH of its scale
     // killers at once (the r13 sf0.1→sf1 sweep measured the exact form
@@ -176,8 +195,7 @@ object DedupQueries extends QueryFamily {
     // bit-exact LSH pair set, so the check is exact, not a tolerance.
     "dd_harmonic_sampled" -> ((s, d) =>
       Graph.harmonicCentralitySampled(
-        Similarity.embeddingDupPairsLsh(Tables.embeddings(s, d), 0.4)
-          .select(col("vec_a"), col("vec_b")), 6, 4)
+        calibratedLshPairs(s, d).select(col("vec_a"), col("vec_b")), 6, 4)
         .select(col("node").as("vec_id"), col("harmonic_est_micros"),
           col("n_src_reached"))),
 
@@ -619,7 +637,7 @@ object DedupQueries extends QueryFamily {
        |    JOIN buck c ON p.bucket = c.bucket AND p.vec_a < c.vec_id
        |    JOIN e ea ON ea.vec_id = p.vec_a
        |    JOIN e eb ON eb.vec_id = c.vec_id) t
-       |  WHERE cosine >= 0.4)""".stripMargin
+       |  WHERE cosine >= ${graft.operators.Similarity.calibratedDupThresholdSql("e")})""".stripMargin
 
   val oracles: ListMap[String, String] = ListMap(
     "dd_exact_stats" ->
@@ -651,14 +669,14 @@ object DedupQueries extends QueryFamily {
     // node) with the SAME depth-6 cap as the engine's BFS (bfs_hops
     // truncation convention), identical 1e6 DIV d integer terms
     "dd_harmonic" ->
-      """WITH RECURSIVE emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |e AS (SELECT vec_a, vec_b FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
         |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id) p
-        |  WHERE cosine >= 0.4),
+        |  WHERE cosine >= ${graft.operators.Similarity.calibratedDupThresholdSql("emb")}),
         |nb AS (SELECT vec_a AS x, vec_b AS y FROM e UNION ALL SELECT vec_b, vec_a FROM e),
         |walk(src, node, d) AS (
         |  SELECT DISTINCT x, x, 0 FROM nb
@@ -686,14 +704,14 @@ object DedupQueries extends QueryFamily {
     // → symmetric neighbor table → wedge pairs minus existing edges;
     // identical integer-micros RA terms, identical integer rank order
     "dd_link_predict" ->
-      """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |e AS (SELECT vec_a, vec_b FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y) /
         |    (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x + y)) *
         |     sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x + y))) AS cosine
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id) p
-        |  WHERE cosine >= 0.4),
+        |  WHERE cosine >= ${graft.operators.Similarity.calibratedDupThresholdSql("emb")}),
         |nb AS (SELECT vec_a AS x, vec_b AS y FROM e UNION ALL SELECT vec_b, vec_a FROM e),
         |deg AS (SELECT x AS v, COUNT(*) AS d FROM nb GROUP BY 1),
         |w AS (SELECT n1.y AS a, n2.y AS b, 1000000 // deg.d AS ra_term

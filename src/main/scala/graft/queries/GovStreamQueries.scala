@@ -77,13 +77,19 @@ object GovStreamQueries extends QueryFamily {
       .option("checkpointLocation", s"$root/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    // BOUNDED await: the stream's jobs run under ITS OWN job group, so
-    // Bench's per-query watchdog (cancelJobGroup on "bench-<name>")
-    // cannot reach them — an unbounded awaitTermination on a wedged
-    // micro-batch would hang the whole benchmark past the driver's kill
-    // timeout (the round-9 lose-the-artifact mode). Same knob and
-    // default as Bench's cap; a capped stream throws so the harness
-    // records the error and coverage continues.
+    awaitBounded(s, name, q)
+    state
+  }
+
+  /** BOUNDED await: the stream's jobs run under ITS OWN job group, so
+    * Bench's per-query watchdog (cancelJobGroup on "bench-<name>")
+    * cannot reach them — an unbounded awaitTermination on a wedged
+    * micro-batch would hang the whole benchmark past the driver's kill
+    * timeout (the round-9 lose-the-artifact mode). Same knob and
+    * default as Bench's cap; a capped stream throws so the harness
+    * records the error and coverage continues. */
+  private def awaitBounded(s: SparkSession, name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
       .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
     val finished = q.awaitTermination((capS * 1000).toLong)
@@ -110,6 +116,52 @@ object GovStreamQueries extends QueryFamily {
       stopErr.foreach(cap.addSuppressed)
       throw cap
     }
+  }
+
+  /** The RESTART variant: the source's first file is revealed alone, one
+    * stream lifetime drains it and TERMINATES; the remaining files land
+    * and a SECOND `start()` from the SAME checkpoint resumes — the
+    * kill+restart recovery law as a driver-visible oracled row. The file
+    * source's checkpoint log must carry the seen-files set across
+    * lifetimes (refolding file 0 would double-count every class and
+    * hash-mismatch the batch-gate oracle), and the upsert's exactly-once
+    * markers must hold across the restart boundary. */
+  private def runRestartedFileStream(s: SparkSession, name: String,
+      srcKey: String, rows: => DataFrame,
+      writer: (DataFrame, String) => DataStreamWriter[Row]): String = {
+    val root = QueryFamily.jvmScratch(s"graft_$name")
+    val all = s"$root/all"
+    val reuse = srcWritten.synchronized(srcWritten.get(name).contains(srcKey)) &&
+      new java.io.File(all).isDirectory
+    if (!reuse) {
+      QueryFamily.clearScratch(root)
+      rows.repartition(3).write.parquet(all)
+      srcWritten.synchronized { srcWritten(name) = srcKey }
+    }
+    val src = s"$root/src"
+    val state = s"$root/state"
+    Seq(src, state, s"$root/cp").foreach(QueryFamily.clearScratch)
+    val files = new java.io.File(all).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    new java.io.File(src).mkdirs()
+    def reveal(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(src, f.getName).toPath): Unit
+    }
+    val schema = s.read.parquet(all).schema
+    def lifetime(): Unit = {
+      val q = writer(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src), state)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitBounded(s, name, q)
+    }
+    reveal(files.take(1))
+    lifetime() // folds batch 0, then terminates (AvailableNow drained)
+    reveal(files.drop(1))
+    lifetime() // resumes from the checkpoint: batches 1..n, never batch 0
     state
   }
 
@@ -127,6 +179,27 @@ object GovStreamQueries extends QueryFamily {
       val rows = Tables.customer(s, d)
         .select(col("c_nationkey"), col("c_mktsegment"))
       val state = runFileStream(s, "gov_privacy", d, rows,
+        (st, p) => PrivacyScreen.maintainClassSizes(st, p,
+          part = "c_nationkey", key = "c_mktsegment"))
+      PrivacyScreen.audit(s, state, k = 10)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"), col("class_size"), col("violates_k"),
+          col("reident_ppm"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // the same privacy screen KILLED and RESTARTED mid-stream: lifetime 1
+    // folds only the first source file and terminates; lifetime 2 is a
+    // fresh start() on the same checkpoint that must resume at batch 1.
+    // Oracle = the same full-table batch gate, so a green row proves
+    // maintained-state equality ACROSS the restart (any refold or lost
+    // batch hash-mismatches). The harsher crash windows (between the
+    // upsert's commit and publish) are pinned in UpsertCrashSpec; this
+    // row makes the recovery law driver-visible.
+    "gov_privacy_restart" -> ((s, d) => {
+      val rows = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      val state = runRestartedFileStream(s, "gov_privacy_restart", d, rows,
         (st, p) => PrivacyScreen.maintainClassSizes(st, p,
           part = "c_nationkey", key = "c_mktsegment"))
       PrivacyScreen.audit(s, state, k = 10)
@@ -171,6 +244,14 @@ object GovStreamQueries extends QueryFamily {
   val oracles: ListMap[String, String] = ListMap(
     // the batch k-anonymity gate over the full table
     "gov_privacy_screen" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  CAST(COUNT(*) < 10 AS INT) AS violates_k,
+        |  CAST(1000000 // COUNT(*) AS BIGINT) AS reident_ppm
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // restart variant: identical batch gate — equality across the
+    // restart IS the law being checked
+    "gov_privacy_restart" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
         |  COUNT(*) AS class_size,
         |  CAST(COUNT(*) < 10 AS INT) AS violates_k,

@@ -78,6 +78,26 @@ object RelQueries extends QueryFamily {
       |  SELECT ik, seg, '1995-06-17', CAST(NULL AS VARCHAR), TRUE
       |  FROM j WHERE ik IS NOT NULL AND (hk IS NULL OR (c_mktsegment IS DISTINCT FROM seg)))""".stripMargin
 
+  /** Month-partitioned lineitem layout for rel_dpp_scan, written once per
+    * (JVM, data dir) — the layout is the precondition DPP prunes against,
+    * not the operator under test, so bench re-runs must not re-pay the
+    * write (the gov_* source-reuse convention). `l_month` partition
+    * values like "1992-01" are not parseable as int/date, so partition
+    * discovery types them string; the query casts anyway for safety. */
+  private val dppFactFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def dppFact(s: SparkSession, d: String): String = synchronized {
+    val path = QueryFamily.jvmScratch("graft_dpp_fact")
+    if (dppFactFor.get != d) {
+      QueryFamily.clearScratch(path)
+      Tables.lineitem(s, d)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("l_month"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.partitionBy("l_month").parquet(path)
+      dppFactFor.set(d)
+    }
+    path
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     // -- aggregation --------------------------------------------------
     "rel_pricing_summary" -> ((s, d) =>
@@ -1508,6 +1528,64 @@ object RelQueries extends QueryFamily {
             .cast("int").as("merged_equals_full"))
         .orderBy(col("source"))
     }),
+
+    // Dynamic Partition Pruning over a date-partitioned fact layout: the
+    // dim side (ship-months of the 5 highest-priced orders — computed at
+    // RUNTIME, so no static pruning can see it) broadcast-joins the
+    // month-partitioned lineitem copy, and Catalyst reuses that broadcast
+    // as a dynamicpruning PartitionFilter on the fact scan — only ~5 of
+    // ~83 month directories are ever read (PlanSpec gates the
+    // `dynamicpruningexpression` in the scan and the ≥90% partition skip
+    // at execution). At 100 TB this is THE difference between scanning
+    // the whole fact table and scanning a month: DPP is the runtime
+    // analogue of the static `.isin` pruning the incremental-agg upsert
+    // uses, for the case where the partition list is itself a query.
+    "rel_dpp_scan" -> ((s, d) => {
+      val path = dppFact(s, d)
+      // the explicit selective filter is what the PartitionPruning rule
+      // keys on (a bare LIMIT is not a selective predicate to it); the
+      // top-5 cap keeps the month list <=5 at every SF
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(5)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("l_month"))
+        .distinct()
+      s.read.parquet(path)
+        .select(col("l_month").cast("string").as("l_month"),
+          col("l_quantity"), col("l_extendedprice"))
+        .join(dim, Seq("l_month"))
+        .groupBy(col("l_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+          dollars(sum(cents(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("l_month"))
+    }),
+
+    // Runtime (bloom) filtering on a fact×dim equi-join: the selective
+    // order-side predicate cannot be pushed into the lineitem scan
+    // statically (different table), but Spark's runtime bloom filter
+    // builds a bloom of the surviving o_orderkeys and injects
+    // `BloomFilterMightContain` into the fact scan — rows drop at the
+    // scan, before the join shuffle (PlanSpec gates the injected node
+    // under production thresholds). The registered plan is the plain
+    // join (thresholds keep bloom off at test SF, AQE broadcasts the
+    // tiny dim); semantics are identical either way, which is exactly
+    // why the runtime filter is safe to inject.
+    "rel_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .join(urgent, Seq("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+          dollars(sum(cents(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2165,5 +2243,27 @@ object RelQueries extends QueryFamily {
         |  CAST(xor(COALESCE(fp_base, 0), COALESCE(fp_delta, 0)) = fp_full AS INT) AS merged_equals_full
         |FROM f LEFT JOIN b ON f.source = b.source LEFT JOIN d ON f.source = d.source
         |ORDER BY f.source""".stripMargin,
+    // the month-partitioned layout is an engine detail; the oracle
+    // computes the same join from the raw table
+    "rel_dpp_scan" ->
+      s"""WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS l_month
+        |  FROM (SELECT o_orderdate FROM orders WHERE o_totalprice > 400000
+        |        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5))
+        |SELECT l_month, COUNT(*) AS n_lines,
+        |  ${dollarsSql(s"SUM(${centsSql("l_quantity")})")} AS sum_qty,
+        |  ${dollarsSql(s"SUM(${centsSql("l_extendedprice")})")} AS revenue
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS l_month, l_quantity,
+        |        l_extendedprice FROM lineitem) f
+        |JOIN dim USING (l_month)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_bloom_join" ->
+      s"""SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_lines,
+        |  ${dollarsSql(s"SUM(${centsSql("l_quantity")})")} AS sum_qty,
+        |  ${dollarsSql(s"SUM(${centsSql("l_extendedprice")})")} AS revenue
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000) o
+        |  ON l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -96,6 +96,21 @@ object SimQueries extends QueryFamily {
         nCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // the TUNED layout: nCells derived from the corpus count by the
+    // deterministic rule max(16, n/125) — constant expected cell
+    // population, so per-query probe cost stays FLAT as the corpus grows
+    // (nCells 16 at sf0.1 ties to the demo layout and BENCH_PRIOR; 160
+    // at sf1 — the SCALING.md tuned column). The oracle replicates the
+    // same rule in SQL, so the row stays green at any driver scale.
+    "sim_topk_ivf_tuned" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      Similarity.ivfTopK(emb, queriesSubset(s, d), K,
+        nCells = math.max(16L, n / 125L).toInt, nProbe = 4,
+        nRows = Some(n))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SQ8 int8-compression scoring path (4x memory), with the per-query
     // recall-vs-exact contract column oracle-checked alongside. This is
     // the ISOLATED quantization-error baseline (brute-force-shaped by
@@ -342,23 +357,27 @@ object SimQueries extends QueryFamily {
     * bit-exact DuckDB replica of Similarity's ivfCentroids+ivfAssign,
     * reused by every IVF-layout oracle (top-k variants AND SemDeDup). */
   private[queries] def ivfAssignCtes(p: String, base: String,
-      iters: Int = 2): String = {
+      iters: Int = 2, nCellsSql: String = "16"): String = {
     val lloyd = (1 to iters).map { i =>
       s"""${p}a$i AS (${ivfAssignSql(base, s"${p}c${i - 1}")}),
          |${p}c$i AS (${ivfMeansSql(s"${p}a$i")}),""".stripMargin
     }.mkString("\n")
-    s"""${p}params AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM $base),
+    // nCellsSql is an aggregate expression over $base (default the demo
+    // literal 16; the tuned registration derives it from COUNT(*)) —
+    // evaluated once in params and joined where the init needs it
+    s"""${p}params AS (SELECT GREATEST(1, COUNT(*) // ($nCellsSql)) AS stride, ($nCellsSql) AS ncells FROM $base),
        |${p}c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS cv
        |  FROM $base, ${p}params WHERE vec_id % stride = 0
-       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= ncells),
        |$lloyd
        |${p}af AS (${ivfAssignSql(base, s"${p}c$iters")})""".stripMargin
   }
 
-  private def ivfCtesSql(p: String, base: String, iters: Int = 2): String = {
+  private def ivfCtesSql(p: String, base: String, iters: Int = 2,
+      nCellsSql: String = "16"): String = {
     val cFinal = s"${p}c$iters"
-    s"""${ivfAssignCtes(p, base, iters)},
+    s"""${ivfAssignCtes(p, base, iters, nCellsSql)},
        |${p}probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, c.cell,
@@ -546,6 +565,16 @@ object SimQueries extends QueryFamily {
   private def ivfOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |${ivfCtesSql("", "e")}
+       |SELECT query_id, rank, neighbor_id, cosine FROM tk ORDER BY query_id, rank""".stripMargin
+
+  /** The TUNED-layout IVF oracle: identical pipeline, but `nCells` is the
+    * deterministic corpus-count rule `max(16, n/125)` (constant expected
+    * cell population ~125 — the FAISS-style sizing ScalingTuned measures)
+    * replicated inside the SQL, so the oracle holds at ANY scale the
+    * driver runs it. */
+  private def ivfTunedOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${ivfCtesSql("", "e", nCellsSql = "GREATEST(16, COUNT(*) // 125)")}
        |SELECT query_id, rank, neighbor_id, cosine FROM tk ORDER BY query_id, rank""".stripMargin
 
   /** Bit-exact replica of [[graft.operators.Similarity.sq8IvfTopK]]: the
@@ -781,6 +810,7 @@ object SimQueries extends QueryFamily {
          |  CAST(SUM(CAST(ROUND(cos * 1000000.0) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_cosine
          |FROM sims GROUP BY cell ORDER BY cell""".stripMargin,
     "sim_topk_ivf" -> ivfOracleSql,
+    "sim_topk_ivf_tuned" -> ivfTunedOracleSql,
     "sim_topk_sq8_ivf" -> sq8IvfOracleSql,
     "sim_topk_pq" -> pqOracleSql,
     "sim_topk_pq_refine" -> pqRefineOracleSql(),

@@ -118,10 +118,11 @@ class PlanSpec extends GraftSparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
-  test("runtime bloom-filter pre-filtering injects on a selective shuffle join") {
+  test("runtime bloom-filter pre-filtering injects on the registered " +
+    "rel_bloom_join (selective dim predicate reaches the fact scan)") {
     // at 100 TB a selective dim filter should reach the fact side BEFORE
     // the shuffle as a bloom probe (Spark's runtime row-level filtering);
-    // assert the optimizer injects it for this engine's join shapes
+    // assert the optimizer injects it for the REGISTERED query's shape
     val s = spark.newSession()
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
@@ -130,14 +131,46 @@ class PlanSpec extends GraftSparkSpec {
     s.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
-    val orders = s.read.parquet(s"$sf/orders.parquet")
-    val lineitem = s.read.parquet(s"$sf/lineitem.parquet")
-    val joined = lineitem.join(
-      orders.filter(col("o_orderpriority") === "1-URGENT"),
-      col("l_orderkey") === col("o_orderkey"))
+    val joined = SparkEntry.queries("rel_bloom_join")(s, sf)
     val optimized = joined.queryExecution.optimizedPlan.toString
     assert(optimized.contains("might_contain"),
       s"no runtime bloom filter injected:\n$optimized")
+    // and the result is unchanged by the injection (the safety property
+    // that makes runtime filtering free to turn on)
+    val plain = SparkEntry.queries("rel_bloom_join")(spark, sf).collect()
+    assert(joined.collect().toSeq === plain.toSeq)
+  }
+
+  test("rel_dpp_scan prunes fact partitions at RUNTIME via a dynamicpruning " +
+    "subquery (the dim month-list is a query, invisible to static pruning)") {
+    val df = SparkEntry.queries("rel_dpp_scan")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP filter on the fact scan:\n$plan")
+    df.collect() // execute so the scan's pruning metrics materialize
+    // unwrap AQE: AdaptiveSparkPlanExec AND materialized QueryStageExec
+    // wrappers are all leaf-like to a plain collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val scan = flatten(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metrics.contains("numPartitions") => f
+    }.getOrElse(fail("no partitioned FileSourceScanExec in the final plan"))
+    // the dim is a top-5-orders month list: at most 5 of the ~80 month
+    // directories may be read — DPP skipping >90% of the layout is the
+    // entire point of the partitioned fact at 100 TB
+    val read = scan.metrics("numPartitions").value
+    assert(read <= 5, s"DPP read $read partitions (expected <= 5)")
   }
 
   test("AQE splits a skewed shuffle-join partition at runtime (the default " +
