@@ -149,6 +149,27 @@ object PlanFingerprint {
     * excluded here would keep its STATIC sf0.001 fingerprint gate. */
   val excludedSf01: Set[String] = Set.empty
 
+  /** Current build round, inferred from the driver's committed
+    * per-round artifacts (CORRECTNESS_r{N}.json): max N + 1. Used only
+    * to seed the live-gate rotation — any monotonically-advancing value
+    * works; artifacts are what the repo actually carries. */
+  def currentRound(dir: String = "."): Int = {
+    val re = """CORRECTNESS_r0*(\d+)\.json""".r
+    val ns = Option(new java.io.File(dir).list())
+      .getOrElse(Array.empty[String])
+      .collect { case re(n) => n.toInt }
+    if (ns.isEmpty) 0 else ns.max + 1
+  }
+
+  /** Deterministic per-round 1-in-`stride` rotation slice (round 15):
+    * query q is in round r's slice iff (hash(q) + r) ≡ 0 (mod stride),
+    * so EVERY query is live re-fingerprinted exactly once per `stride`
+    * rounds while the suite only pays ~1/stride of the full ~7-min sf0.1
+    * pass per run. String.hashCode is a specified, stable algorithm, so
+    * the slice is reproducible across JVMs. */
+  def rotationSlice(names: Set[String], round: Int, stride: Int = 8): Set[String] =
+    names.filter(n => math.floorMod(n.hashCode + round, stride) == 0)
+
   def render(fps: Seq[(String, String)]): String =
     "# query<TAB>operator-class:count multiset — generated by " +
       "graft.tools.PlanFingerprint, checked by PlanFingerprintSpec\n" +

@@ -74,10 +74,28 @@ class PlanFingerprintSpec extends GraftSparkSpec {
         fp.contains("CartesianProductExec")
     }.keySet
     assert(scaleCritical.nonEmpty, "no shuffle-join shapes in the sf0.1 golden?")
+    // (c) ROTATING live slice (round 15): a deterministic 1-in-8 slice of
+    // the WHOLE registry, keyed on the current build round, joins the
+    // always-live shuffle-join subset — so every one of the ~240 queries
+    // gets a live sf0.1 re-fingerprint within 8 rounds while each suite
+    // run pays only ~1/8 of the full pass.
+    val round = PlanFingerprint.currentRound()
+    val rotating = PlanFingerprint.rotationSlice(golden.keySet, round)
+    // the rotation is a true cover: 8 consecutive rounds hit every query
+    // exactly once (pure arithmetic — cheap to assert every run)
+    val cover = (0 until 8).flatMap(r =>
+      PlanFingerprint.rotationSlice(golden.keySet, round + r)).toSet
+    assert(cover == golden.keySet, "rotation slices do not cover the registry")
+    assert((0 until 8).map(r =>
+      PlanFingerprint.rotationSlice(golden.keySet, round + r).size).sum ==
+      golden.keySet.size, "rotation slices overlap")
+    val live = scaleCritical ++ rotating
     val got = PlanFingerprint.fingerprintAllFinal(spark, "/root/testdata/sf0.1",
-      names = scaleCritical)
+      names = live)
     val drifted = got.filter { case (n, f) => golden.get(n).exists(_ != f) }
       .map { case (n, f) => s"$n\n  golden: ${golden(n)}\n  actual: $f" }
-    assert(drifted.isEmpty, "\nscale-critical plan drift:\n" + drifted.mkString("\n"))
+    assert(drifted.isEmpty,
+      s"\nscale-critical/rotating (round $round) plan drift:\n" +
+        drifted.mkString("\n"))
   }
 }
