@@ -99,10 +99,11 @@ object DedupQueries extends QueryFamily {
 
     // the 100 TB plan for dd_embedding: equi-join on sign-LSH bucket
     // (hamming-1 multi-probe) instead of the n² cross join, exact cosine
-    // verify. Same threshold as dd_embedding, so its output is a strict
-    // recall-subset of the exact path's. Recall is the sketch contract;
-    // the oracle replicates the bucketing bit-for-bit, so the check is
-    // exact anyway.
+    // verify. Threshold is corpus-calibrated (r15) — equal to
+    // dd_embedding's fixed 0.4 at every driver SF and ≥ 0.4 beyond, so
+    // the output stays a recall-subset of the exact path's. Recall is
+    // the sketch contract; the oracle replicates the bucketing (and the
+    // threshold rule) bit-for-bit, so the check is exact anyway.
     "dd_embedding_lsh" -> ((s, d) =>
       calibratedLshPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
 

@@ -48,6 +48,22 @@ object GovStreamQueries extends QueryFamily {
     * same query at two SFs (scaling sweeps) rewrites correctly. */
   private val srcWritten = scala.collection.mutable.Map.empty[String, String]
 
+  /** Write `rows` as a ≥3-file parquet dir at `dir` once per (JVM, data
+    * dir); on reuse, nothing is touched. Returns true when the dir was
+    * freshly written (the caller's whole scratch root is cleared first —
+    * fresh source invalidates any maintained state beside it). */
+  private def ensureSrcOnce(root: String, dir: String, name: String,
+      srcKey: String, rows: => DataFrame): Boolean = synchronized {
+    val reuse = srcWritten.get(name).contains(srcKey) &&
+      new java.io.File(dir).isDirectory
+    if (!reuse) {
+      QueryFamily.clearScratch(root)
+      rows.repartition(3).write.parquet(dir)
+      srcWritten(name) = srcKey
+    }
+    !reuse
+  }
+
   /** Write `rows` as a ≥3-file parquet dir (once per JVM per data dir),
     * stream it back one file per micro-batch through `writer`, await
     * completion, return the maintained-state path. State + checkpoint
@@ -60,15 +76,9 @@ object GovStreamQueries extends QueryFamily {
     val root = QueryFamily.jvmScratch(s"graft_$name")
     val src = s"$root/src"
     val state = s"$root/state"
-    val reuse = srcWritten.synchronized(srcWritten.get(name).contains(srcKey)) &&
-      new java.io.File(src).isDirectory
-    if (reuse) {
+    if (!ensureSrcOnce(root, src, name, srcKey, rows)) {
       QueryFamily.clearScratch(state)
       QueryFamily.clearScratch(s"$root/cp")
-    } else {
-      QueryFamily.clearScratch(root)
-      rows.repartition(3).write.parquet(src)
-      srcWritten.synchronized { srcWritten(name) = srcKey }
     }
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
@@ -77,7 +87,7 @@ object GovStreamQueries extends QueryFamily {
       .option("checkpointLocation", s"$root/cp")
       .trigger(Trigger.AvailableNow())
       .start()
-    awaitBounded(s, name, q)
+    awaitBounded(s, name, q, queryCapS)
     state
   }
 
@@ -88,10 +98,17 @@ object GovStreamQueries extends QueryFamily {
     * timeout (the round-9 lose-the-artifact mode). Same knob and
     * default as Bench's cap; a capped stream throws so the harness
     * records the error and coverage continues. */
+  private def queryCapS: Double = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
+    .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
+
   private def awaitBounded(s: SparkSession, name: String,
-      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
-      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      capS: Double): Unit = {
+    if (capS <= 0) {
+      // budget already exhausted by an earlier lifetime of this query
+      try q.stop() catch { case _: Throwable => () }
+      throw new RuntimeException(s"$name stream exceeded the per-query cap")
+    }
     val finished = q.awaitTermination((capS * 1000).toLong)
     if (!finished) {
       // BOUNDED stop too: the default spark.sql.streaming.stopTimeout
@@ -131,13 +148,7 @@ object GovStreamQueries extends QueryFamily {
       writer: (DataFrame, String) => DataStreamWriter[Row]): String = {
     val root = QueryFamily.jvmScratch(s"graft_$name")
     val all = s"$root/all"
-    val reuse = srcWritten.synchronized(srcWritten.get(name).contains(srcKey)) &&
-      new java.io.File(all).isDirectory
-    if (!reuse) {
-      QueryFamily.clearScratch(root)
-      rows.repartition(3).write.parquet(all)
-      srcWritten.synchronized { srcWritten(name) = srcKey }
-    }
+    ensureSrcOnce(root, all, name, srcKey, rows): Unit
     val src = s"$root/src"
     val state = s"$root/state"
     Seq(src, state, s"$root/cp").foreach(QueryFamily.clearScratch)
@@ -149,6 +160,10 @@ object GovStreamQueries extends QueryFamily {
         new java.io.File(src, f.getName).toPath): Unit
     }
     val schema = s.read.parquet(all).schema
+    // ONE per-query cap across BOTH lifetimes: each awaitBounded gets the
+    // budget REMAINING, not a fresh full cap — two lifetimes must not
+    // quietly double the per-query wall bound the cap exists to enforce
+    val deadline = System.nanoTime() + (queryCapS * 1e9).toLong
     def lifetime(): Unit = {
       val q = writer(
         s.readStream.schema(schema)
@@ -156,7 +171,7 @@ object GovStreamQueries extends QueryFamily {
         .option("checkpointLocation", s"$root/cp")
         .trigger(Trigger.AvailableNow())
         .start()
-      awaitBounded(s, name, q)
+      awaitBounded(s, name, q, (deadline - System.nanoTime()) / 1e9)
     }
     reveal(files.take(1))
     lifetime() // folds batch 0, then terminates (AvailableNow drained)

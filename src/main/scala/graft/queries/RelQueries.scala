@@ -84,16 +84,16 @@ object RelQueries extends QueryFamily {
     * write (the gov_* source-reuse convention). `l_month` partition
     * values like "1992-01" are not parseable as int/date, so partition
     * discovery types them string; the query casts anyway for safety. */
-  private val dppFactFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  private var dppFactFor: String = null // guarded by this object's lock
   private def dppFact(s: SparkSession, d: String): String = synchronized {
     val path = QueryFamily.jvmScratch("graft_dpp_fact")
-    if (dppFactFor.get != d) {
+    if (dppFactFor != d) {
       QueryFamily.clearScratch(path)
       Tables.lineitem(s, d)
         .select(date_format(col("l_shipdate"), "yyyy-MM").as("l_month"),
           col("l_quantity"), col("l_extendedprice"))
         .write.partitionBy("l_month").parquet(path)
-      dppFactFor.set(d)
+      dppFactFor = d
     }
     path
   }

@@ -36,13 +36,7 @@ object Profile {
       col("event_type"), col("user_id"))
 
     val root = sys.props("java.io.tmpdir") + "/graft_profile_gov"
-    def rm(p: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-        f.delete(): Unit
-      }
-      rec(new java.io.File(p))
-    }
+    def rm(p: String): Unit = graft.queries.QueryFamily.clearScratch(p)
     rm(root)
     val src = s"$root/src"
     time("source write")(rows.repartition(3).write.parquet(src))
