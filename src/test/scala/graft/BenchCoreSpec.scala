@@ -221,6 +221,32 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(!g.h.degraded && g.h.allRuns("qa").size === 2)
   }
 
+  test("TRANSIENT stall: degraded mode un-sticks once observed times match priors again") {
+    // the r15 driver-run failure mode: a stall window during pass 0 armed
+    // degraded (correctly), the host recovered minutes later, and sticky
+    // shedding measured the rest of a healthy run cold — cache_class
+    // best-ofs read ~4x floors. qa..qe run 10 s (4x prior) — the stall;
+    // qf..qj run at prior speed. Expect: degrade arms inside the stall,
+    // the recovery window (>=10 s prior mass at <=2x) re-arms warmups
+    // before the pass ends, and pass 1 is fully warm.
+    val names = ('a' to 'j').map(c => s"q$c")
+    val costs = names.map(n =>
+      n -> (if (n <= "qe") Seq(10.0) else Seq(2.5))).toMap
+    val prior = names.map(_ -> 2.5).toMap
+    val f = new Fake(costs, budgetS = 220.0, prior = prior)
+    f.h.runPass(0)
+    assert(!f.h.degraded, "degraded must have un-stuck before pass 0 ended")
+    // the tail queries after recovery pay warmup + timed again
+    assert(f.calls("qj") === 2)
+    // a query visited while degraded got its single cold run
+    val shedded = names.count(n => f.calls(n) == 1)
+    assert(shedded > 0, "degrade never armed — the stall window was missed")
+    f.h.runPass(1)
+    assert(!f.h.degraded)
+    assert(f.calls("qj") === 4) // pass 1 warm again: warmup + timed
+    assert(f.h.allRuns("qj").min === 2.5)
+  }
+
   test("mildly-busy host and startup spikes do NOT shed warmups") {
     // the first calibration degraded a ~1.6x-busy host into COLD single
     // runs that inflated the artifact 2.2x — these two controls pin the
