@@ -63,13 +63,13 @@ object Bench {
     * path; `off` disables the prior entirely — the scaling sweeps run
     * this same binary at 10× data, where the sf0.1 prior would flag
     * every query a 3×-regression suspect and burn the retry budget. */
-  private def loadPrior(): Map[String, Double] = {
+  private def loadPriorFile(): String = {
     val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR", "BENCH_PRIOR.json")
-    if (path == "off") return Map.empty
+    if (path == "off") return ""
     val f = new java.io.File(path)
-    if (!f.isFile) return Map.empty
-    try BenchCore.parsePrior(scala.io.Source.fromFile(f, "UTF-8").mkString)
-    catch { case _: Throwable => Map.empty }
+    if (!f.isFile) return ""
+    try scala.io.Source.fromFile(f, "UTF-8").mkString
+    catch { case _: Throwable => "" }
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,9 +87,21 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
+      // HEAP-SIZE IMMUNITY (round 16): Spark's ContextCleaner purges
+      // shuffle files / broadcasts / localCheckpoint RDDs from a GC
+      // reference queue, so a launcher that hands this JVM a huge heap
+      // (-Xmx96g) that never fills never GCs, the cleaner never fires,
+      // and 240 queries of accumulated state (7,800+ threads observed,
+      // r15) crawl the back half of the run 10-90x. tools/run_main.sh
+      // bounds ITS heap to 8g, but the driver launches graft.Bench
+      // directly — this periodic System.gc() (Spark's own knob, default
+      // 30min) makes the cleaner fire on any heap every 60s.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val prior = loadPrior()
+    val priorText = loadPriorFile()
+    val prior = BenchCore.parsePrior(priorText)
+    val coldFloor = BenchCore.parseColdFloor(priorText)
     // optional comma-separated name prefixes for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run.
     // SPARK_GRAFT_SKIP excludes exact names — the scaling harness uses
@@ -119,6 +131,23 @@ object Bench {
     val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(150.0)
     val watchdog = new java.util.Timer("bench-query-cap", true)
+    // JVM-thread canary (round 16): the r15 accumulated-state pathology
+    // announced itself as monotonic thread growth (7,800+ live threads by
+    // the dd_ family). Sample the live thread count after every query;
+    // warn on stderr each time it crosses another +500, and report the
+    // per-family max at the end — so a future BENCH artifact that reads
+    // slow in the back half carries its own heap-pathology evidence.
+    val familyThreads = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    @volatile var threadWarnAt = 1000
+    def sampleThreads(name: String): Unit = {
+      val n = Thread.activeCount()
+      val fam = name.takeWhile(_ != '_')
+      familyThreads(fam) = math.max(familyThreads.getOrElse(fam, 0), n)
+      if (n >= threadWarnAt) {
+        threadWarnAt = n + 500
+        System.err.println(s"[bench-canary] live threads=$n after $name")
+      }
+    }
     def runCapped(name: String): Unit = {
       val sc = spark.sparkContext
       val group = s"bench-$name"
@@ -134,7 +163,7 @@ object Bench {
       try { fnByName(name)(spark, sfDir).count(); () }
       catch { case e: Throwable =>
         if (fired) throw new RuntimeException(f"capped>$capS%.0fs", e) else throw e
-      } finally { tt.cancel(); sc.clearJobGroup() }
+      } finally { tt.cancel(); sc.clearJobGroup(); sampleThreads(name) }
     }
     // measurement mechanics (two passes, best-of, stall retries, budget
     // truncation) + artifact-line builders live in BenchCore.Harness so
@@ -153,7 +182,11 @@ object Bench {
       afterEach = () => spark.catalog.clearCache(),
       // e2e streaming queries (gov_*) replay their whole stream from
       // batch 0 every run — a warmup is a wasted third replay
-      noWarmup = SparkEntry.noWarmupQueries)
+      noWarmup = SparkEntry.noWarmupQueries,
+      // degraded-visit expected cost for the cache_class queries (their
+      // single cold run legitimately reads up to ~15x warm prior) — see
+      // the recovery-window scaladoc in BenchCore
+      coldPrior = coldFloor)
     val onlyTag = only.map(p => s""""only":"${p.mkString(",")}",""").getOrElse("")
     h.runPass(0)
     // deadline insurance: one complete parseable line on stdout the
@@ -170,6 +203,10 @@ object Bench {
     h.retryPass()
     // healthy-host-only third coverage pass: sharpen best-of samples
     h.polishPass()
+    // thread canary summary (stderr — diagnostic, not part of the
+    // 3-line artifact contract the driver parses)
+    System.err.println("[bench-canary] per-family max live threads: " +
+      familyThreads.map { case (f, n) => s"$f=$n" }.mkString(" "))
     // a deadline-truncated run is labelled so its partial total can't be
     // mistaken for a full benchmark artifact; unmeasured != failed
     val partialTag =

@@ -26,8 +26,21 @@ private[graft] object BenchCore {
     * with an empty prior, disarming the 3×-regression retries and
     * leaving the contention projection on 0.5 s defaults.
     */
-  def parsePrior(text: String): Map[String, Double] = {
-    val qm = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+  def parsePrior(text: String): Map[String, Double] = parseNumMap(text, "queries")
+
+  /** The cold single-run floors BENCH_PRIOR.json carries for the 25
+    * cache_class queries (measured in a cold Scaling sweep, round 15) —
+    * a degraded (warmup-shed, single-run) visit of one of these
+    * legitimately reads up to ~15× its warm floor, so the degraded-mode
+    * RECOVERY window must expect the cold floor, not the warm prior
+    * (round 16; see the recovery block in [[Harness.runPass]]). */
+  def parseColdFloor(text: String): Map[String, Double] = parseNumMap(text, "cold_floor")
+
+  /** `"key": {"name": num, ...}` extractor shared by [[parsePrior]] and
+    * [[parseColdFloor]]; whitespace-tolerant for the pretty-printed
+    * committed file (the round-14 lesson). */
+  private def parseNumMap(text: String, key: String): Map[String, Double] = {
+    val qm = ("\"" + key + """"\s*:\s*\{""").r.findFirstMatchIn(text)
     if (qm.isEmpty) return Map.empty
     val qStart = qm.get.end
     val qEnd = text.indexOf('}', qStart)
@@ -62,6 +75,16 @@ private[graft] object BenchCore {
     *                 made them the likeliest per-query-cap victims on a
     *                 contended host. Best-of across the timed visits
     *                 still absorbs first-visit codegen/JIT.
+    * @param coldPrior cold single-run floors for the cache_class queries
+    *                 (BENCH_PRIOR.json `cold_floor`, round 16): what a
+    *                 DEGRADED (warmup-shed, single-run) visit of such a
+    *                 query legitimately costs on a healthy host — up to
+    *                 ~15× its warm prior. The recovery window expects
+    *                 max(prior, coldPrior) per degraded visit; without
+    *                 it, a post-stall stretch dominated by cache_class
+    *                 queries could NEVER read ≤2× warm prior, and a
+    *                 healthy host stayed cold-shedding for the rest of
+    *                 the run (the exact r15 artifact-inflation mode).
     */
   final class Harness(
       selected: Seq[String],
@@ -70,7 +93,8 @@ private[graft] object BenchCore {
       budgetS: Double,
       prior: Map[String, Double],
       afterEach: () => Unit = () => (),
-      noWarmup: Set[String] = Set.empty) {
+      noWarmup: Set[String] = Set.empty,
+      coldPrior: Map[String, Double] = Map.empty) {
 
     // merged per-query run times across both passes (insertion order =
     // alphabetical, the order the artifact reports)
@@ -101,11 +125,11 @@ private[graft] object BenchCore {
       * cache_class queries read ~4× their warm floors, inflating the
       * round's public artifact ~1.5×). Degraded visits now accumulate a
       * (prior-mass, observed-seconds) window; once ≥10 s of prior mass
-      * shows observed ≤ 2× prior — healthy, given a degraded visit is
-      * ONE timed run (~1× prior for plain queries, 2-4× for the
-      * cache-refilling class) — warmups re-arm. A still-slow window
-      * (≥3× arms degrade; ≤2× recovers — hysteresis) just resets and
-      * keeps shedding. */
+      * shows observed ≤ 2× expected — healthy, given a degraded visit is
+      * ONE timed run (~1× warm prior for plain queries; the cold floor,
+      * up to ~15× warm, for the cache-refilling class — see `coldPrior`)
+      * — warmups re-arm. A still-slow window (≥3× arms degrade; ≤2×
+      * recovers — hysteresis) just resets and keeps shedding. */
     var degraded = false
     private var recPrior = 0.0
     private var recObserved = 0.0
@@ -158,9 +182,14 @@ private[graft] object BenchCore {
           val secs = (nowNanos() - s) / 1e9
           allRuns(name) = allRuns.getOrElse(name, Nil) :+ secs
           // degraded-mode recovery window (see `degraded`'s scaladoc):
-          // a transient stall must not shed warmups for the whole run
+          // a transient stall must not shed warmups for the whole run.
+          // Expected cost of THIS degraded visit = the cold floor where
+          // one exists (a degraded visit is a single cold run; the
+          // cache_class queries cold-run up to ~15× warm prior by
+          // design, and judging them against the warm prior made
+          // recovery unreachable whenever they dominated the window).
           if (degraded) {
-            recPrior += priorOf(name)
+            recPrior += math.max(priorOf(name), coldPrior.getOrElse(name, 0.0))
             recObserved += secs
             if (recPrior >= 10.0) {
               if (recObserved <= 2.0 * recPrior) {

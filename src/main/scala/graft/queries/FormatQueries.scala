@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.sources.Formats
+import graft.streaming.DeadLetter
 
 /** Multi-format ingestion family (SURVEY §2.1 extension): CSV, JSON-lines,
   * ORC, and Hive-partitioned parquet, each exercised as a REAL
@@ -24,6 +25,11 @@ import graft.sources.Formats
   */
 object FormatQueries extends QueryFamily {
   import QueryFamily._
+
+  /** The dead-letter row replays its whole multi-batch stream from
+    * batch 0 against cleared scratch on every execution (gov_* family
+    * convention) — a bench warmup is a wasted identical replay. */
+  override def noWarmup: Set[String] = Set("fmt_deadletter_stream")
 
   /** orders with exact-typed money/date columns (shared by csv/partition). */
   private def ordersExact(s: SparkSession, d: String): DataFrame =
@@ -106,6 +112,58 @@ object FormatQueries extends QueryFamily {
         .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
     }),
 
+    // Dead-letter STREAMING ingest e2e (the fmt_json_quarantine corruption
+    // + the gov_* multi-batch file-stream harness): the same
+    // deterministically truncated JSON lines land as a 3-file source,
+    // streamed one file per micro-batch (Trigger.AvailableNow) through
+    // DeadLetter.jsonDirStream → route — quarantined raw lines to
+    // deadLetterDir/batch=<id>, clean rows to a per-batch parquet sink,
+    // both idempotent-overwrite per batch id so checkpoint-recovery
+    // replays rewrite instead of duplicating. The oracle computes the
+    // clean/bad partition directly from parquet, so a green row proves
+    // the STREAMING split quarantined exactly the corrupted rows across
+    // micro-batch boundaries — no silent drop, no over-rejection, no
+    // double-count. The batch twin is fmt_json_quarantine; this row makes
+    // the streaming path driver-visible (it was spec-only through r15).
+    "fmt_deadletter_stream" -> ((s, d) => {
+      val root = jvmScratch("fmt_dls")
+      val src = s"$root/src"
+      val dead = s"$root/dead"
+      val cleanDir = s"$root/clean"
+      // fresh scratch per execution: the stream must replay from batch 0
+      // (bench classes this noWarmup — re-runs are full replays)
+      clearScratch(root)
+      Tables.documents(s, d)
+        // source LAST so truncating the closing `"}` always breaks the
+        // quoting (same rule as fmt_json_quarantine)
+        .withColumn("js", to_json(struct(col("doc_id"), col("n_chars"), col("source"))))
+        .select(when(col("doc_id") % 7 === 0,
+            expr("substring(js, 1, length(js) - 2)")
+          ).otherwise(col("js")).as("value"))
+        .repartition(3).write.text(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, n_chars BIGINT, source STRING")
+      val q = DeadLetter.jsonDirStream(s, src, schema, maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          DeadLetter.route(batch, id, dead) { clean =>
+            clean.write.mode("overwrite").parquet(s"$cleanDir/batch=$id")
+          }
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      QueryFamily.awaitBounded(s, "fmt_deadletter_stream", q, QueryFamily.queryCapS)
+      val clean = s.read.parquet(cleanDir).drop("batch")
+      val quarantined = s.read.parquet(dead).drop("batch")
+      clean.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("clean_id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .crossJoin(quarantined.agg(count(lit(1)).as("n_quarantined")))
+        .orderBy(col("source"))
+    }),
+
     // Hive-partitioned write + planning-time pruned read: month=1..3 of a
     // month-partitioned orders table — the "last N months of 100 TB is an
     // N-directory scan" layout. The filter lands in PartitionFilters
@@ -146,6 +204,17 @@ object FormatQueries extends QueryFamily {
         |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS clean_id_sum,
         |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         |FROM documents""".stripMargin,
+    // the streaming split must reproduce the batch clean/bad partition
+    // of the corpus exactly, per source, plus the total quarantine count
+    "fmt_deadletter_stream" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clean,
+        |  CAST(SUM(doc_id) AS BIGINT) AS clean_id_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 7 = 0)
+        |    AS n_quarantined
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "fmt_partitioned_scan" ->
       s"""SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS omonth,
          |  COUNT(*) AS n,

@@ -91,49 +91,13 @@ object GovStreamQueries extends QueryFamily {
     state
   }
 
-  /** BOUNDED await: the stream's jobs run under ITS OWN job group, so
-    * Bench's per-query watchdog (cancelJobGroup on "bench-<name>")
-    * cannot reach them — an unbounded awaitTermination on a wedged
-    * micro-batch would hang the whole benchmark past the driver's kill
-    * timeout (the round-9 lose-the-artifact mode). Same knob and
-    * default as Bench's cap; a capped stream throws so the harness
-    * records the error and coverage continues. */
-  private def queryCapS: Double = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
-    .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
+  /** Bounded stream await + per-query cap, shared with the dead-letter
+    * ingest row since round 16 — see [[QueryFamily.awaitBounded]]. */
+  private def queryCapS: Double = QueryFamily.queryCapS
 
   private def awaitBounded(s: SparkSession, name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      capS: Double): Unit = {
-    if (capS <= 0) {
-      // budget already exhausted by an earlier lifetime of this query
-      try q.stop() catch { case _: Throwable => () }
-      throw new RuntimeException(s"$name stream exceeded the per-query cap")
-    }
-    val finished = q.awaitTermination((capS * 1000).toLong)
-    if (!finished) {
-      // BOUNDED stop too: the default spark.sql.streaming.stopTimeout
-      // (0) waits indefinitely, so a micro-batch wedged in a way that
-      // survives job cancellation would hang the benchmark right here —
-      // the exact artifact-loss mode this cap exists to prevent. Bound
-      // it for the duration of the stop (session conf, restored after);
-      // a stop that itself times out must not mask the cap error — the
-      // query is getting reported capped either way.
-      val key = "spark.sql.streaming.stopTimeout"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "10000")
-      val stopErr =
-        try { q.stop(); None }
-        catch { case e: Throwable => Some(e) }
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-      val cap = new RuntimeException(
-        f"$name stream exceeded the ${capS}%.0f s per-query cap")
-      stopErr.foreach(cap.addSuppressed)
-      throw cap
-    }
-  }
+      capS: Double): Unit = QueryFamily.awaitBounded(s, name, q, capS)
 
   /** The RESTART variant: the source's first file is revealed alone, one
     * stream lifetime drains it and TERMINATES; the remaining files land

@@ -74,4 +74,47 @@ object QueryFamily {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  /** Per-query wall cap for e2e streaming queries — same knob and default
+    * as Bench's watchdog; shared by the gov_* family and the dead-letter
+    * ingest row (moved here from GovStreamQueries in round 16). */
+  def queryCapS: Double = sys.env.get("SPARK_GRAFT_QUERY_CAP_S")
+    .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(150.0)
+
+  /** BOUNDED await for an in-query stream: the stream's jobs run under
+    * ITS OWN job group, so Bench's per-query watchdog (cancelJobGroup on
+    * "bench-<name>") cannot reach them — an unbounded awaitTermination on
+    * a wedged micro-batch would hang the whole benchmark past the
+    * driver's kill timeout (the round-9 lose-the-artifact mode). A capped
+    * stream throws so the harness records the error and coverage
+    * continues; the stop itself is bounded too (the default
+    * spark.sql.streaming.stopTimeout of 0 waits indefinitely). */
+  def awaitBounded(s: SparkSession, name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      capS: Double): Unit = {
+    if (capS <= 0) {
+      // budget already exhausted by an earlier lifetime of this query
+      try q.stop() catch { case _: Throwable => () }
+      throw new RuntimeException(s"$name stream exceeded the per-query cap")
+    }
+    val finished = q.awaitTermination((capS * 1000).toLong)
+    if (!finished) {
+      // a stop that itself times out must not mask the cap error — the
+      // query is getting reported capped either way
+      val key = "spark.sql.streaming.stopTimeout"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "10000")
+      val stopErr =
+        try { q.stop(); None }
+        catch { case e: Throwable => Some(e) }
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      val cap = new RuntimeException(
+        f"$name stream exceeded the ${capS}%.0f s per-query cap")
+      stopErr.foreach(cap.addSuppressed)
+      throw cap
+    }
+  }
 }
