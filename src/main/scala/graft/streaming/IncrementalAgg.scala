@@ -134,15 +134,40 @@ class PartitionedUpsert(
     val (fs, table) = fsOf(spark)
     val staging = new Path(table, s"_staging/$name")
     if (!fs.exists(staging)) return // already published
+    // Aside parking lot for the live partitions being replaced, under the
+    // underscore-prefixed _staging root so table readers never see it.
+    // Readers (audit/estimates) are NOT under the writer lock — the r15
+    // delete-target-then-rename swap left the partition entirely absent
+    // for the duration of a recursive delete (O(files) metadata ops), so
+    // a concurrent read could silently drop the partition from results.
+    // Renaming the live dir aside first shrinks the missing-partition
+    // window to the gap between two O(1) renames; the bulk delete of the
+    // old data happens after the new partition is already live. (Full
+    // reader isolation would need snapshot indirection — the single-
+    // writer note documents that readers racing publish may still see a
+    // partition absent for that two-rename instant.)
+    val asideRoot = new Path(table, s"_staging/.aside-$name")
+    fs.delete(asideRoot, true) // stale parking from an interrupted publish
+    fs.mkdirs(asideRoot)
     fs.listStatus(staging).foreach { st =>
       val dir = st.getPath.getName
       if (dir.startsWith(s"$partCol=")) { // skip _SUCCESS etc.
         val target = new Path(table, dir)
-        fs.delete(target, true)
+        val aside = new Path(asideRoot, dir)
+        // absent target (first publish of this partition, or a recovery
+        // re-run that already parked it) is fine — skip the aside move
+        if (fs.exists(target) && !fs.rename(target, aside))
+          throw new java.io.IOException(s"publish aside-rename failed for $target")
         if (!fs.rename(st.getPath, target))
           throw new java.io.IOException(s"publish rename failed for $target")
       }
     }
+    // old snapshots + the drained staging dir; crash anywhere above is
+    // safe — staged partition dirs disappear only after their rename
+    // lands, so recovery redoes exactly the remaining swaps, and the
+    // stale aside content is deleted (staged rows are post-merge
+    // snapshots, so nothing in aside is ever needed again)
+    fs.delete(asideRoot, true)
     fs.delete(staging, true)
   }
 

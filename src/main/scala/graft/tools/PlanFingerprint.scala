@@ -52,6 +52,35 @@ object PlanFingerprint {
     counts.toSeq.sortBy(_._1).map { case (k, n) => s"$k:$n" }.mkString(" ")
   }
 
+  /** Node classes EXCLUDED from the AQE-final multiset (round 16): the
+    * placement/packaging classes whose counts race on stage-completion
+    * order under AQE. Byte-identical same-config runs were measured
+    * flapping EXACTLY these six, ±1-2, on six registry queries
+    * (`sim_topk_pq_ivf_refine` — the r15 judge-JVM failure — plus
+    * `dd_assortativity`, `dd_dedup_corpus`, `sim_topk_ivf_tuned`,
+    * `sim_topk_sq8_ivf` in whole-registry regens, two of which were
+    * stable across 4 isolated probe passes, so the race depends on
+    * JVM-wide state, not the query):
+    *   - AQEShuffleReadExec / ShuffleExchangeExec: where AQE places a
+    *     coalesced read (and its paired exchange) over a reused stage;
+    *   - SortExec / WindowGroupLimitExec: whether the partial rank-limit
+    *     stage is re-planned against runtime stats;
+    *   - InputAdapter / WholeStageCodegenExec: codegen packaging derived
+    *     from the above.
+    * Pinning them via `coalescePartitions.enabled=false` is not an
+    * option: empty partial partitions then crash Spark 4.1.2's
+    * ApproxTopKCombine.serialize (MatchError: null in
+    * outputForEmptyGroupingKeyWithoutInput) on the approx_top_k queries.
+    * What the sf0.1 golden exists to record — which joins flip strategy
+    * at production thresholds, aggregate modes, scan kinds, window and
+    * limit structure — does not depend on any of the six; and the STATIC
+    * sf0.001 golden (AQE off, fully deterministic) still pins exchange,
+    * sort, and codegen counts exactly, so a query that silently gains a
+    * shuffle is caught there. */
+  val aqeRacyClasses: Set[String] = Set(
+    "AQEShuffleReadExec", "ShuffleExchangeExec", "SortExec",
+    "WindowGroupLimitExec", "InputAdapter", "WholeStageCodegenExec")
+
   /** Multiset fingerprint of the AQE FINAL plan — the plan shape that
     * actually ran, after runtime re-optimization from observed stage
     * sizes (broadcast↔SMJ conversions, partition coalescing, skew
@@ -61,8 +90,9 @@ object PlanFingerprint {
     * that still finalizes the plan). AQE bookkeeping wrappers
     * (`AdaptiveSparkPlanExec`, `*QueryStageExec`) are unwrapped to the
     * operators they hold, so the multiset stays comparable to the
-    * static fingerprint; `AQEShuffleReadExec` and `ReusedExchangeExec`
-    * are real runtime decisions and ARE counted. */
+    * static fingerprint; the stage-timing-racy classes
+    * ([[aqeRacyClasses]]) are excluded so the fingerprint records the
+    * plan's logical shape rather than the run's scheduling accidents. */
   def fingerprintFinal(df: DataFrame): String = {
     val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
     def walk(p: SparkPlan): Unit = p match {
@@ -78,7 +108,8 @@ object PlanFingerprint {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         walk(r.child)
       case o =>
-        counts(o.getClass.getSimpleName) += 1
+        if (!aqeRacyClasses(o.getClass.getSimpleName))
+          counts(o.getClass.getSimpleName) += 1
         o.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
@@ -139,31 +170,24 @@ object PlanFingerprint {
   val goldenPathSf01 = "PLAN_FINGERPRINTS_SF01.txt"
 
   /** Escape hatch for any query whose AQE-FINAL plan turns out not to be
-    * run-deterministic at sf0.1 (AQE planning on runtime size stats that
-    * sit on a coalesce/broadcast boundary can flap even after the
-    * ReusedExchange canonicalization absorbs stage-timing races). A
-    * query excluded here keeps its STATIC sf0.001 fingerprint gate.
+    * run-deterministic at sf0.1 EVEN AFTER the [[aqeRacyClasses]]
+    * canonicalization. A query excluded here keeps its STATIC sf0.001
+    * fingerprint gate.
     *
-    * `sim_topk_pq_ivf_refine` (round 16): first flagged by the judge's
-    * r15 run (SortExec 39→38, WindowGroupLimitExec 14→13, one fewer
-    * codegen unit). Reproduced here with the determinism probe
+    * Round-16 history: `sim_topk_pq_ivf_refine` (the r15 judge-JVM
+    * failure) was briefly excluded here after the determinism probe
     * (`runMain graft.tools.PlanFingerprint sf01
-    * only=sim_topk_pq_ivf_refine repeat=6`): 6 same-JVM same-config
-    * passes produced THREE distinct multisets —
-    *   passes 1,2,5,6 = golden;
-    *   pass 3: InputAdapter:169 SortExec:38 WholeStageCodegenExec:134
-    *           WindowGroupLimitExec:13 (a rank-limit stage re-planned
-    *           away);
-    *   pass 4: AQEShuffleReadExec:50 InputAdapter:172
-    *           ShuffleExchangeExec:50 WholeStageCodegenExec:137 (two
-    *           extra shuffle-read stages).
-    * Two independent nondeterminism axes — a vanishing
-    * WindowGroupLimit/Sort stage AND a varying AQE shuffle-read count —
-    * on identical data and configuration; no repartition pin addresses
-    * both, so the query is excluded from the sf0.1 live gate. Its
-    * sf0.001 static plan (AQE off) remains pinned and its recall
-    * contract + DuckDB oracle are unaffected. */
-  val excludedSf01: Set[String] = Set("sim_topk_pq_ivf_refine")
+    * only=sim_topk_pq_ivf_refine repeat=6`) reproduced the flap — 6
+    * same-JVM same-config passes, THREE distinct multisets, drifting
+    * only in SortExec/WindowGroupLimitExec/AQEShuffleReadExec/
+    * ShuffleExchangeExec/InputAdapter/WholeStageCodegenExec. Then
+    * whole-registry regens flapped FOUR MORE queries on exactly the
+    * same classes (two of them stable across isolated probes —
+    * JVM-wide-state-dependent raciness), so the per-query exclusion was
+    * replaced by excluding those six racy classes from the final
+    * multiset itself (see [[aqeRacyClasses]]) and every query is back
+    * under the gate. */
+  val excludedSf01: Set[String] = Set.empty
 
   /** Current build round. Single source: the committed `ROUND` file
     * (one integer, bumped by the builder at the start of each round) —
@@ -248,6 +272,8 @@ object PlanFingerprint {
       val byName = SparkEntry.queries.filter { case (n, _) => only(n) }
       (1 to repeat).foreach { pass =>
         byName.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          // mirror fingerprintAllFinal's pinned config exactly — a probe
+          // under a different planner config proves nothing about the gate
           val pinned = Map(
             "spark.sql.adaptive.enabled" -> "true",
             "spark.sql.autoBroadcastJoinThreshold" -> "10m",

@@ -13,16 +13,27 @@ import graft.operators.Similarity
 object Probe {
   private val OFF = 931170240L
 
+  /** Args: the data dirs to probe (each must contain embeddings.parquet),
+    * defaulting to the two dirs the r15 diagnosis compared; `cpus=N`
+    * anywhere in the args overrides local[32] — same convention as
+    * Profile, so the tool runs on any machine instead of hardcoding this
+    * host's layout. */
   def main(args: Array[String]): Unit = {
+    val cpus = args.collectFirst { case a if a.startsWith("cpus=") =>
+      a.stripPrefix("cpus=") }.getOrElse("32")
+    val dirs = args.filterNot(_.startsWith("cpus=")) match {
+      case Array() => Seq("/root/testdata/sf0.1", "/tmp/sf1")
+      case ds => ds.toSeq
+    }
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sf1")) {
+    for (dir <- dirs) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       val thr = Similarity.calibratedDupThreshold(n)

@@ -20,7 +20,8 @@ class BenchCoreSpec extends AnyFunSuite {
   private class Fake(costs: Map[String, Seq[Double]], budgetS: Double,
       prior: Map[String, Double] = Map.empty,
       failWhen: (String, Int) => Boolean = (_, _) => false,
-      noWarmup: Set[String] = Set.empty) {
+      noWarmup: Set[String] = Set.empty,
+      coldPrior: Map[String, Double] = Map.empty) {
     var nowNs = 0L
     val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val h = new BenchCore.Harness(
@@ -31,7 +32,7 @@ class BenchCoreSpec extends AnyFunSuite {
         val cs = costs(name)
         nowNs += (cs(math.min(i, cs.size - 1)) * 1e9).toLong
       },
-      () => nowNs, budgetS, prior, noWarmup = noWarmup)
+      () => nowNs, budgetS, prior, noWarmup = noWarmup, coldPrior = coldPrior)
   }
 
   test("healthy run: best-of map, ascending artifact order, all three lines parse") {
@@ -245,6 +246,55 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(!f.h.degraded)
     assert(f.calls("qj") === 4) // pass 1 warm again: warmup + timed
     assert(f.h.allRuns("qj").min === 2.5)
+  }
+
+  test("recovery window expects COLD floors for cache_class queries (r16)") {
+    // the r15 residual: degraded visits are single COLD runs, and the
+    // cache_class queries legitimately cold-run far above their warm
+    // prior (cold floors up to ~15x) — so a post-stall stretch dominated
+    // by them could NEVER read <=2x warm prior and a healthy host stayed
+    // cold-shedding. qa..qd stall at 4x (arms degrade after qd); qe is a
+    // plain query at its true cold cost; qf..qj are cache_class: cold
+    // first run 20 s (= their cold floor, 8x warm prior), warm 2.5 s.
+    val names = ('a' to 'j').map(c => s"q$c")
+    val costs = names.map { n =>
+      if (n <= "qd") n -> Seq(10.0)
+      else if (n == "qe") n -> Seq(10.0, 2.5)
+      else n -> Seq(20.0, 2.5)
+    }.toMap
+    val prior = names.map(_ -> 2.5).toMap
+    val cold = names.filter(_ >= "qf").map(_ -> 20.0).toMap
+    val withCold = new Fake(costs, budgetS = 220.0, prior = prior,
+      coldPrior = cold)
+    withCold.h.runPass(0)
+    assert(!withCold.h.degraded,
+      "healthy host must recover even when cache_class queries follow the stall")
+    assert(withCold.calls("qj") === 2, "post-recovery visits are warm again")
+    // CONTROL — without the cold floors the same healthy run never
+    // recovers (the exact r15 artifact-inflation mode this fix targets)
+    val withoutCold = new Fake(costs, budgetS = 220.0, prior = prior)
+    withoutCold.h.runPass(0)
+    assert(withoutCold.h.degraded)
+    assert(withoutCold.calls("qj") === 1)
+  }
+
+  test("parseColdFloor reads the committed BENCH_PRIOR.json cold_floor map") {
+    val text =
+      """{
+        |  "metric": "total",
+        |  "queries": {
+        |    "dd_assortativity": 1.176
+        |  },
+        |  "value": 129.5,
+        |  "cold_floor": {
+        |    "dd_assortativity": 17.585,
+        |    "dd_bfs_hops": 7.522
+        |  }
+        |}""".stripMargin
+    val cf = BenchCore.parseColdFloor(text)
+    assert(cf === Map("dd_assortativity" -> 17.585, "dd_bfs_hops" -> 7.522))
+    // and the warm map still parses independently of the new section
+    assert(BenchCore.parsePrior(text) === Map("dd_assortativity" -> 1.176))
   }
 
   test("mildly-busy host and startup spikes do NOT shed warmups") {

@@ -41,7 +41,7 @@ def main():
         if secs is None or secs < 0:
             continue
         if name not in merged:
-            merged[name] = secs
+            merged[name] = round(secs, 4)
             added.append(name)
         elif secs < merged[name]:
             merged[name] = round(secs, 4)
