@@ -100,8 +100,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val priorText = loadPriorFile()
-    val prior = BenchCore.parsePrior(priorText)
-    val coldFloor = BenchCore.parseColdFloor(priorText)
+    // parse failures degrade to an empty prior, never a startup crash —
+    // update_prior.py writes BENCH_PRIOR.json non-atomically, and a
+    // truncated file taking down Bench before the first query would be
+    // the round-9 no-artifact mode all over again
+    val prior =
+      try BenchCore.parsePrior(priorText)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val coldFloor =
+      try BenchCore.parseColdFloor(priorText)
+      catch { case _: Throwable => Map.empty[String, Double] }
     // optional comma-separated name prefixes for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_,sim_); unset = full driver run.
     // SPARK_GRAFT_SKIP excludes exact names — the scaling harness uses

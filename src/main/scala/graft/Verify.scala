@@ -53,8 +53,7 @@ object Verify {
     * recursive-CTE oracles (the dd_ cluster/graph family — measured >40
     * CPU-minutes in DuckDB at sf0.1) are skipped by rule; the named set
     * below is from the round-16 per-oracle DuckDB timing sweep at sf0.1
-    * (90 s per-query cap; these exceeded it or sat close enough that a
-    * contended driver host could). */
+    * (30 s per-oracle cap, 8 DuckDB threads — see [[sf01SpotHeavy]]). */
   private[graft] def sf01SpotEligible(name: String): Boolean =
     SparkEntry.oracleSql.get(name).exists { sql =>
       !sql.toUpperCase.contains("RECURSIVE") && !sf01SpotHeavy(name)

@@ -31,6 +31,10 @@ object FormatQueries extends QueryFamily {
     * convention) — a bench warmup is a wasted identical replay. */
   override def noWarmup: Set[String] = Set("fmt_deadletter_stream")
 
+  /** Data dir whose fmt_deadletter_stream source parquet is already
+    * written in this JVM (single-element: a cross-SF switch rewrites). */
+  private val dlsSrc = scala.collection.mutable.Set.empty[String]
+
   /** orders with exact-typed money/date columns (shared by csv/partition). */
   private def ordersExact(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
@@ -130,17 +134,30 @@ object FormatQueries extends QueryFamily {
       val src = s"$root/src"
       val dead = s"$root/dead"
       val cleanDir = s"$root/clean"
-      // fresh scratch per execution: the stream must replay from batch 0
-      // (bench classes this noWarmup — re-runs are full replays)
-      clearScratch(root)
-      Tables.documents(s, d)
-        // source LAST so truncating the closing `"}` always breaks the
-        // quoting (same rule as fmt_json_quarantine)
-        .withColumn("js", to_json(struct(col("doc_id"), col("n_chars"), col("source"))))
-        .select(when(col("doc_id") % 7 === 0,
-            expr("substring(js, 1, length(js) - 2)")
-          ).otherwise(col("js")).as("value"))
-        .repartition(3).write.text(src)
+      // source files are IMMUTABLE inputs (gov_* convention): written
+      // once per (JVM, data dir) and reused by bench re-runs, which
+      // clear only the maintained state + checkpoint so the stream
+      // replays from batch 0 (bench classes this noWarmup)
+      val srcReused = dlsSrc.synchronized {
+        val ok = dlsSrc.contains(d) && new java.io.File(src).isDirectory
+        if (!ok) {
+          clearScratch(root)
+          Tables.documents(s, d)
+            // source LAST so truncating the closing `"}` always breaks
+            // the quoting (same rule as fmt_json_quarantine)
+            .withColumn("js",
+              to_json(struct(col("doc_id"), col("n_chars"), col("source"))))
+            .select(when(col("doc_id") % 7 === 0,
+                expr("substring(js, 1, length(js) - 2)")
+              ).otherwise(col("js")).as("value"))
+            .repartition(3).write.text(src)
+          dlsSrc.clear()
+          dlsSrc += d
+        }
+        ok
+      }
+      if (srcReused)
+        Seq(dead, cleanDir, s"$root/cp").foreach(clearScratch)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, n_chars BIGINT, source STRING")
       val q = DeadLetter.jsonDirStream(s, src, schema, maxFilesPerTrigger = 1)

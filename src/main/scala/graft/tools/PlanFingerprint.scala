@@ -272,12 +272,19 @@ object PlanFingerprint {
       val byName = SparkEntry.queries.filter { case (n, _) => only(n) }
       (1 to repeat).foreach { pass =>
         byName.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          // mirror fingerprintAllFinal's pinned config exactly — a probe
-          // under a different planner config proves nothing about the gate
-          val pinned = Map(
-            "spark.sql.adaptive.enabled" -> "true",
-            "spark.sql.autoBroadcastJoinThreshold" -> "10m",
-            "spark.sql.shuffle.partitions" -> "32")
+          // mirror the corresponding golden generator's pinned config
+          // exactly — a probe under a different planner config proves
+          // nothing about the gate (and a static probe under AQE would
+          // fingerprint just the AdaptiveSparkPlanExec wrapper)
+          val pinned =
+            if (sf01Mode) Map(
+              "spark.sql.adaptive.enabled" -> "true",
+              "spark.sql.autoBroadcastJoinThreshold" -> "10m",
+              "spark.sql.shuffle.partitions" -> "32")
+            else Map(
+              "spark.sql.adaptive.enabled" -> "false",
+              "spark.sql.autoBroadcastJoinThreshold" -> "64m",
+              "spark.sql.shuffle.partitions" -> "8")
           pinned.foreach { case (k, v) => spark.conf.set(k, v) }
           val fp = if (sf01Mode) fingerprintFinal(fn(spark, sfDir))
             else fingerprint(fn(spark, sfDir))
