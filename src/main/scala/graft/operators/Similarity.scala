@@ -308,12 +308,26 @@ object Similarity {
           col("n_members").cast("double") / 1e6).as("mean_cosine"))
   }
 
+  /** One-row broadcastable frame holding EVERY centroid as a cell-sorted
+    * struct array. Lets assignment and probing run as pure per-row fold
+    * expressions over the broadcast array instead of a
+    * crossJoin-then-re-aggregate: the (vec_id)-keyed argmax Exchange of
+    * the whole corpus — one per Lloyd round plus the final assignment —
+    * disappears outright (round 16, guide §2.4 "remove shuffles
+    * outright"; at 100 TB the corpus never shuffles for assignment at
+    * all, only the nCells-row centroid table moves). */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+
   /** Nearest-centroid assignment: argmax-by-(sim desc, cell asc) as a
-    * lexicographic struct MIN — a partial-aggregating hash agg (map-side
-    * combine collapses the nCells-wide candidate rows BEFORE the shuffle)
-    * instead of a window sort that would shuffle all |corpus|·nCells
-    * rows. (-sim) ASC == sim DESC exactly: IEEE negation is lossless, and
-    * the cell id breaks ties identically to the window's ORDER BY.
+    * lexicographic struct-MIN FOLD over the broadcast centroid array —
+    * zero shuffle of the corpus (previously a crossJoin + vec_id-keyed
+    * partial-agg, one Exchange of n rows per call). (-sim) ASC == sim
+    * DESC exactly: IEEE negation is lossless; the fold keeps the earlier
+    * (lower cell id) candidate on exact ties, identical to the struct
+    * MIN it replaces — and since every comparison is exact (no
+    * accumulation), the result is independent of fold order anyway.
     *
     * NaN guard: a zero-norm vector (e.g. a centroid whose every
     * coordinate quantizes to 0 micros) makes cosine 0/0 = NaN, and the
@@ -323,14 +337,20 @@ object Similarity {
     * (below any real cosine) on BOTH sides makes them identical: a
     * NaN-cosine cell loses everywhere, and an all-NaN row falls back to
     * the lowest cell id. No-op for non-degenerate input. */
-  private def ivfAssign(points: DataFrame, cents: DataFrame): DataFrame =
-    points.crossJoin(broadcast(cents))
+  private def ivfAssign(points: DataFrame, cents: DataFrame): DataFrame = {
+    // zero: negsim 3.0 sits above any real candidate (negsim ≤ 2.0 by
+    // the -2.0 sentinel), so the first fold step always replaces it
+    val zero = struct(lit(3.0).as("negsim"), lit(-1).as("cell"))
+    points.crossJoin(broadcast(centroidArray(cents)))
       .select(col("vec_id"), col("v"),
-        struct((-nanvl(cosineSeq(col("v"), col("cv")), lit(-2.0))).as("negsim"),
-          col("cell")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), min(col("sc")).as("best"))
-      .select(col("vec_id"), col("v"), col("best.cell").as("cell"))
+        aggregate(col("cents"), zero, (acc, c) => {
+          val cand = struct(
+            (-nanvl(cosineSeq(col("v"), c.getField("cv")), lit(-2.0)))
+              .as("negsim"),
+            c.getField("cell").as("cell"))
+          when(cand < acc, cand).otherwise(acc)
+        }).getField("cell").as("cell"))
+  }
 
   /** Coarse-quantizer training over `corpusD(vec_id, v)`: deterministic
     * evenly-strided init by vec_id rank, then `lloydIters` rounds of
@@ -371,19 +391,24 @@ object Similarity {
 
   /** Each query's `nProbe` nearest cells (centroids broadcast): emits
     * `(query_id, qv, cell)` with the double-cast query vector carried
-    * along for downstream scoring. */
+    * along for downstream scoring. The per-query (sim desc, cell) rank ≤
+    * nProbe runs as array_sort + slice over the broadcast centroid array
+    * — a pure per-row expression, replacing the crossJoin + query_id-
+    * keyed window (one Exchange + sort of |queries|·nCells rows, gone
+    * per round 16; guide §2.4). (-sim) ASC == sim DESC exactly (lossless
+    * IEEE negation, cell tiebreak identical); probe cosines are finite
+    * on this corpus — the oracle's ORDER BY replica already assumes
+    * NaN-free probes. */
   private def ivfProbes(queries: DataFrame, centroids: DataFrame,
-      nProbe: Int): DataFrame = {
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell"))
+      nProbe: Int): DataFrame =
     queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), x => x.cast("double")).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        cosineSeq(col("qv"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-  }
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosineSeq(col("qv"), c.getField("cv"))).as("negsim"),
+            c.getField("cell").as("cell")))), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
 
   /** SQ8 scalar quantization, returned in the DEQUANTIZED double domain:
     * per dimension, the corpus [min, max] range is cut into 256 levels
@@ -394,8 +419,15 @@ object Similarity {
     * dimension reconstructs as its single value.
     *
     * Plan: one posexplode → per-dimension min/max (a dim-count-row
-    * aggregate, broadcast back) → per-element quantize → re-assemble via
-    * the [[ivfTopK]] collect-sort idiom. Every step is a fixed IEEE
+    * aggregate with map-side partials, collapsed to ONE pos-sorted stats
+    * array and broadcast) → per-element quantize as a pure `transform`
+    * expression indexing the stats array by position. The round-16 form:
+    * the old re-assembly (n×dim explode → broadcast join → vec_id-keyed
+    * collect_list Exchange) is gone — the corpus rows never shuffle, only
+    * the dim-row stats array moves (guide §2.4). Position density holds
+    * by construction: any position a vector has is a position that same
+    * vector contributed to the stats, so element_at(st, i+1) is always
+    * the stats row for dimension i. Every step is a fixed IEEE
     * sequence on exactly-representable inputs (float→double casts, and
     * integer codes 0..255), so codes AND reconstructions are
     * bit-identical in any engine. */
@@ -404,17 +436,19 @@ object Similarity {
       .select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val xhat = when(col("mx") === col("mn"), col("mn"))
-      .otherwise(col("mn") +
-        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)
-          * (col("mx") - col("mn")) / 255.0)
-    vectors
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .join(broadcast(stats), Seq("pos"))
-      .select(col("vec_id"), col("pos"), xhat.as("xh"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("xh")))).as("px"))
-      .select(col("vec_id"), transform(col("px"), p => p.getField("xh")).as("qv"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("st"))
+    vectors.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")), (x, i) => {
+          val s = element_at(col("st"), i + 1)
+          val mn = s.getField("mn")
+          val mx = s.getField("mx")
+          when(mx === mn, mn)
+            .otherwise(mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+              * (mx - mn) / 255.0)
+        }).as("qv"))
   }
 
   /** Top-k neighbors scored on the SQ8-[[sq8Dequantized]] corpus, with a
@@ -497,20 +531,28 @@ object Similarity {
     * DuckDB. L2² of finite inputs cannot be NaN, so no sentinel is
     * needed (unlike the cosine argmax in ivfTopK).
     *
-    * Plan at 100 TB: subvector build and final reconstruction are
-    * vec_id-keyed aggs; codebooks are tiny ((dim/subDim)·ksub rows,
-    * broadcast everywhere); assignment is a broadcast join + map-side
-    * partial struct-MIN. Nothing shuffles the corpus more than the
-    * id-keyed explode/reassemble passes. */
+    * Plan at 100 TB (round-16 form): subvectors are `slice`s of the raw
+    * array (pos order preserved by construction — identical to the old
+    * sorted-collect reassembly, minus the n×dim explode and its
+    * (vec_id, sub)-keyed Exchange); codebooks are tiny
+    * ((dim/subDim)·ksub rows), collapsed per sub into a code-sorted
+    * codeword array and broadcast; assignment is a pure argmin FOLD over
+    * that array (no shuffle of the corpus at all), and the final
+    * reconstruction is one flatten-of-folds expression per row. The only
+    * surviving corpus-wide Exchange is the Lloyd codebook update's
+    * (sub, code, pos) aggregation, which map-side partials collapse to
+    * the codebook's own cardinality (guide §2.3/2.4). */
   def pqDequantized(vectors: DataFrame, subDim: Int = 16, ksub: Int = 16,
       lloydIters: Int = 1, nRows: Option[Long] = None): DataFrame = {
-    val sv = vectors
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .select(col("vec_id"), expr(s"pos DIV $subDim").as("sub"), col("pos"), col("x"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-      .select(col("vec_id"), col("sub"),
-        transform(col("px"), p => p.getField("x")).as("sv"))
+    val vecs = vectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    def subsOf(v: Column): Column =
+      transform(sequence(lit(0), (size(v) / subDim - 1).cast("int")),
+        i => slice(v, i * subDim + 1, lit(subDim)))
+    // (vec_id, sub, sv) rows for codebook training only — derived by
+    // slicing, no shuffle; `sub` long to match the old `pos DIV subDim`
+    val sv = vecs.select(col("vec_id"),
+      posexplode(subsOf(col("v"))).as(Seq("subi", "sv")))
+      .select(col("vec_id"), col("subi").cast("long").as("sub"), col("sv"))
     val n = nRows.getOrElse(vectors.count())
     val stride = math.max(1L, n / ksub)
     val samp = vectors.filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -525,13 +567,33 @@ object Similarity {
     def l2sq(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z)
+    // per-sub code-sorted codeword array: the broadcastable index the
+    // argmin folds run against
+    def cbArray(cb: DataFrame): DataFrame =
+      cb.groupBy(col("sub"))
+        .agg(array_sort(collect_list(struct(col("code"), col("cw")))).as("cws"))
+    // argmin by (dist asc, code asc) as a fold, keeping the codeword
+    // alongside: strict `<` keeps the earlier (lower-code) candidate on
+    // exact ties — identical to the struct MIN it replaces, and every
+    // comparison is exact so fold order is immaterial. Only (dist, code)
+    // are compared; the zero's distance sits above any finite l2sq.
+    def bestOf(svc: Column, cws: Column): Column =
+      aggregate(cws,
+        struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("code"),
+          array_repeat(lit(0.0), 0).as("cw")),
+        (acc, c) => {
+          val cand = struct(l2sq(svc, c.getField("cw")).as("dist"),
+            c.getField("code").as("code"), c.getField("cw").as("cw"))
+          when(struct(cand.getField("dist").as("dist"),
+                 cand.getField("code").as("code")) <
+               struct(acc.getField("dist").as("dist"),
+                 acc.getField("code").as("code")),
+            cand).otherwise(acc)
+        })
     def assign(cb: DataFrame): DataFrame =
-      sv.join(broadcast(cb), Seq("sub"))
+      sv.join(broadcast(cbArray(cb)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sv"),
-          struct(l2sq(col("sv"), col("cw")).as("dist"), col("code")).as("dc"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(first(col("sv")).as("sv"), min(col("dc")).as("best"))
-        .select(col("vec_id"), col("sub"), col("sv"), col("best.code").as("code"))
+          bestOf(col("sv"), col("cws")).getField("code").as("code"))
     (1 to lloydIters).foreach { _ =>
       codebook = assign(codebook)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -545,12 +607,19 @@ object Similarity {
         .select(col("sub"), col("code"),
           transform(col("pm"), p => p.getField("mm")).as("cw"))
     }
-    assign(codebook)
-      .join(broadcast(codebook), Seq("sub", "code"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("scw"))
+    // final reconstruction: per row, fold each subvector against its
+    // sub's codeword array and concatenate the winning codewords — sub
+    // order preserved by the transform, so the output array equals the
+    // old sort-by-sub collect. `cbs` is sub-dense (every sub has sampled
+    // codewords) and sub-sorted, so element_at(cbs, i+1) is sub i.
+    val cbn = cbArray(codebook)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("cws")))).as("cbs"))
+    vecs.crossJoin(broadcast(cbn))
       .select(col("vec_id"),
-        flatten(transform(col("scw"), p => p.getField("cw"))).as("qv"))
+        flatten(transform(subsOf(col("v")), (svc, i) =>
+          bestOf(svc, element_at(col("cbs"), i + 1).getField("cws"))
+            .getField("cw"))).as("qv"))
   }
 
   /** Top-k by ASYMMETRIC distance computation (ADC) — the defining PQ
