@@ -203,8 +203,14 @@ class PartitionedUpsert(
     // persist: the delta drives TWO actions (the affected-partition
     // collect and the merge write) — without it each micro-batch paid the
     // raw-batch aggregation twice. The delta is per-key rows over a
-    // bounded domain, small by construction at any scale.
-    val delta = aggregate(batch).persist()
+    // bounded domain, small by construction at any scale — which is what
+    // justifies the coalesce(1) (round 16): the aggregation's partials
+    // stay fully parallel over the raw batch, only the already-bounded
+    // final stage collapses, so the parts collect, the union-merge scan
+    // and the cache hold one block instead of one per shuffle partition
+    // (measured: a tiny delta behind 32 shuffle partitions cost a
+    // 32-task job per downstream action).
+    val delta = aggregate(batch).coalesce(1).persist()
     try {
     // bounded driver action: distinct partitions in ONE micro-batch (the
     // batch's span), not the table's history. Cast-to-string here, not
@@ -228,8 +234,17 @@ class PartitionedUpsert(
         .groupBy(partCol, keyCols: _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
       // staging write reads the live table but replaces nothing — no
-      // read-then-overwrite hazard, so no localCheckpoint needed
-      merged.write.mode("overwrite").partitionBy(partCol)
+      // read-then-overwrite hazard, so no localCheckpoint needed.
+      // repartition by the partition column (round 16, guide §6 output
+      // sizing): the merged frame is post-merge snapshots of the
+      // affected partitions — bounded like the delta — and the default
+      // layout wrote one file per (shuffle task × partition dir); one
+      // task per dir writes exactly ONE file per partition, which every
+      // downstream consumer of the dir pays for: publish renames,
+      // affected-partition read-back next batch, the final table scan,
+      // and the scratch clear between runs all walk per-file metadata.
+      merged.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
         .parquet(stagingPath(table, batchId).toString)
     }
     // COMMIT POINT: write-temp + atomic rename of the manifest marker
