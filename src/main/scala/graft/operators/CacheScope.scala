@@ -33,7 +33,7 @@ final class CacheScope private[operators] (managed: Boolean) {
   private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Cache `df` and, if this scope is managed, remember it for release. */
-  private[operators] def track(df: DataFrame): DataFrame = {
+  private[graft] def track(df: DataFrame): DataFrame = {
     df.cache()
     if (managed) synchronized { tracked += df }
     df
@@ -45,7 +45,7 @@ final class CacheScope private[operators] (managed: Boolean) {
     * unmanaged scope, mirroring [[track]]. NOTE: unlike an unpersisted
     * cache (which silently recomputes), a released checkpoint cannot be
     * recomputed — using the result after release fails loudly. */
-  private[operators] def onRelease(f: () => Unit): Unit =
+  private[graft] def onRelease(f: () => Unit): Unit =
     if (managed) synchronized { hooks += f }
 
   /** Unpersist every tracked cache (non-blocking), run every release

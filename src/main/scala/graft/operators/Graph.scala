@@ -354,7 +354,12 @@ object Graph {
     var staleFrontier: DataFrame = null
     var depth = 0
     var converged = false
-    // same stale-tracking checkpoint lifecycle as [[bfsHops]]
+    // same stale-tracking checkpoint lifecycle as [[bfsHops]]. (A round-16
+    // experiment replaced the per-round `merged` re-materialization with a
+    // lazy union of the frontier checkpoints; it measured NEUTRAL on the
+    // exact form and ~1.2x SLOWER on the sampled form — the per-round
+    // union planning overhead outweighs the avoided rewrite at this state
+    // size — so the materialized lifecycle stays.)
     while (!converged && depth < maxDepth) {
       depth += 1
       val next = frontier
@@ -500,9 +505,16 @@ object Graph {
     * counts), one edge→label equi-join pair for intra counts, one
     * bounded window over the community-count-sized frame. `m` is ONE
     * driver count action (a scalar, not data). */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularity(edges: DataFrame, labels: DataFrame,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     val cols = edges.columns
-    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
+    // cached (round 16): the census reads the edge set four times — the
+    // m count action, the symmetric degree agg, and the intra-community
+    // join pair — and without the cache each read re-executes the whole
+    // upstream pair generation (the measured triangleStats lesson; for
+    // dd_modularity that upstream is ppjoinPairs, ~0.5 s per re-run).
+    val e = scope.track(
+      edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct())
     val m = e.count()
     val denom = (4L * m * m).toDouble
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -659,15 +671,24 @@ object Graph {
     val out = scope.track(sym.groupBy(col("a"))
       .agg(count(lit(1)).as("outdeg"))
       .select(col("a").as("id"), col("outdeg")))
+    // round 16: carry the DESTINATION's degree on each edge row (one
+    // cached join, paid once) so the per-round aggregate emits the next
+    // score table directly — the old `out ⋈ contrib` re-join per round
+    // (one exchange + broadcast build × iters) is gone. Coverage is
+    // unchanged: the symmetric closure puts every vertex on the `b` side
+    // of some edge, so the aggregate's groups are exactly `out`'s rows,
+    // in_sum is never NULL, and first(bdeg) is the constant outdeg of
+    // `b` — the arithmetic below is byte-identical to the joined form.
+    val symDeg = scope.track(sym
+      .join(out.select(col("id").as("b"), col("outdeg").as("bdeg")), Seq("b")))
     var r = out.withColumn("score", lit(1000000000L))
     (1 to iters).foreach { _ =>
-      val contrib = sym
+      r = symDeg
         .join(r.select(col("id").as("a"), expr("score DIV outdeg").as("c")),
           Seq("a"))
-        .groupBy(col("b")).agg(sum(col("c")).as("in_sum"))
-        .select(col("b").as("id"), col("in_sum"))
-      r = out.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("outdeg"),
+        .groupBy(col("b"))
+        .agg(sum(col("c")).as("in_sum"), first(col("bdeg")).as("outdeg"))
+        .select(col("b").as("id"), col("outdeg"),
           (lit(150000000L) +
             expr("coalesce(in_sum, 0) * 85 DIV 100")).as("score"))
     }
@@ -741,26 +762,26 @@ object Graph {
     val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).distinct()
     val sym = scope.track(
       e.union(e.select(col("b").as("a"), col("a").as("b"))))
-    var labels = sym.select(col("a").as("id")).distinct()
+    var labels: DataFrame = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
-    var liveCkpt = labels
+    // round 16: the loop is FIXED-round (no per-round convergence
+    // action), every intermediate labeling is read exactly once (by the
+    // next round), and `sym` is already cached — so the whole chain runs
+    // lazily as ONE query instead of one eager checkpoint job per round.
+    // Only the FINAL labeling is checkpointed: callers (modularity) scan
+    // it several times, and 4 rounds of join+agg lineage is bounded.
     (1 to rounds).foreach { _ =>
-      val next = sym
+      labels = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("a"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .as("best"))
         .select(col("a").as("id"), col("best.l").as("label"))
-        .localCheckpoint()
-      releaseCheckpoint(liveCkpt) // previous round: dead once materialized
-      liveCkpt = next
-      labels = next
     }
-    val finalCkpt = liveCkpt
+    val finalCkpt = labels.localCheckpoint()
     scope.onRelease(() => releaseCheckpoint(finalCkpt))
-    labels
+    finalCkpt
   }
 
   /** Degree assortativity (Newman, PRL 2002): Pearson correlation of
@@ -774,11 +795,18 @@ object Graph {
     * disagreement). Plan: one degree agg + two id-keyed joins + one
     * global moment agg — all map-side-partial shuffles on the edge
     * list the caller already materialized. */
-  def assortativity(pairs: DataFrame): DataFrame = {
+  def assortativity(pairs: DataFrame,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     val cols = pairs.columns
-    val sym = pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
-      .union(pairs.select(col(cols(1)).as("a"), col(cols(0)).as("b")))
-    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // cached (round 16): `sym` is scanned by the degree agg AND the
+    // endpoint join, `deg` by both endpoint joins — without the caches
+    // every scan re-executes the upstream pair generation (ppjoinPairs
+    // for dd_assortativity), the triangleStats lesson again.
+    val sym = scope.track(
+      pairs.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+        .union(pairs.select(col(cols(1)).as("a"), col(cols(0)).as("b"))))
+    val deg = scope.track(
+      sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg")))
     val dp = sym
       .join(deg.select(col("id").as("a"), col("deg").as("dx")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("dy")), Seq("b"))

@@ -298,8 +298,12 @@ object DedupQueries extends QueryFamily {
     // which is exactly what the oracle computes. O(batch) nightly
     // dup-cluster maintenance, proven not assumed.
     "dd_cc_incremental" -> ((s, d) => {
-      val pairs = Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
-        .select(col("doc_a"), col("doc_b"))
+      // cached (round 16): the half1/half2 split scans the pair set
+      // twice, and each uncached scan re-runs the whole ppjoin pipeline
+      // (~0.5 s) — the triangleStats multi-consumer lesson
+      val pairs = graft.operators.CacheScope.ambient.track(
+        Dedup.ppjoinPairs(Tables.documents(s, d), Threshold)
+          .select(col("doc_a"), col("doc_b")))
       val half1 = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
       val half2 = pairs.filter((col("doc_a") + col("doc_b")) % 2 =!= 0)
       val initial = Graph.connectedComponents(half1)
