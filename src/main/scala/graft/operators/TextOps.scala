@@ -546,13 +546,17 @@ object TextOps {
     * score rather than surfacing a triage list. */
   def lmScoreAll(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bg = t.filter(size(col("toks")) >= 2)
+    // cached (round 16): the exploded bigram stream feeds the bigram
+    // count table, the prefix count table AND the scoring probe — three
+    // scans, each otherwise re-reading and re-exploding the corpus
+    val bg = graft.operators.CacheScope.ambient.track(
+      t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
           i => struct(element_at(col("toks"), i + 1).as("w1"),
             concat_ws(" ", element_at(col("toks"), i + 1),
               element_at(col("toks"), i + 2)).as("bg")))).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.bg").as("bg"))
+      .select(col("doc_id"), col("pos"), col("g.w1").as("w1"), col("g.bg").as("bg")))
     val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = t.select(explode(col("toks")).as("tok"))
@@ -611,8 +615,13 @@ object TextOps {
     * pinned shuffle_hash for the same reason as [[lmScoreAll]]; only
     * the 1-row type count broadcasts. */
   def lmScoreKnAll(docs: DataFrame): DataFrame = {
+    // NOT cached (round-16 measurement): caching the shared bigram
+    // explode here read 1.2-1.5x SLOWER on the ccnet_kn queries — the
+    // uncached consumers are independent scan stages AQE overlaps
+    // freely, while the columnar cache build serializes them (lmScoreAll
+    // measured the OPPOSITE, so each keeps its own measured form)
     val bg = knBigrams(docs)
-    val (c2t, w1stats, nc, nt) = knTables(docs)
+    val (c2t, w1stats, nc, nt) = knTablesFromBigrams(bg)
     val probs = bg
       .join(c2t.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(w1stats.hint("shuffle_hash"), Seq("w1"))
@@ -804,8 +813,15 @@ object TextOps {
     * repeatedly (ingest stream / held-out docs) — the production layout:
     * at 100 TB the four tables persist term-keyed and every scoring pass
     * probes them shuffle-hash, exactly as [[lmScoreKnAll]] does. */
-  def knTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val bg = knBigrams(docs)
+  def knTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    knTablesFromBigrams(knBigrams(docs))
+
+  /** [[knTables]] over a prebuilt (possibly cached) bigram frame —
+    * [[lmScoreKnAll]] shares ONE cached explode between the tables and
+    * the scoring probe (round 16). The bigram count table is cached too:
+    * it feeds the scoring join and three derived type-count aggregates. */
+  private def knTablesFromBigrams(
+      bg: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c2t = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     // N1+(w1·): distinct continuations of w1 = type count per prefix

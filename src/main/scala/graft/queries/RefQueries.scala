@@ -566,9 +566,13 @@ object RefQueries extends QueryFamily {
     // type), a self equi-join keyed on the session — never all-pairs of
     // events — and aggregates over the |types|²-bounded matrix.
     "ref_session_lift" -> ((s, d) => {
-      val st = withSessionIds(Tables.events(s, d))
-        .select(col("user_id"), col("session_id"), col("event_type"))
-        .distinct()
+      // cached (round 16): `st` is scanned four times (session count,
+      // per-type counts, both self-join sides) and each uncached scan
+      // re-ran the session window over the full event table
+      val st = graft.operators.CacheScope.ambient.track(
+        withSessionIds(Tables.events(s, d))
+          .select(col("user_id"), col("session_id"), col("event_type"))
+          .distinct())
       val nSess = st.select(col("user_id"), col("session_id")).distinct()
         .agg(count(lit(1)).as("n_sessions"))
       val sg = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_with"))

@@ -1391,15 +1391,20 @@ object RelQueries extends QueryFamily {
     // DIMSUM sampling (Zadeh & Carlsson 2013) — same pair join, pairs
     // kept with probability ∝ 1/√(fa·fb).
     "rel_item_cf" -> ((s, d) => {
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // cached (round 16): `baskets` (a full-lineitem distinct) is
+      // scanned three times (freq + both sides of the self-join) and
+      // `pairs` twice (the directed union) — uncached, each scan re-ran
+      // the upstream shuffle (the triangleStats multi-consumer lesson)
+      val baskets = graft.operators.CacheScope.ambient.track(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
       val freq = baskets.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("freq"))
-      val pairs = baskets.as("a")
+      val pairs = graft.operators.CacheScope.ambient.track(baskets.as("a")
         .join(baskets.as("b"), Seq("l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("cooc"))
+        .agg(count(lit(1)).as("cooc")))
       // both directions: a neighbor list is per SOURCE part
       val directed = pairs.select(col("pa").as("part"), col("pb").as("neighbor"), col("cooc"))
         .union(pairs.select(col("pb").as("part"), col("pa").as("neighbor"), col("cooc")))

@@ -466,9 +466,12 @@ object TextQueries extends QueryFamily {
     // needed at fixture df) drops stop-terms above a df cap, exactly
     // like PPJoin's prefix filter. Top-3 per query is a keyed window.
     "txt_sparse_knn" -> ((s, d) => {
-      val tf = docs(s, d)
+      // cached (round 16): `tf` feeds the norms agg, the query-side
+      // filter and the posting-list join — three scans, each otherwise
+      // re-running the full-token explode + count
+      val tf = graft.operators.CacheScope.ambient.track(docs(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val norms = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("tf")).as("n2"))
       val qtf = tf.filter(col("doc_id") % 100 === 0)
