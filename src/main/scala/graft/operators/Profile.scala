@@ -228,7 +228,11 @@ object Profile {
     * (n, median_c, mad_c) in the same integer units. */
   def medianMad(df: DataFrame, v: Column): DataFrame = {
     val cents = df.select(v.cast("long").as("__v"))
-    val ranked = OrderStats.withGlobalRank(cents, Seq(col("__v")))
+    // cached (round 16): the ranked frame feeds the median lookup and
+    // both rank-window sides — three scans; exchange reuse shares the
+    // range shuffle but re-ran the per-partition sort+window each time
+    val ranked = CacheScope.ambient.track(
+      OrderStats.withGlobalRank(cents, Seq(col("__v"))))
     val rk = expr("(n + 1) DIV 2") // r = k = median rank
     val med = ranked.filter(col("rn") === rk)
       .select(col("__v").as("median_c"), col("n"))

@@ -684,6 +684,7 @@ object TextOps {
         lit("  ")).as("seq"),
       col("cnt")).cache()
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var prev: DataFrame = null
     for (r <- 1 to rounds) {
       val pairs = seqs
         .select(col("cnt"),
@@ -695,21 +696,30 @@ object TextOps {
             element_at(col("syms"), i + 2).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("total"))
-      // 1-row driver collect per round: the chosen merge (bounded)
+      // 1-row driver collect per round: the chosen merge (bounded).
+      // This action also materializes the current seqs cache (built
+      // from the previous round's, still alive) — release the parent
+      // only now that its child is materialized.
       val best = pairs.orderBy(col("total").desc, col("a"), col("b"))
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.nonEmpty) {
         val (a, b, total) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, a + b, total))
+        // round 16: no eager count() — the NEXT round's pair collect
+        // materializes this cache while the parent is still cached (the
+        // parent is released at the top of that round, after the
+        // action), halving the per-round job count. prev tracks the
+        // still-cached parent across the round boundary.
         val next = seqs.select(
           replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")).as("seq"),
           col("cnt")).cache()
-        next.count()
-        seqs.unpersist()
+        prev = seqs
         seqs = next
       }
     }
+    if (prev != null) prev.unpersist() // last round's parent
     seqs.unpersist()
     merges.toSeq
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
@@ -1065,6 +1075,11 @@ object TextOps {
 
   def dsirScreen(docs: DataFrame, isTarget: Column, numBuckets: Int,
       k: Int): DataFrame = {
+    // NOT cached (round-16 measurement): caching `perDoc` for its three
+    // consumers read 1.61s -> 1.84s — the uncached consumers are
+    // independent scan stages AQE overlaps, while the cache build
+    // serializes them (the lmScoreKnAll finding; lmScoreAll/medianMad
+    // measured the opposite, so each site keeps its measured form)
     val perDoc = dsirFeatures(docs.withColumn("is_target", isTarget),
       numBuckets, Seq("is_target"))
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
