@@ -159,7 +159,15 @@ object PlanFingerprint {
     try {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => excluded(name) }
-        .map { case (name, fn) => name -> fingerprint(fn(spark, sfDir)) }
+        .map { case (name, fn) =>
+          // per-query cache isolation, like fingerprintAllFinal (round
+          // 16): registry lambdas now ambient-cache multi-consumer
+          // frames, and a leaked cache entry turns a LATER query's
+          // identical subtree into InMemoryTableScan — the golden would
+          // then depend on alphabetical execution order
+          try name -> fingerprint(fn(spark, sfDir))
+          finally spark.catalog.clearCache()
+        }
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
