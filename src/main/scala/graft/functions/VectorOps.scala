@@ -82,11 +82,75 @@ object VectorKernels {
     bits
   }
 
+  /** PQ codeword argmin (round 16): for one subvector `sv` and a
+    * code-sorted codeword array `cws` (array<struct<code, cw>>), the
+    * lexicographic (dist, code) minimum with dist the SEQUENTIAL-fold
+    * L2² — `acc += (x−y)·(x−y)` in element order, the identical IEEE
+    * sequence as the declarative `aggregate(zip_with(...))` it replaces
+    * (strict-less keeps the earlier = lower code on exact ties, the
+    * struct-MIN rule). One tight loop instead of ksub interpreted
+    * higher-order-function folds per (vec, sub) row. */
+  def pqArgmin(sv: ArrayData, cws: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val v = sv.toDoubleArray()
+    var bestDist = Double.MaxValue
+    var bestCode = Long.MaxValue
+    var bestCw: ArrayData = null
+    var i = 0
+    val n = cws.numElements()
+    while (i < n) {
+      val e = cws.getStruct(i, 2)
+      val code = e.getLong(0)
+      val cw = e.getArray(1)
+      val w = cw.toDoubleArray()
+      val m = math.min(v.length, w.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { val d = v(j) - w(j); acc += d * d; j += 1 }
+      if (acc < bestDist || (acc == bestDist && code < bestCode)) {
+        bestDist = acc; bestCode = code; bestCw = cw
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestDist, bestCode, if (bestCw == null) null else bestCw.copy()))
+  }
+
+  /** IVF nearest-centroid argmax (round 16): for `v` and a cell-sorted
+    * centroid array (array<struct<cell, cv>>), the cell of the
+    * lexicographic (−nanvl(cosine, −2.0), cell) minimum — cosine via
+    * [[cosineDouble]] (the bit-exact sequential fold), the identical
+    * selection rule as the declarative fold it replaces, in one loop
+    * instead of nCells interpreted lambda dispatches per corpus row. */
+  def ivfArgmax(v: ArrayData, cents: ArrayData): Int = {
+    var bestNeg = 3.0 // above any real candidate (negsim ≤ 2.0)
+    var bestCell = -1
+    var i = 0
+    val n = cents.numElements()
+    while (i < n) {
+      val e = cents.getStruct(i, 2)
+      val cell = e.getInt(0)
+      val c = cosineDouble(v, e.getArray(1))
+      val s = if (java.lang.Double.isNaN(c)) -2.0 else c
+      val neg = -s
+      if (neg < bestNeg || (neg == bestNeg && cell < bestCell)) {
+        bestNeg = neg; bestCell = cell
+      }
+      i += 1
+    }
+    bestCell
+  }
+
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   def lsh_bucket(v: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(LshBucketBits(Bridge.expression(v), planes))
+
+  def pq_argmin(sv: Column, cws: Column): Column =
+    Bridge.column(PqArgminL2(Bridge.expression(sv), Bridge.expression(cws)))
+
+  def ivf_argmax(v: Column, cents: Column): Column =
+    Bridge.column(IvfArgmaxCell(Bridge.expression(v), Bridge.expression(cents)))
 }
 
 /** `cosine(array<float|double>, array<float|double>) -> double`, full
@@ -161,4 +225,79 @@ case class LshBucketBits(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `pq_argmin(array<double>, array<struct<code:long, cw:array<double>>>)
+  * -> struct<dist:double, code:long, cw:array<double>>` — the PQ
+  * codeword argmin as one codegen'd kernel call
+  * ([[VectorKernels.pqArgmin]]); selection rule and IEEE fold order
+  * identical to the declarative aggregate-of-zip_with form it replaces
+  * (round 16 — the quantization queries spent their assignment stage in
+  * interpreted lambda dispatch). */
+case class PqArgminL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("cw", ArrayType(DoubleType), nullable = true)))
+  override def prettyName: String = "pq_argmin"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(_: StructType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_argmin requires (array<double>, array<struct>), got " +
+            s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqArgmin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqArgmin($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `ivf_argmax(array<double>, array<struct<cell:int, cv:array<double>>>)
+  * -> int` — nearest-centroid cell as one codegen'd kernel call
+  * ([[VectorKernels.ivfArgmax]]); cosine fold, NaN sentinel and
+  * (−sim, cell) tie-break identical to the declarative fold it
+  * replaces (round 16). */
+case class IvfArgmaxCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_argmax"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(_: StructType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_argmax requires (array<double>, array<struct>), got " +
+            s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.ivfArgmax(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.ivfArgmax($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

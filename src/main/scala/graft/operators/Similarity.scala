@@ -337,20 +337,16 @@ object Similarity {
     * (below any real cosine) on BOTH sides makes them identical: a
     * NaN-cosine cell loses everywhere, and an all-NaN row falls back to
     * the lowest cell id. No-op for non-degenerate input. */
-  private def ivfAssign(points: DataFrame, cents: DataFrame): DataFrame = {
-    // zero: negsim 3.0 sits above any real candidate (negsim ≤ 2.0 by
-    // the -2.0 sentinel), so the first fold step always replaces it
-    val zero = struct(lit(3.0).as("negsim"), lit(-1).as("cell"))
+  private def ivfAssign(points: DataFrame, cents: DataFrame): DataFrame =
+    // selection runs in the native [[graft.functions.IvfArgmaxCell]]
+    // kernel — identical cosine fold, NaN sentinel and (−sim, cell)
+    // tie-break as the declarative aggregate-fold form (asserted
+    // equal in VectorArgminSpec), one codegen'd loop per row instead
+    // of nCells interpreted lambda dispatches
     points.crossJoin(broadcast(centroidArray(cents)))
       .select(col("vec_id"), col("v"),
-        aggregate(col("cents"), zero, (acc, c) => {
-          val cand = struct(
-            (-nanvl(cosineSeq(col("v"), c.getField("cv")), lit(-2.0)))
-              .as("negsim"),
-            c.getField("cell").as("cell"))
-          when(cand < acc, cand).otherwise(acc)
-        }).getField("cell").as("cell"))
-  }
+        graft.functions.VectorKernels.ivf_argmax(col("v"), col("cents"))
+          .as("cell"))
 
   /** Coarse-quantizer training over `corpusD(vec_id, v)`: deterministic
     * evenly-strided init by vec_id rank, then `lloydIters` rounds of
@@ -572,24 +568,13 @@ object Similarity {
     def cbArray(cb: DataFrame): DataFrame =
       cb.groupBy(col("sub"))
         .agg(array_sort(collect_list(struct(col("code"), col("cw")))).as("cws"))
-    // argmin by (dist asc, code asc) as a fold, keeping the codeword
-    // alongside: strict `<` keeps the earlier (lower-code) candidate on
-    // exact ties — identical to the struct MIN it replaces, and every
-    // comparison is exact so fold order is immaterial. Only (dist, code)
-    // are compared; the zero's distance sits above any finite l2sq.
+    // argmin by (dist asc, code asc) in the native
+    // [[graft.functions.PqArgminL2]] kernel — identical sequential-fold
+    // L2² and strict-less tie-break as the declarative
+    // aggregate-of-zip_with form (asserted equal in VectorArgminSpec),
+    // one codegen'd loop per row instead of ksub interpreted folds
     def bestOf(svc: Column, cws: Column): Column =
-      aggregate(cws,
-        struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("code"),
-          array_repeat(lit(0.0), 0).as("cw")),
-        (acc, c) => {
-          val cand = struct(l2sq(svc, c.getField("cw")).as("dist"),
-            c.getField("code").as("code"), c.getField("cw").as("cw"))
-          when(struct(cand.getField("dist").as("dist"),
-                 cand.getField("code").as("code")) <
-               struct(acc.getField("dist").as("dist"),
-                 acc.getField("code").as("code")),
-            cand).otherwise(acc)
-        })
+      graft.functions.VectorKernels.pq_argmin(svc, cws)
     def assign(cb: DataFrame): DataFrame =
       sv.join(broadcast(cbArray(cb)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sv"),
